@@ -1,0 +1,164 @@
+"""Text kernels: normalization, keywords, language ID, quality, fingerprints.
+
+All JVM-side Column expressions (no Python in the hot path). Semantics
+re-expressed from the reference:
+
+- ``normalize_text``      ← ``normalizeText``        /root/reference/pkg/crawler/keywords.go:306-326
+- ``extract_keywords``    ← ``extractContentKeywords`` + ``normalizeKeyword`` + ``isKeyword``
+                            /root/reference/pkg/crawler/keywords.go:124-230
+- ``detect_lang_expr``    ← stopword-ratio heuristic standing in for whatlanggo
+                            (/root/reference/pkg/crawler/web.go:3370-3401) — deterministic stub.
+
+Token-split note: the reference splits on unicode space/punct/symbol
+(``strings.FieldsFunc`` keywords.go:205-208). We define the equivalent
+class as "anything not [a-z0-9]" after lowercasing — identical on the
+synthetic corpora, and shared verbatim by the DuckDB oracle and the
+pure-Python parity oracle so the equivalence is testable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Compact English stopword set (standard public list; the reference
+#: loads a much larger one from support/stopWords.json — the *filtering
+#: rule* is what we reproduce, with this list pinned on both engine and
+#: oracle sides).
+STOPWORDS_EN = (
+    "a an and are as at be but by for from has have he her his i if in into is it its "
+    "me my no not of on or our she so that the their them they this to was we were "
+    "what when where which who will with you your all can had him more one out some "
+    "there these those too up use very would about after also any because been before "
+    "being between both did do does down during each few further here how itself just "
+    "most now only other over own same should such than then through under until while"
+).split()
+
+#: min/max keyword length — /root/reference/pkg/crawler/keywords.go:148,184.
+KEYWORD_MIN_LEN = 3
+KEYWORD_MAX_LEN = 45
+
+_TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def normalize_text(c: Column | str) -> Column:
+    """Tag-strip → punctuation→space → lowercase → whitespace-collapse.
+
+    Reference: ``normalizeText`` /root/reference/pkg/crawler/keywords.go:306-326.
+    """
+    t = _col(c)
+    t = F.regexp_replace(t, "<[^>]*>", " ")
+    t = F.regexp_replace(t, """[.,?!:;'"(){}<>\\-]""", " ")
+    t = F.lower(t)
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return t
+
+
+def tokens(c: Column | str) -> Column:
+    """Lowercased alnum tokens (array<string>, empties removed)."""
+    arr = F.split(F.lower(_col(c)), _TOKEN_SPLIT_RE)
+    return F.filter(arr, lambda w: w != "")
+
+
+def keywords_array(c: Column | str) -> Column:
+    """Per-document keyword list: tokens filtered by the reference rule.
+
+    Rule (keywords.go:134-230): length in [3,45], not an English stop
+    word. Duplicates KEPT (occurrence counting happens downstream,
+    crawler.go:1819-1824).
+    """
+    sw = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    return F.filter(
+        tokens(c),
+        lambda w: (F.length(w) >= KEYWORD_MIN_LEN)
+        & (F.length(w) <= KEYWORD_MAX_LEN)
+        & ~F.array_contains(sw, w),
+    )
+
+
+def unique_preserving(arr: Column | str) -> Column:
+    """Order-preserving dedup — Go ``unique`` keywords.go:232-246.
+    Spark's ``array_distinct`` keeps first occurrence, same contract."""
+    return F.array_distinct(_col(arr))
+
+
+def detect_lang_expr(c: Column | str) -> Column:
+    """Deterministic language-ID stub (reference uses whatlanggo,
+    /root/reference/pkg/crawler/web.go:3370-3401).
+
+    Heuristic: count hits from tiny per-language marker sets over the
+    token array; ties broken by fixed priority en>es>fr>de>unknown.
+    Pure Column expression so the DuckDB oracle can mirror it exactly.
+    """
+    toks = tokens(c)
+
+    def hits(markers: list[str]) -> Column:
+        m = F.array(*[F.lit(w) for w in markers])
+        return F.size(F.filter(toks, lambda w: F.array_contains(m, w)))
+
+    en = hits(["the", "and", "of", "to", "is"])
+    es = hits(["el", "la", "los", "que", "es"])
+    fr = hits(["le", "les", "des", "est", "une"])
+    de = hits(["der", "die", "und", "ist", "das"])
+    return (
+        F.when((en >= es) & (en >= fr) & (en >= de) & (en > 0), F.lit("en"))
+        .when((es >= fr) & (es >= de) & (es > 0), F.lit("es"))
+        .when((fr >= de) & (fr > 0), F.lit("fr"))
+        .when(de > 0, F.lit("de"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def token_count(c: Column | str) -> Column:
+    """Whitespace-ish token count (training-data accounting)."""
+    return F.size(tokens(c))
+
+
+def quality_score(c: Column | str) -> Column:
+    """Document quality score in [0,1]: length, alpha ratio, stopword ratio.
+
+    A standard trainig-data heuristic (C4/Gopher-style): favor docs with
+    healthy length, mostly-alphabetic characters, and a natural stopword
+    ratio. Deterministic, SQL-expressible (oracle mirrors it).
+    """
+    t = _col(c)
+    n_chars = F.length(t).cast("double")
+    alpha_ratio = F.when(
+        n_chars > 0,
+        F.length(F.regexp_replace(F.lower(t), "[^a-z ]", "")).cast("double") / n_chars,
+    ).otherwise(F.lit(0.0))
+    toks = tokens(t)
+    n_tok = F.size(toks).cast("double")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    sw_ratio = F.when(
+        n_tok > 0, F.size(F.filter(toks, lambda w: F.array_contains(sw, w))).cast("double") / n_tok
+    ).otherwise(F.lit(0.0))
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    sw_score = F.least(sw_ratio * F.lit(4.0), F.lit(1.0))
+    return F.round((len_score + alpha_ratio + sw_score) / F.lit(3.0), 6)
+
+
+def fingerprint_md5(c: Column | str) -> Column:
+    """Document fingerprint: md5 of the normalized text (portable —
+    DuckDB computes the identical digest)."""
+    return F.md5(normalize_text(c))
+
+
+def shingles(c: Column | str, k: int = 3) -> Column:
+    """k-token shingles of the normalized text as array<string>.
+
+    Built from JVM array ops only: tokens → transform over index range →
+    join windows of k. Used by the n-gram Jaccard and MinHash dedup
+    operators.
+    """
+    toks = tokens(c)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(
+        n >= k,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")),
+    ).otherwise(F.when(n > 0, F.array(F.array_join(toks, " "))).otherwise(F.array()))
