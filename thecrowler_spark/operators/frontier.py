@@ -1,0 +1,606 @@
+"""The crawl core: URL frontier + fetch scheduler, DataFrame-native.
+
+Re-expresses the reference's per-source BFS worker loop
+(/root/reference/pkg/crawler/crawler.go:407-499 level loop,
+:2190-2289 worker, :2295-2368 skip rules) as *set-at-a-time* DataFrame
+rounds:
+
+- one **round** = one BFS depth level for EVERY active source at once;
+- within a source, the reference's sequential (workers=1) semantics are
+  reproduced exactly with window functions over the link sequence
+  (cumulative-success cutoff for max_links, first-occurrence dedup,
+  skipped-link resurrection);
+- across sources/hosts the computation is embarrassingly parallel —
+  that is where the 1000-executor scale lives. Frontier rows are
+  repartitioned on a salted host key so one mega-host cannot pin a
+  single reducer (SURVEY.md §4 "Skew handling").
+
+Fetching over the closed-world corpus is an equi-join
+``frontier.link == documents.doc_id`` (SURVEY.md S3: no live HTTP in
+scope — the synthetic corpus IS the web).
+
+State (visited / frontier / pages / lineage) is checkpointed to
+parquet snapshot directories every round via :class:`..sources.lake.LakeTable`
+— the local stand-in for Iceberg MERGE/snapshots; a run is resumable
+from the last committed round (reference analog: the Sources status
+machine + processing-timeout re-claims, postgresql-setup.pgsql:272-307,2881-2884).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import urls as U
+from . import spans as SP
+
+# Row categories (one per reference worker outcome)
+CAT_SKIP = "skip"          # skip rules → TotalSkipped++, resurrectable
+CAT_DUP = "dup"            # visited / earlier-in-level → TotalDuplicates++
+CAT_KNOWN = "known"        # PreventDuplicateURLs global hit → silent continue
+CAT_FETCH_OK = "fetch_ok"  # processJob success → TotalPages++
+CAT_FETCH_ERR = "fetch_err"  # fetch error → TotalErrors++ (still marks visited)
+CAT_DEFERRED = "deferred"  # politeness budget exceeded → re-queued next round
+
+
+@dataclass
+class CrawlConfig:
+    """Run parameters (reference: Crawler config, pkg/config/types.go).
+
+    ``max_depth=0`` means unbounded-while-new (checkMaxDepth,
+    crawler.go:784-789 + dynamic extension :496-498). ``max_links=0``
+    means no cap. ``check_robots``/``host_budget`` default OFF — that is
+    reference-parity mode (robots is declared but never enforced there,
+    pkg/config/types.go:111); ON is north-rule mode.
+    """
+
+    max_depth: int = 2
+    max_links: int = 0
+    prevent_duplicate_urls: bool = False
+    check_robots: bool = False
+    use_host_budget: bool = False
+    unwanted_patterns: tuple[str, ...] = ()
+    user_url_patterns: tuple[str, ...] = ()
+    max_rounds: int = 50  # safety net for max_depth=0
+    salt_buckets: int = 16
+    bloom_prefilter: bool = False
+    shuffle_partitions: int | None = None
+
+
+@dataclass
+class CrawlResult:
+    pages: DataFrame
+    crawl_order: DataFrame
+    visited: DataFrame
+    counters: dict[int, dict[str, int]]
+    lineage: list[dict[str, Any]] = field(default_factory=list)
+
+
+def claim_sources(seeds: DataFrame, limit: int, priorities: tuple[str, ...] = ()) -> DataFrame:
+    """Frontier scan+claim (S1): eligible → FIFO → limit.
+
+    Reference: ``update_sources`` /root/reference/pkg/database/
+    postgresql-setup.pgsql:2826-2898 — status filter, optional priority
+    list, ``ORDER BY created_at ASC, source_id ASC``, ``LIMIT n``.
+    SKIP LOCKED becomes deterministic: each engine claims a disjoint
+    ordered prefix; multi-engine partitioning would add
+    ``pmod(xxhash64(source_uid), n_engines) = engine_id``.
+    """
+    df = seeds.filter(
+        (~F.col("disabled")) & F.col("status").isin("new", "pending", "completed", "error")
+    )
+    if priorities:
+        df = df.filter(F.col("priority").isin(*priorities))
+    return df.orderBy("created_at", "source_id").limit(limit)
+
+
+def _skip_flags(df: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """Skip predicate per skipURLWithExternalApproval crawler.go:2295-2368.
+
+    Order of checks preserved: empty → external(restricted) → unwanted
+    regex → same-as-source → user patterns (negative-match or no-match).
+    """
+    url = F.col("url_link")
+    empty = F.trim(url) == ""
+    external = (F.col("restricted") != 4) & U.is_external_link(
+        F.col("source_url"), url, F.col("restricted")
+    )
+    unwanted = F.lit(False)
+    for pat in cfg.unwanted_patterns:
+        unwanted = unwanted | url.rlike(pat)
+    same = url == F.col("source_url")
+    skip = empty | external | unwanted | same
+    if cfg.user_url_patterns:
+        neg = [p[1:] for p in cfg.user_url_patterns if p.startswith("!")]
+        pos = [p for p in cfg.user_url_patterns if not p.startswith("!")]
+        neg_hit = F.lit(False)
+        for p in neg:
+            neg_hit = neg_hit | url.rlike(p)
+        any_hit = neg_hit
+        for p in pos:
+            any_hit = any_hit | url.rlike(p)
+        skip = skip | neg_hit | ~any_hit
+    return df.withColumn("is_skip", skip)
+
+
+def _robots_block(level: DataFrame, robots: DataFrame | None) -> DataFrame:
+    """RFC 9309 longest-prefix-match robots filter (north-rule mode).
+
+    The reference only *declares* robots (pkg/config/types.go:111, never
+    read) — this is our enforcement semantics: per (host, path) pick the
+    longest matching prefix rule; tie → allow; no rule → allow.
+    Broadcast join: the rules table is tiny relative to the frontier.
+    """
+    if robots is None:
+        return level.withColumn("robots_blocked", F.lit(False))
+    path = F.coalesce(
+        F.nullif(F.regexp_replace(F.col("url_link"), r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/]*", ""), F.lit("")),
+        F.lit("/"),
+    )
+    lv = level.withColumn("_host", U.url_hostname("url_link")).withColumn("_path", path)
+    r = F.broadcast(robots.select(
+        F.col("host").alias("_rhost"),
+        F.col("rule_type"),
+        F.col("path_prefix"),
+        F.length("path_prefix").alias("_plen"),
+    ))
+    joined = lv.join(r, (lv["_host"] == r["_rhost"]) & lv["_path"].startswith(r["path_prefix"]), "left")
+    w = Window.partitionBy("source_id", "seq").orderBy(
+        F.desc_nulls_last("_plen"), F.asc("rule_type")  # 'allow' < 'disallow'
+    )
+    best = (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .withColumn("robots_blocked", F.coalesce(F.col("rule_type") == "disallow", F.lit(False)))
+        .drop("_rhost", "rule_type", "path_prefix", "_plen", "_rn", "_host", "_path")
+    )
+    return best
+
+
+class CrawlEngine:
+    """Drives BFS rounds for a batch of claimed sources.
+
+    ``documents`` is parsed once (:func:`..operators.spans.parse_documents`)
+    and persisted; every round's fetch is an equi-join against it.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        documents: DataFrame,
+        cfg: CrawlConfig | None = None,
+        robots: DataFrame | None = None,
+        budgets: DataFrame | None = None,
+        work_dir: str | None = None,
+    ) -> None:
+        self.spark = spark
+        self.cfg = cfg or CrawlConfig()
+        self.robots = robots if (robots is not None and self.cfg.check_robots) else None
+        self.budgets = budgets if (budgets is not None and self.cfg.use_host_budget) else None
+        self.work_dir = work_dir
+        self.parsed = SP.parse_documents(documents).persist()
+        # slim projection used by the fetch join (column pruning by hand
+        # so the join never drags body/spans through the shuffle)
+        self.fetch_side = self.parsed.select(
+            F.col("doc_id"), F.col("links"), F.col("title")
+        ).persist()
+
+    # ---------------------------------------------------------- rounds
+
+    def run(self, seeds: DataFrame, run_id: str = "run0") -> CrawlResult:
+        cfg = self.cfg
+        spark = self.spark
+        lineage: list[dict[str, Any]] = []
+
+        src = seeds.select(
+            "source_id",
+            F.col("url").alias("source_url"),
+            "restricted",
+            "priority",
+        ).persist()
+
+        # ---- depth 0: CrawlInitialURL (web.go:912-993) ----
+        t0 = time.time()
+        seed_fetch = src.join(
+            self.fetch_side.withColumnRenamed("doc_id", "_doc"),
+            src["source_url"] == F.col("_doc"),
+            "left",
+        )
+        seed_ok = seed_fetch.filter(F.col("_doc").isNotNull())
+        # initial links keep page_url = source URL (web.go:949-951)
+        frontier = (
+            seed_ok.select(
+                "source_id",
+                "source_url",
+                "restricted",
+                "priority",
+                F.posexplode_outer("links").alias("seq", "link"),
+            )
+            .filter(F.col("link").isNotNull())
+            .withColumn("page_url", F.col("source_url"))
+        )
+        # TotalLinks stores the initial count BEFORE the restricted gate
+        # (crawler.go:412), so count first …
+        initial_link_counts = {
+            r["source_id"]: int(r["count"])
+            for r in frontier.groupBy("source_id").count().collect()
+        }
+        # … then: restricted==0 sources never enter the BFS loop (crawler.go:414)
+        frontier = frontier.filter(F.col("restricted") != 0)
+
+        pages = seed_ok.select(
+            "source_id",
+            F.lit(0).alias("depth"),
+            F.lit(0).alias("fetch_seq"),
+            F.col("source_url").alias("url"),
+        )
+        visited = seed_ok.select(
+            "source_id", U.normalize_url_seen("source_url").alias("norm_url")
+        )
+        counters: dict[int, dict[str, int]] = {}
+        for row in src.collect():
+            counters[row["source_id"]] = dict(pages=0, links=0, skipped=0, duplicates=0, errors=0)
+        for row in pages.groupBy("source_id").count().collect():
+            counters[row["source_id"]]["pages"] = int(row["count"])
+        for sid, n in initial_link_counts.items():
+            counters[sid]["links"] = n
+
+        pages = self._ckpt(pages, run_id, 0, "pages")
+        visited = self._ckpt(visited, run_id, 0, "visited")
+        frontier = self._ckpt(frontier, run_id, 0, "frontier")
+        lineage.append(
+            {
+                "run_id": run_id,
+                "round": 0,
+                "frontier_in": 0,
+                "fetched": sum(c["pages"] for c in counters.values()),
+                "elapsed_sec": time.time() - t0,
+            }
+        )
+
+        max_depth = 1 if cfg.max_depth == 0 else cfg.max_depth
+        current_depth = 0
+        deferred: DataFrame | None = None
+
+        while current_depth < max_depth and current_depth < cfg.max_rounds:
+            n_frontier = frontier.count()
+            n_deferred = deferred.count() if deferred is not None else 0
+            if n_frontier + n_deferred == 0:
+                break
+            t0 = time.time()
+            depth = current_depth + 1
+
+            level = frontier.withColumn("_pri", F.lit(1))
+            if deferred is not None and n_deferred > 0:
+                # deferred links go first in the next round (north mode)
+                level = deferred.select(frontier.columns).withColumn(
+                    "_pri", F.lit(0)
+                ).unionByName(level)
+            w_seq = Window.partitionBy("source_id").orderBy("_pri", "seq", "link")
+            level = level.withColumn("seq", F.row_number().over(w_seq) - 1).drop("_pri")
+            deferred = None
+
+            # explicit skew-kill: spread one host's links over salt buckets
+            level = level.repartition(
+                F.col("source_id"),
+                U.salted_host_key(U.url_hostname("link"), F.col("link"), cfg.salt_buckets),
+            )
+
+            out = self._process_level(level, visited, pages, depth, counters)
+            new_frontier, new_pages, new_visited_rows, stats, deferred = out
+
+            # effects → next-round state (snapshot per round = the checkpoint)
+            pages = self._ckpt(pages.unionByName(new_pages), run_id, depth, "pages")
+            visited = self._ckpt(
+                visited.unionByName(new_visited_rows).dropDuplicates(
+                    ["source_id", "norm_url"]
+                ),
+                run_id,
+                depth,
+                "visited",
+            )
+            frontier = self._ckpt(new_frontier, run_id, depth, "frontier")
+
+            for sid, s in stats.items():
+                c = counters.setdefault(sid, dict(pages=0, links=0, skipped=0, duplicates=0, errors=0))
+                for k, v in s.items():
+                    c[k] += v
+
+            lineage.append(
+                {
+                    "run_id": run_id,
+                    "round": depth,
+                    "frontier_in": n_frontier + n_deferred,
+                    "fetched": sum(s.get("pages", 0) for s in stats.values()),
+                    "skipped": sum(s.get("skipped", 0) for s in stats.values()),
+                    "duplicates": sum(s.get("duplicates", 0) for s in stats.values()),
+                    "errors": sum(s.get("errors", 0) for s in stats.values()),
+                    "elapsed_sec": time.time() - t0,
+                }
+            )
+
+            current_depth += 1
+            if cfg.max_depth == 0:
+                max_depth = current_depth + 1  # crawler.go:496-498
+
+        crawl_order = pages.select(
+            "source_id", F.col("fetch_seq").alias("seq"), "depth", "url"
+        )
+
+        if self.work_dir:
+            self._write_lineage(lineage, run_id)
+        return CrawlResult(pages, crawl_order, visited, counters, lineage)
+
+    # ------------------------------------------------------ level logic
+
+    def _process_level(
+        self,
+        level: DataFrame,
+        visited: DataFrame,
+        pages: DataFrame,
+        depth: int,
+        counters: dict[int, dict[str, int]],
+    ):
+        """One BFS level for all sources — the worker loop, set-at-a-time."""
+        cfg = self.cfg
+
+        # resolve relative links (crawler.go:2210-2212) + seen-key
+        lv = level.withColumn("url_link", U.combine_urls("source_url", "link")).withColumn(
+            "norm_url", U.normalize_url_seen("url_link")
+        )
+        lv = _skip_flags(lv, cfg)
+        lv = _robots_block(lv, self.robots)
+        lv = lv.withColumn("is_skip", F.col("is_skip") | F.col("robots_blocked"))
+
+        # visited-set probe: equi anti-join semantics via left join marker
+        lv = lv.join(
+            visited.withColumn("_seen", F.lit(True)),
+            ["source_id", "norm_url"],
+            "left",
+        ).withColumn("_seen", F.coalesce(F.col("_seen"), F.lit(False)))
+
+        # first-occurrence-within-level among non-skipped (sequential visited updates)
+        w_norm = Window.partitionBy("source_id", "norm_url").orderBy("seq")
+        occ = F.when(~F.col("is_skip"), F.row_number().over(w_norm)).otherwise(F.lit(None))
+        lv = lv.withColumn("_occ", occ)
+        is_dup = (~F.col("is_skip")) & (F.col("_seen") | (F.col("_occ") > 1))
+
+        # global-known probe (PreventDuplicateURLs, queries.go:74-88)
+        if cfg.prevent_duplicate_urls:
+            known = pages.select(
+                "source_id", U.normalize_url_seen("url").alias("norm_url")
+            ).drop("source_id").distinct().withColumn("_known", F.lit(True))
+            lv = lv.join(known, ["norm_url"], "left").withColumn(
+                "_known", F.coalesce(F.col("_known"), F.lit(False))
+            )
+        else:
+            lv = lv.withColumn("_known", F.lit(False))
+
+        # fetch = equi-join against the corpus (case-sensitive doc_id)
+        fs = self.fetch_side.select(
+            F.col("doc_id").alias("_doc"), F.col("links").alias("_doc_links")
+        )
+        lv = lv.join(fs, lv["url_link"] == fs["_doc"], "left")
+
+        cat = (
+            F.when(F.col("is_skip"), F.lit(CAT_SKIP))
+            .when(is_dup, F.lit(CAT_DUP))
+            .when(F.col("_known"), F.lit(CAT_KNOWN))
+            .when(F.col("_doc").isNotNull(), F.lit(CAT_FETCH_OK))
+            .otherwise(F.lit(CAT_FETCH_ERR))
+        )
+        lv = lv.withColumn("category", cat)
+
+        # politeness budget (north-rule mode): cap successful fetches per
+        # host per round; excess re-queued next round, ordered first.
+        if self.budgets is not None:
+            lv = lv.withColumn("_bhost", U.url_hostname("url_link"))
+            lv = lv.join(
+                F.broadcast(self.budgets.select(F.col("host").alias("_bhost"), "max_fetches_per_round")),
+                ["_bhost"],
+                "left",
+            )
+            w_host = Window.partitionBy("_bhost").orderBy("priority", "source_id", "seq")
+            fetch_rank = F.when(
+                F.col("category") == CAT_FETCH_OK, F.row_number().over(w_host)
+            )
+            lv = lv.withColumn("_frank", fetch_rank).withColumn(
+                "category",
+                F.when(
+                    (F.col("category") == CAT_FETCH_OK)
+                    & F.col("max_fetches_per_round").isNotNull()
+                    & (F.col("_frank") > F.col("max_fetches_per_round")),
+                    F.lit(CAT_DEFERRED),
+                ).otherwise(F.col("category")),
+            ).drop("max_fetches_per_round", "_frank", "_bhost")
+
+        # max_links cutoff: worker stops once TotalPages reaches the cap
+        # (crawler.go:2203-2206) — guard precedes every job.
+        pages_before = F.create_map(
+            *[
+                x
+                for sid, c in counters.items()
+                for x in (F.lit(sid), F.lit(c["pages"]))
+            ]
+        ) if counters else F.create_map()
+        lv = lv.withColumn("_pages_before", F.coalesce(pages_before[F.col("source_id")], F.lit(0)))
+        w_cum = (
+            Window.partitionBy("source_id")
+            .orderBy("seq")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        cum_ok = F.coalesce(
+            F.sum(F.when(F.col("category") == CAT_FETCH_OK, 1).otherwise(0)).over(w_cum),
+            F.lit(0),
+        )
+        if cfg.max_links > 0:
+            lv = lv.withColumn(
+                "_processed", F.col("_pages_before") + cum_ok < F.lit(cfg.max_links)
+            )
+        else:
+            lv = lv.withColumn("_processed", F.lit(True))
+
+        processed = lv.filter(F.col("_processed")).persist()
+
+        deferred_df = None
+        if self.budgets is not None:
+            deferred_df = processed.filter(F.col("category") == CAT_DEFERRED).select(
+                "source_id", "source_url", "restricted", "priority", "seq", "link", "page_url"
+            )
+
+        # ---- per-source stats (single agg pass) ----
+        stats_rows = (
+            processed.groupBy("source_id")
+            .agg(
+                F.sum(F.when(F.col("category") == CAT_FETCH_OK, 1).otherwise(0)).alias("pages"),
+                F.sum(F.when(F.col("category") == CAT_SKIP, 1).otherwise(0)).alias("skipped"),
+                F.sum(F.when(F.col("category") == CAT_DUP, 1).otherwise(0)).alias("duplicates"),
+                F.sum(F.when(F.col("category") == CAT_FETCH_ERR, 1).otherwise(0)).alias("errors"),
+            )
+            .collect()
+        )
+        stats = {
+            r["source_id"]: dict(
+                pages=int(r["pages"]),
+                skipped=int(r["skipped"]),
+                duplicates=int(r["duplicates"]),
+                errors=int(r["errors"]),
+                links=0,
+            )
+            for r in stats_rows
+        }
+
+        # ---- effects ----
+        attempted = processed.filter(F.col("category").isin(CAT_FETCH_OK, CAT_FETCH_ERR))
+        new_visited = attempted.select("source_id", "norm_url").dropDuplicates()
+
+        w_fetch = Window.partitionBy("source_id").orderBy("seq")
+        fetched = (
+            processed.filter(F.col("category") == CAT_FETCH_OK)
+            .withColumn("_fidx", F.row_number().over(w_fetch) - 1)
+            .withColumn("fetch_seq", F.col("_pages_before") + F.col("_fidx"))
+        )
+        new_pages = fetched.select(
+            "source_id",
+            F.lit(depth).alias("depth"),
+            "fetch_seq",
+            F.col("url_link").alias("url"),
+        )
+
+        # ---- next frontier: extracted links + skipped-link resurrection ----
+        # each skipped row attaches to the NEXT attempted row (web.go:1864:
+        # pageCache.Links += skippedURLs on success; cleared on error).
+        w_next = (
+            Window.partitionBy("source_id")
+            .orderBy("seq")
+            .rowsBetween(1, Window.unboundedFollowing)
+        )
+        attempt_seq = F.when(
+            F.col("category").isin(CAT_FETCH_OK, CAT_FETCH_ERR), F.col("seq")
+        )
+        lv2 = processed.withColumn("_next_attempt", F.min(attempt_seq).over(w_next))
+
+        ok_rows = lv2.filter(F.col("category") == CAT_FETCH_OK).select(
+            "source_id",
+            "source_url",
+            "restricted",
+            "priority",
+            F.col("seq").alias("_attach"),
+            F.col("url_link").alias("_cur_url"),
+            F.col("_doc_links"),
+        )
+        extracted = ok_rows.select(
+            "source_id",
+            "source_url",
+            "restricted",
+            "priority",
+            "_attach",
+            F.lit(0).alias("_res"),
+            F.posexplode_outer("_doc_links").alias("_pos", "link"),
+            F.col("_cur_url").alias("page_url"),
+        ).filter(F.col("link").isNotNull())
+
+        ok_seqs = lv2.filter(F.col("category") == CAT_FETCH_OK).select(
+            F.col("source_id").alias("_ok_sid"), F.col("seq").alias("_ok_seq")
+        )
+        skips = lv2.filter(
+            (F.col("category") == CAT_SKIP) & F.col("_next_attempt").isNotNull()
+        )
+        resurrected = (
+            skips.join(
+                ok_seqs,
+                (skips["source_id"] == ok_seqs["_ok_sid"])
+                & (skips["_next_attempt"] == ok_seqs["_ok_seq"]),
+                "left_semi",
+            )
+            .select(
+                "source_id",
+                "source_url",
+                "restricted",
+                "priority",
+                F.col("_next_attempt").alias("_attach"),
+                F.lit(1).alias("_res"),
+                F.col("seq").alias("_pos"),
+                F.col("link"),
+                F.col("page_url"),
+            )
+        )
+
+        new_links = extracted.unionByName(resurrected)
+        w_order = Window.partitionBy("source_id").orderBy("_attach", "_res", "_pos")
+        new_links = new_links.withColumn("seq", F.row_number().over(w_order) - 1)
+
+        # MaxLinks prefix truncation AFTER the level (crawler.go:475-483):
+        # keep first (max_links - TotalPages_after) per source.
+        if cfg.max_links > 0:
+            pages_after = F.create_map(
+                *[
+                    x
+                    for sid, c in counters.items()
+                    for x in (
+                        F.lit(sid),
+                        F.lit(c["pages"] + stats.get(sid, {}).get("pages", 0)),
+                    )
+                ]
+            )
+            budget_col = F.lit(cfg.max_links) - F.coalesce(
+                pages_after[F.col("source_id")], F.lit(0)
+            )
+            new_links = new_links.filter(F.col("seq") < F.greatest(budget_col, F.lit(0)))
+
+        for r in new_links.groupBy("source_id").count().collect():
+            stats.setdefault(
+                r["source_id"], dict(pages=0, skipped=0, duplicates=0, errors=0, links=0)
+            )["links"] = int(r["count"])
+
+        new_frontier = new_links.select(
+            "source_id", "source_url", "restricted", "priority", "seq", "link", "page_url"
+        )
+        processed.unpersist()
+        return new_frontier, new_pages, new_visited, stats, deferred_df
+
+    # ------------------------------------------------------- checkpoint
+
+    def _ckpt(self, df: DataFrame, run_id: str, rnd: int, name: str) -> DataFrame:
+        """Snapshot state to parquet (cuts lineage; the resume point).
+
+        Production: Iceberg MERGE + snapshot id per round; locally a
+        parquet dir per (run, round, table) with identical semantics.
+        """
+        if not self.work_dir:
+            return df.localCheckpoint(eager=True)
+        path = f"{self.work_dir}/{run_id}/r{rnd:04d}/{name}"
+        df.write.mode("overwrite").parquet(path)
+        return self.spark.read.parquet(path)
+
+    def _write_lineage(self, lineage: list[dict[str, Any]], run_id: str) -> None:
+        path = f"{self.work_dir}/{run_id}/lineage.json"
+        import builtins
+
+        with builtins.open(path, "w") as f:
+            json.dump(lineage, f, indent=1)
