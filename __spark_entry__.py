@@ -1,10 +1,11 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry / queries / oracle_sql.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every implemented operator from SURVEY.md §2 (plus the training-data
+pipeline ops) gets a ``queries()`` entry; SQL-expressible ones also get
+an ``oracle_sql()`` entry the driver runs through DuckDB at sf=0.01.
+Crawl-shaped inputs are synthesized deterministically from the driver's
+tables inside BOTH the Spark query and the oracle SQL, so results are
+comparable bit-for-bit. Column names/aliases match on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +13,997 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from thecrowler_spark.functions import text as TX
+from thecrowler_spark.functions import urls as U
+from thecrowler_spark.operators import dedup as DD
+from thecrowler_spark.operators import multimodal as MM
+from thecrowler_spark.operators import search as SE
+from thecrowler_spark.operators import similarity as SIM
+from thecrowler_spark.operators import timeseries as TS
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+_SW_SQL = ", ".join(f"'{w}'" for w in TX.STOPWORDS_EN)
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    out = {}
+    for n in names:
+        df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        df.createOrReplaceTempView(n)
+        out[n] = df
+    return out
+
+
+# ------------------------------------------------------------------ helpers
+# Synthetic URL universe from orders — identical SQL semantics both sides.
+
+_SPARK_URLS = """
+SELECT o_orderkey AS id,
+       concat('https://H', CAST(o_orderkey % 50 AS STRING), '.Example.com/Path/',
+              CAST(o_orderkey AS STRING),
+              CASE WHEN o_orderkey % 7 = 0 THEN '/' ELSE '' END,
+              CASE WHEN o_orderkey % 13 = 0 THEN '//' ELSE '' END) AS url
+FROM orders
+"""
+
+_DUCK_URLS = """
+SELECT o_orderkey AS id,
+       concat('https://H', CAST(o_orderkey % 50 AS VARCHAR), '.Example.com/Path/',
+              CAST(o_orderkey AS VARCHAR),
+              CASE WHEN o_orderkey % 7 = 0 THEN '/' ELSE '' END,
+              CASE WHEN o_orderkey % 13 = 0 THEN '//' ELSE '' END) AS url
+FROM orders
+"""
+
+_VALIDITY_CASES = [
+    "https://example.com/a",
+    "  http://example.com/b  ",
+    "HTTP://upper.example.com",
+    "ftp://files.example.com/f",
+    "ftps://files.example.com/",
+    "ws://sock.example.com",
+    "example.com/no-scheme",
+    "http://",
+    "",
+    "   ",
+    "ht tp://x.example.com",
+    "https://ok.example.com/path?q=1",
+]
+
+
+def _values_sql(quote: str = "'") -> str:
+    rows = ", ".join(f"({i}, {quote}{c}{quote})" for i, c in enumerate(_VALIDITY_CASES))
+    return f"(VALUES {rows}) AS t(id, url)"
+
+
+# ------------------------------------------------------------------ queries
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P3 + URLToHost: both normalizations and host extraction."""
+    _load(spark, sf_dir, "orders")
+    urls = spark.sql(_SPARK_URLS)
+    return urls.select(
+        "id",
+        "url",
+        U.normalize_url_seen("url").alias("norm_url"),
+        U.normalize_link("url").alias("fetch_url"),
+        U.url_to_host("url").alias("host"),
+        U.url_hostname("url").alias("hostname"),
+    )
+
+
+def q_url_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: IsValidURL over a fixed case list."""
+    df = spark.createDataFrame(list(enumerate(_VALIDITY_CASES)), "id int, url string")
+    return df.select("id", "url", U.is_valid_url("url").alias("is_valid"))
+
+
+def q_url_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: relative-URL resolution."""
+    _load(spark, sf_dir, "orders")
+    base = spark.sql(_SPARK_URLS).select(
+        "id",
+        F.col("url").alias("base_url"),
+        F.when(F.col("id") % 3 == 0, F.concat(F.lit("/page/"), (F.col("id") % 97).cast("string")))
+        .when(F.col("id") % 3 == 1, F.concat(F.lit("https://abs.example.org/x"), (F.col("id") % 11).cast("string")))
+        .otherwise(F.lit("relative/not-root"))
+        .alias("link"),
+    )
+    return base.select("id", "base_url", "link", U.combine_urls("base_url", "link").alias("resolved"))
+
+
+def q_url_external(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: restriction levels 0-4 over synthesized source/link pairs."""
+    _load(spark, sf_dir, "orders")
+    df = spark.sql(
+        """
+        SELECT o_orderkey AS id,
+               concat('https://www.site', CAST(o_orderkey % 20 AS STRING), '.example.com/home') AS source_url,
+               CASE o_orderkey % 4
+                 WHEN 0 THEN concat('https://www.site', CAST(o_orderkey % 20 AS STRING), '.example.com/home/sub')
+                 WHEN 1 THEN concat('https://blog.site', CAST(o_orderkey % 20 AS STRING), '.example.com/post')
+                 WHEN 2 THEN concat('https://other', CAST(o_orderkey % 5 AS STRING), '.example.org/x')
+                 ELSE '/relative/path'
+               END AS link_url,
+               CAST(o_orderkey % 5 AS INT) AS lvl
+        FROM orders
+        """
+    )
+    return df.select(
+        "id", "source_url", "link_url", "lvl",
+        U.is_external_link("source_url", "link_url", "lvl").alias("is_external"),
+    )
+
+
+def q_frontier_claim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: eligible-filter → FIFO order → limit claim."""
+    _load(spark, sf_dir, "orders")
+    seeds = spark.sql(
+        """
+        SELECT o_orderkey AS source_id,
+               concat('https://h', CAST(o_orderkey % 50 AS STRING), '.example.com/p0') AS url,
+               CASE WHEN o_orderpriority LIKE '1%' THEN 'high'
+                    WHEN o_orderpriority LIKE '2%' THEN 'medium' ELSE 'low' END AS priority,
+               CASE o_orderstatus WHEN 'O' THEN 'new' WHEN 'F' THEN 'completed' ELSE 'processing' END AS status,
+               o_orderdate AS created_at
+        FROM orders
+        """
+    )
+    return (
+        seeds.filter(F.col("status").isin("new", "pending", "completed", "error"))
+        .filter(F.col("priority").isin("high", "medium"))
+        .orderBy("created_at", "source_id")
+        .limit(100)
+    )
+
+
+def q_politeness_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host window-rank budget (core politeness operator, SURVEY §2.5)."""
+    _load(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT host, url, fetch_rank FROM (
+          SELECT concat('h', CAST(l_suppkey % 20 AS STRING), '.example.com') AS host,
+                 concat('https://h', CAST(l_suppkey % 20 AS STRING), '.example.com/o',
+                        CAST(l_orderkey AS STRING), '/', CAST(l_linenumber AS STRING)) AS url,
+                 ROW_NUMBER() OVER (PARTITION BY l_suppkey % 20 ORDER BY l_orderkey, l_linenumber) AS fetch_rank
+          FROM lineitem
+        ) WHERE fetch_rank <= 5
+        """
+    )
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 longest-prefix robots decision per URL."""
+    _load(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        WITH urls AS (
+          SELECT o_orderkey AS id,
+                 concat('https://h', CAST(o_orderkey % 10 AS STRING), '.example.com') AS host_url,
+                 concat('h', CAST(o_orderkey % 10 AS STRING), '.example.com') AS host,
+                 CASE o_orderkey % 4
+                   WHEN 0 THEN concat('/public/a', CAST(o_orderkey % 7 AS STRING))
+                   WHEN 1 THEN concat('/private/s', CAST(o_orderkey % 7 AS STRING))
+                   WHEN 2 THEN '/private/s0'
+                   ELSE '/' END AS path
+          FROM orders
+        ),
+        rules AS (
+          SELECT concat('h', CAST(h AS STRING), '.example.com') AS host, rule_type, path_prefix
+          FROM (SELECT explode(sequence(0, 9)) AS h)
+          LATERAL VIEW inline(array(
+             named_struct('rule_type','disallow','path_prefix','/private'),
+             named_struct('rule_type','allow','path_prefix','/private/s0')
+          )) t AS rule_type, path_prefix
+        ),
+        matched AS (
+          SELECT u.id, u.host, u.path, r.rule_type, length(r.path_prefix) AS plen,
+                 ROW_NUMBER() OVER (PARTITION BY u.id ORDER BY length(r.path_prefix) DESC, r.rule_type ASC) AS rn
+          FROM urls u LEFT JOIN rules r
+            ON u.host = r.host AND u.path LIKE concat(r.path_prefix, '%')
+        )
+        SELECT id, host, path,
+               COALESCE(rule_type = 'disallow', false) AS blocked
+        FROM matched WHERE rn = 1
+        """
+    )
+
+
+def q_url_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2: candidates ∖ seen (left_anti on the normalized key)."""
+    _load(spark, sf_dir, "orders")
+    urls = spark.sql(_SPARK_URLS).withColumn("norm_url", U.normalize_url_seen("url"))
+    seen = urls.filter(F.col("id") % 3 == 0).select("norm_url").distinct()
+    cand = urls.filter(F.col("id") % 2 == 0)
+    return cand.join(seen, "norm_url", "left_anti").select("id", "norm_url")
+
+
+def q_frontier_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-level first-occurrence dedup (sequential visited semantics)."""
+    _load(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT norm_url, l_orderkey AS kept_order, l_linenumber AS kept_line FROM (
+          SELECT lower(concat('https://h', CAST(l_partkey % 100 AS STRING), '.example.com/p',
+                 CAST(l_partkey AS STRING))) AS norm_url,
+                 l_orderkey, l_linenumber,
+                 ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY l_orderkey, l_linenumber) AS occ
+          FROM lineitem
+        ) WHERE occ = 1
+        """
+    )
+
+
+def q_content_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10: extension-map content typing."""
+    _load(spark, sf_dir, "part")
+    refs = spark.sql(
+        """
+        SELECT p_partkey AS id,
+               concat('https://cdn.example.com/f', CAST(p_partkey AS STRING), '.',
+                      element_at(array('png','jpg','gif','mp3','mp4','pdf','zip','xyz'),
+                                 CAST(p_partkey % 8 AS INT) + 1)) AS media_ref
+        FROM part
+        """
+    )
+    return refs.select("id", "media_ref", MM.media_type_expr(F.col("media_ref")).alias("media_type"))
+
+
+def q_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2: global keyword dictionary with counts, top 100."""
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    kw = docs.select(F.explode(TX.keywords_array(F.lower(F.col("text")))).alias("keyword"))
+    return (
+        kw.groupBy("keyword")
+        .agg(F.count("*").alias("occurrences"))
+        .orderBy(F.desc("occurrences"), F.asc("keyword"))
+        .limit(100)
+    )
+
+
+def q_keyword_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: per-(doc, keyword) occurrence counts (subset of docs)."""
+    docs = _load(spark, sf_dir, "documents")["documents"].filter(F.col("doc_id") % 50 == 0)
+    kw = docs.select("doc_id", F.explode(TX.keywords_array(F.lower(F.col("text")))).alias("keyword"))
+    return kw.groupBy("doc_id", "keyword").agg(F.count("*").alias("occurrences"))
+
+
+def q_crawl_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: status-counter aggregation shape over the events table."""
+    _load(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        SELECT user_id % 100 AS run_id,
+               count(*) AS total_events,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS total_clicks,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS total_errors,
+               round(sum(value), 4) AS total_value
+        FROM events GROUP BY user_id % 100
+        """
+    )
+
+
+def q_timeseries_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: tumbling buckets with exact percentiles + first/last edges."""
+    ev = _load(spark, sf_dir, "events")["events"]
+    return TS.bucket_aggregates(ev, bucket="1 hour")
+
+
+def q_search_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: SearchIndex-star-shaped left joins + DISTINCT + filter."""
+    _load(spark, sf_dir, "orders", "customer", "nation")
+    return spark.sql(
+        """
+        SELECT DISTINCT o.o_orderkey AS orderkey, c.c_name AS cust_name, n.n_name AS nation_name
+        FROM orders o
+        LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_mktsegment = 'BUILDING' AND o.o_totalprice > 100000
+        """
+    )
+
+
+def q_search_dorking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dorking query language compiled to a Catalyst predicate."""
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    pages = docs.select(
+        F.col("doc_id"),
+        F.lit("").alias("title"),
+        F.lit("").alias("summary"),
+        F.col("text").alias("body_text"),
+        F.col("lang").alias("detected_lang"),
+    )
+    hits = pages.filter(SE.compile_search('data & "model" | lang:en training'))
+    return hits.select("doc_id", "detected_lang")
+
+
+def q_correlation_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: UNION-distinct of probes joined back to a dimension."""
+    _load(spark, sf_dir, "events", "customer")
+    return spark.sql(
+        """
+        WITH probes AS (
+          SELECT user_id FROM events WHERE event_type = 'purchase'
+          UNION
+          SELECT user_id FROM events WHERE event_type = 'click' AND value > 90
+        )
+        SELECT c.c_custkey AS custkey, c.c_name AS cust_name
+        FROM probes p JOIN customer c ON c.c_custkey = p.user_id
+        """
+    )
+
+
+def q_attr_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: ObjectAttributes-style self equi-join on a value key."""
+    _load(spark, sf_dir, "part")
+    return spark.sql(
+        """
+        SELECT a.p_brand AS brand, count(*) AS correlated_pairs
+        FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        GROUP BY a.p_brand
+        """
+    )
+
+
+def q_upsert_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: keep-old-if-blank MERGE semantics (COALESCE(NULLIF(TRIM(new),''),old))."""
+    _load(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey AS id,
+               COALESCE(NULLIF(TRIM(CASE WHEN o_orderkey % 3 = 0 THEN '  ' ELSE upper(o_orderpriority) END), ''),
+                        o_orderpriority) AS merged_value
+        FROM orders
+        """
+    )
+
+
+def q_webobjects_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: content-hash dedup groups (sha256)."""
+    _load(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT sha2(o_orderpriority, 256) AS object_hash,
+               count(*) AS n_objects, min(o_orderkey) AS keep_id
+        FROM orders GROUP BY sha2(o_orderpriority, 256)
+        """
+    )
+
+
+def q_events_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4/O5: recency ordering + limit/offset."""
+    _load(spark, sf_dir, "events")
+    return spark.sql(
+        "SELECT event_id, event_type, ts FROM events ORDER BY ts DESC, event_id DESC LIMIT 20 OFFSET 5"
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-prefix fingerprint."""
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    key = F.md5(F.substring(TX.normalize_text("text"), 1, 40))
+    return (
+        docs.withColumn("content_key", key)
+        .groupBy("content_key")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dupes"))
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs (candidate-join, bounded subset)."""
+    docs = (
+        _load(spark, sf_dir, "documents")["documents"]
+        .filter(F.col("doc_id") < 200)
+        .filter(F.size(TX.tokens(F.col("text"))) >= 3)
+    )
+    return DD.ngram_jaccard_pairs(docs, text_col="text", id_col="doc_id", k=3, threshold=0.2)
+
+
+def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (md5 permutations — portable)."""
+    docs = (
+        _load(spark, sf_dir, "documents")["documents"]
+        .filter(F.col("doc_id") < 100)
+        .filter(F.size(TX.tokens(F.col("text"))) >= 3)
+    )
+    return DD.minhash_signatures(docs, text_col="text", id_col="doc_id", n_hashes=8, k=3)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH banding candidates."""
+    docs = (
+        _load(spark, sf_dir, "documents")["documents"]
+        .filter(F.col("doc_id") < 300)
+        .filter(F.size(TX.tokens(F.col("text"))) >= 3)
+    )
+    return DD.minhash_lsh_candidates(docs, text_col="text", id_col="doc_id", n_hashes=8, bands=4, k=3)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups (pandas-UDF bit votes; rows-only check)."""
+    docs = _load(spark, sf_dir, "documents")["documents"].filter(F.col("doc_id") < 300)
+    return DD.simhash_near_dups(docs, text_col="text", id_col="doc_id", max_hamming=10)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs."""
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"].filter(F.col("vec_id") < 300)
+    emb = emb.withColumn("embedding", F.transform(F.col("embedding"), lambda x: x.cast("double")))
+    return DD.embedding_near_dups(emb, threshold=0.8)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (exact ANN baseline)."""
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
+    emb = emb.withColumn("embedding", F.transform(F.col("embedding"), lambda x: x.cast("double")))
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    return SIM.cosine_topk(corpus, queries, k=5)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (scale path; rows-only check, recall tested in pytest)."""
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
+    emb = emb.withColumn("embedding", F.transform(F.col("embedding"), lambda x: x.cast("double")))
+    dim = len(emb.select("embedding").first()[0])
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    return SIM.lsh_bucketed_ann(corpus, queries, dim=dim, k=5, bits=4)
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (marker-token votes)."""
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return docs.select("doc_id", TX.detect_lang_expr(F.col("text")).alias("lang_pred"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/alpha/stopword-ratio blend."""
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting."""
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return docs.select("doc_id", TX.token_count(F.col("text")).alias("n_tokens"))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint (md5 of normalized text)."""
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return docs.select("doc_id", TX.fingerprint_md5(F.col("text")).alias("fingerprint"))
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media plumbing: payload synth + mapInPandas decode stub."""
+    _load(spark, sf_dir, "part")
+    refs = spark.sql(
+        """
+        SELECT concat('https://cdn.example.com/m', CAST(p_partkey AS STRING), '.',
+                      element_at(array('png','jpg','mp3','mp4','pdf'), CAST(p_partkey % 5 AS INT) + 1)) AS media_ref
+        FROM part WHERE p_partkey < 500
+        """
+    )
+    decoded = MM.decode_media(MM.attach_payloads(refs))
+    return decoded.select("media_ref", "media_type", "n_bytes", "payload_sha256")
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine sanity: TPC-H Q1-shaped aggregation."""
+    _load(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice), 4) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               round(avg(l_quantity), 6) AS avg_qty,
+               count(*) AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed event counts (same transform runs on readStream; batch
+    here — streaming equivalence is tested in tests/test_streaming.py)."""
+    from thecrowler_spark.streaming.events import windowed_event_counts
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    return windowed_event_counts(ev)
+
+
+def q_crawl_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end crawl on the synthetic closed-world corpus (rows-only
+    check here; full ordering/seen-set parity vs the transcribed oracle
+    is in tests/test_crawl_parity.py)."""
+    from thecrowler_spark.operators.frontier import CrawlConfig, CrawlEngine
+    from thecrowler_spark.sources.corpus import CorpusSpec, corpus_to_spark, small_corpus
+
+    corpus = small_corpus(CorpusSpec(n_hosts=2, pages_per_host=8))
+    dfs = corpus_to_spark(spark, corpus)
+    eng = CrawlEngine(spark, dfs["documents"], cfg=CrawlConfig(max_depth=2, max_rounds=6))
+    return eng.run(dfs["seeds"]).crawl_order
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "url_normalize": q_url_normalize,
+        "url_validity": q_url_validity,
+        "url_combine": q_url_combine,
+        "url_external": q_url_external,
+        "frontier_claim": q_frontier_claim,
+        "politeness_budget": q_politeness_budget,
+        "robots_filter": q_robots_filter,
+        "url_seen_antijoin": q_url_seen_antijoin,
+        "frontier_dedup_first": q_frontier_dedup_first,
+        "content_type": q_content_type,
+        "keyword_topk": q_keyword_topk,
+        "keyword_per_doc": q_keyword_per_doc,
+        "crawl_counters": q_crawl_counters,
+        "timeseries_buckets": q_timeseries_buckets,
+        "search_star": q_search_star,
+        "search_dorking": q_search_dorking,
+        "correlation_union": q_correlation_union,
+        "attr_selfjoin": q_attr_selfjoin,
+        "upsert_coalesce": q_upsert_coalesce,
+        "webobjects_dedup": q_webobjects_dedup,
+        "events_recent": q_events_recent,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_sig": q_dedup_minhash_sig,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh": q_ann_lsh,
+        "text_langid": q_text_langid,
+        "text_quality": q_text_quality,
+        "text_tokens": q_text_tokens,
+        "text_fingerprint": q_text_fingerprint,
+        "multimodal_decode": q_multimodal_decode,
+        "pricing_summary": q_pricing_summary,
+        "streaming_window_counts": q_streaming_window_counts,
+        "crawl_bfs": q_crawl_bfs,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------- oracle SQL
+
+_KW_TOKENS = (
+    "unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+    f"x -> x <> '' AND length(x) >= 3 AND length(x) <= 45 AND x NOT IN ({_SW_SQL})))"
+)
+
+_MARKER = (
+    "len(list_filter(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''), "
+    "x -> x IN ({m})))"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    en = _MARKER.format(m="'the','and','of','to','is'")
+    es = _MARKER.format(m="'el','la','los','que','es'")
+    fr = _MARKER.format(m="'le','les','des','est','une'")
+    de = _MARKER.format(m="'der','die','und','ist','das'")
+    sw_filter = (
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+    )
+    return {
+        "url_normalize": f"""
+            WITH urls AS ({_DUCK_URLS})
+            SELECT id, url,
+                   lower(regexp_replace(trim(url), '/+$', '')) AS norm_url,
+                   regexp_replace(trim(url), '/+$', '') AS fetch_url,
+                   split_part(split_part(trim(url), '://', 2), '/', 1) AS host,
+                   split_part(split_part(split_part(trim(url), '://', 2), '/', 1), ':', 1) AS hostname
+            FROM urls
+        """,
+        "url_validity": f"""
+            SELECT id, url,
+                   CASE WHEN trim(url) = '' THEN false
+                        WHEN regexp_matches(trim(url), '\\s') THEN false
+                        WHEN position('://' IN trim(url)) > 0 THEN
+                             (starts_with(trim(url), 'http://') OR starts_with(trim(url), 'https://')
+                              OR starts_with(trim(url), 'ftp://') OR starts_with(trim(url), 'ftps://'))
+                             AND NOT ends_with(trim(url), '://')
+                        ELSE true
+                   END AS is_valid
+            FROM {_values_sql()}
+        """,
+        "url_combine": f"""
+            WITH urls AS ({_DUCK_URLS}),
+            pairs AS (
+              SELECT id, url AS base_url,
+                     CASE WHEN id % 3 = 0 THEN concat('/page/', CAST(id % 97 AS VARCHAR))
+                          WHEN id % 3 = 1 THEN concat('https://abs.example.org/x', CAST(id % 11 AS VARCHAR))
+                          ELSE 'relative/not-root' END AS link
+              FROM urls)
+            SELECT id, base_url, link,
+                   CASE WHEN starts_with(link, '/')
+                        THEN concat(regexp_extract(trim(base_url), '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/]*)', 1), link)
+                        ELSE link END AS resolved
+            FROM pairs
+        """,
+        "url_external": """
+            WITH pairs AS (
+              SELECT o_orderkey AS id,
+                     concat('https://www.site', CAST(o_orderkey % 20 AS VARCHAR), '.example.com/home') AS source_url,
+                     CASE o_orderkey % 4
+                       WHEN 0 THEN concat('https://www.site', CAST(o_orderkey % 20 AS VARCHAR), '.example.com/home/sub')
+                       WHEN 1 THEN concat('https://blog.site', CAST(o_orderkey % 20 AS VARCHAR), '.example.com/post')
+                       WHEN 2 THEN concat('https://other', CAST(o_orderkey % 5 AS VARCHAR), '.example.org/x')
+                       ELSE '/relative/path'
+                     END AS link_url,
+                     CAST(o_orderkey % 5 AS INT) AS lvl
+              FROM orders
+            ),
+            hosts AS (
+              SELECT *,
+                 regexp_extract(source_url, '^(?:[^/]*://)?(?:[^/@]*@)?([^/:?#]*)', 1) AS shost,
+                 regexp_extract(link_url,  '^(?:[^/]*://)?(?:[^/@]*@)?([^/:?#]*)', 1) AS lhost
+              FROM pairs
+            )
+            SELECT id, source_url, link_url, lvl,
+                   CASE WHEN lvl = 4 THEN false
+                        WHEN starts_with(trim(link_url), '/') THEN false
+                        WHEN lvl = 0 THEN trim(source_url) <> trim(link_url)
+                        WHEN lvl = 1 THEN NOT starts_with(trim(link_url), trim(source_url))
+                        WHEN lvl = 2 THEN coalesce(nullif(regexp_extract(shost, '([^.]+\\.[^.]+)$', 1), ''), shost)
+                                       <> coalesce(nullif(regexp_extract(lhost, '([^.]+\\.[^.]+)$', 1), ''), lhost)
+                        ELSE coalesce(nullif(regexp_extract(shost, '([^.]+)$', 1), ''), shost)
+                          <> coalesce(nullif(regexp_extract(lhost, '([^.]+)$', 1), ''), lhost)
+                   END AS is_external
+            FROM hosts
+        """,
+        "frontier_claim": """
+            SELECT * FROM (
+              SELECT o_orderkey AS source_id,
+                     concat('https://h', CAST(o_orderkey % 50 AS VARCHAR), '.example.com/p0') AS url,
+                     CASE WHEN o_orderpriority LIKE '1%' THEN 'high'
+                          WHEN o_orderpriority LIKE '2%' THEN 'medium' ELSE 'low' END AS priority,
+                     CASE o_orderstatus WHEN 'O' THEN 'new' WHEN 'F' THEN 'completed' ELSE 'processing' END AS status,
+                     o_orderdate AS created_at
+              FROM orders)
+            WHERE status IN ('new','pending','completed','error') AND priority IN ('high','medium')
+            ORDER BY created_at, source_id LIMIT 100
+        """,
+        "politeness_budget": """
+            SELECT host, url, fetch_rank FROM (
+              SELECT concat('h', CAST(l_suppkey % 20 AS VARCHAR), '.example.com') AS host,
+                     concat('https://h', CAST(l_suppkey % 20 AS VARCHAR), '.example.com/o',
+                            CAST(l_orderkey AS VARCHAR), '/', CAST(l_linenumber AS VARCHAR)) AS url,
+                     ROW_NUMBER() OVER (PARTITION BY l_suppkey % 20 ORDER BY l_orderkey, l_linenumber) AS fetch_rank
+              FROM lineitem
+            ) WHERE fetch_rank <= 5
+        """,
+        "robots_filter": """
+            WITH urls AS (
+              SELECT o_orderkey AS id,
+                     concat('h', CAST(o_orderkey % 10 AS VARCHAR), '.example.com') AS host,
+                     CASE o_orderkey % 4
+                       WHEN 0 THEN concat('/public/a', CAST(o_orderkey % 7 AS VARCHAR))
+                       WHEN 1 THEN concat('/private/s', CAST(o_orderkey % 7 AS VARCHAR))
+                       WHEN 2 THEN '/private/s0'
+                       ELSE '/' END AS path
+              FROM orders
+            ),
+            rules AS (
+              SELECT concat('h', CAST(h AS VARCHAR), '.example.com') AS host, r.rule_type, r.path_prefix
+              FROM generate_series(0, 9) AS g(h),
+                   (VALUES ('disallow','/private'), ('allow','/private/s0')) AS r(rule_type, path_prefix)
+            ),
+            matched AS (
+              SELECT u.id, u.host, u.path, r.rule_type,
+                     ROW_NUMBER() OVER (PARTITION BY u.id ORDER BY length(r.path_prefix) DESC, r.rule_type ASC) AS rn
+              FROM urls u LEFT JOIN rules r
+                ON u.host = r.host AND starts_with(u.path, r.path_prefix)
+            )
+            SELECT id, host, path, COALESCE(rule_type = 'disallow', false) AS blocked
+            FROM matched WHERE rn = 1
+        """,
+        "url_seen_antijoin": f"""
+            WITH urls AS ({_DUCK_URLS}),
+            n AS (SELECT id, lower(regexp_replace(trim(url), '/+$', '')) AS norm_url FROM urls),
+            seen AS (SELECT DISTINCT norm_url FROM n WHERE id % 3 = 0)
+            SELECT id, norm_url FROM n
+            WHERE id % 2 = 0 AND norm_url NOT IN (SELECT norm_url FROM seen)
+        """,
+        "frontier_dedup_first": """
+            SELECT norm_url, l_orderkey AS kept_order, l_linenumber AS kept_line FROM (
+              SELECT lower(concat('https://h', CAST(l_partkey % 100 AS VARCHAR), '.example.com/p',
+                     CAST(l_partkey AS VARCHAR))) AS norm_url,
+                     l_orderkey, l_linenumber,
+                     ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY l_orderkey, l_linenumber) AS occ
+              FROM lineitem
+            ) WHERE occ = 1
+        """,
+        "content_type": """
+            WITH refs AS (
+              SELECT p_partkey AS id,
+                     concat('https://cdn.example.com/f', CAST(p_partkey AS VARCHAR), '.',
+                            (['png','jpg','gif','mp3','mp4','pdf','zip','xyz'])[CAST(p_partkey % 8 AS INT) + 1]) AS media_ref
+              FROM part)
+            SELECT id, media_ref,
+                   CASE lower(regexp_extract(media_ref, '\\.([a-z0-9]+)$', 1))
+                     WHEN 'png' THEN 'image/png' WHEN 'jpg' THEN 'image/jpeg' WHEN 'jpeg' THEN 'image/jpeg'
+                     WHEN 'gif' THEN 'image/gif' WHEN 'webp' THEN 'image/webp'
+                     WHEN 'mp3' THEN 'audio/mpeg' WHEN 'wav' THEN 'audio/wav'
+                     WHEN 'mp4' THEN 'video/mp4' WHEN 'webm' THEN 'video/webm'
+                     WHEN 'pdf' THEN 'application/pdf' WHEN 'zip' THEN 'application/zip'
+                     ELSE 'application/octet-stream' END AS media_type
+            FROM refs
+        """,
+        "keyword_topk": f"""
+            SELECT keyword, count(*) AS occurrences FROM (
+              SELECT {_KW_TOKENS} AS keyword FROM documents
+            ) GROUP BY keyword ORDER BY occurrences DESC, keyword ASC LIMIT 100
+        """,
+        "keyword_per_doc": f"""
+            SELECT doc_id, keyword, count(*) AS occurrences FROM (
+              SELECT doc_id, {_KW_TOKENS} AS keyword FROM documents WHERE doc_id % 50 = 0
+            ) GROUP BY doc_id, keyword
+        """,
+        "crawl_counters": """
+            SELECT user_id % 100 AS run_id,
+                   count(*) AS total_events,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS total_clicks,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS total_errors,
+                   round(sum(value), 4) AS total_value
+            FROM events GROUP BY user_id % 100
+        """,
+        "timeseries_buckets": """
+            WITH ranked AS (
+              SELECT event_type AS metric, date_trunc('hour', ts) AS bucket_start, value,
+                     ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts) ORDER BY ts, event_id) AS rn_a,
+                     ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts) ORDER BY ts DESC, event_id DESC) AS rn_d
+              FROM events
+            )
+            SELECT metric, bucket_start,
+                   count(*) AS value_count,
+                   round(sum(value), 4) AS value_sum,
+                   round(min(value), 4) AS value_min,
+                   round(max(value), 4) AS value_max,
+                   round(avg(value), 4) AS value_avg,
+                   round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS p50,
+                   round(CAST(quantile_cont(value, 0.9) AS DOUBLE), 4) AS p90,
+                   round(CAST(quantile_cont(value, 0.95) AS DOUBLE), 4) AS p95,
+                   round(CAST(quantile_cont(value, 0.99) AS DOUBLE), 4) AS p99,
+                   round(max(CASE WHEN rn_a = 1 THEN value END), 4) AS first_value,
+                   round(max(CASE WHEN rn_d = 1 THEN value END), 4) AS last_value,
+                   count(DISTINCT value) AS distinct_values
+            FROM ranked GROUP BY metric, bucket_start
+        """,
+        "search_star": """
+            SELECT DISTINCT o.o_orderkey AS orderkey, c.c_name AS cust_name, n.n_name AS nation_name
+            FROM orders o
+            LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE c.c_mktsegment = 'BUILDING' AND o.o_totalprice > 100000
+        """,
+        "search_dorking": """
+            SELECT doc_id, lang AS detected_lang FROM documents
+            WHERE (lower(text) LIKE '%data%' AND lower(text) LIKE '%model%')
+               OR (lower(lang) LIKE '%en%' AND lower(text) LIKE '%training%')
+        """,
+        "correlation_union": """
+            WITH probes AS (
+              SELECT user_id FROM events WHERE event_type = 'purchase'
+              UNION
+              SELECT user_id FROM events WHERE event_type = 'click' AND value > 90
+            )
+            SELECT c.c_custkey AS custkey, c.c_name AS cust_name
+            FROM probes p JOIN customer c ON c.c_custkey = p.user_id
+        """,
+        "attr_selfjoin": """
+            SELECT a.p_brand AS brand, count(*) AS correlated_pairs
+            FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+            GROUP BY a.p_brand
+        """,
+        "upsert_coalesce": """
+            SELECT o_orderkey AS id,
+                   COALESCE(NULLIF(TRIM(CASE WHEN o_orderkey % 3 = 0 THEN '  ' ELSE upper(o_orderpriority) END), ''),
+                            o_orderpriority) AS merged_value
+            FROM orders
+        """,
+        "webobjects_dedup": """
+            SELECT sha256(o_orderpriority) AS object_hash,
+                   count(*) AS n_objects, min(o_orderkey) AS keep_id
+            FROM orders GROUP BY sha256(o_orderpriority)
+        """,
+        "events_recent": """
+            SELECT event_id, event_type, ts FROM events ORDER BY ts DESC, event_id DESC LIMIT 20 OFFSET 5
+        """,
+        "dedup_exact": """
+            SELECT md5(substring(
+                     trim(regexp_replace(lower(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'),
+                          '[.,?!:;''"(){}<>\\-]', ' ', 'g')), '\\s+', ' ', 'g')), 1, 40)) AS content_key,
+                   min(doc_id) AS keep_id, count(*) AS n_dupes
+            FROM documents GROUP BY 1
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH sh AS (
+              SELECT id, unnest(list_distinct(
+                       list_transform(generate_series(1, len(l) - 2),
+                                      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS shingle
+              FROM (SELECT doc_id AS id, {sw_filter} AS l FROM documents WHERE doc_id < 200)
+              WHERE len(l) >= 3
+            ),
+            sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+            shared AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS s
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+              GROUP BY a.id, b.id
+            )
+            SELECT id_a, id_b, round(s * 1.0 / (sa.n + sb.n - s), 6) AS jaccard
+            FROM shared JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+            WHERE s * 1.0 / (sa.n + sb.n - s) >= 0.2
+        """,
+        "dedup_minhash_sig": f"""
+            WITH sh AS (
+              SELECT id, unnest(list_distinct(
+                       list_transform(generate_series(1, len(l) - 2),
+                                      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS shingle
+              FROM (SELECT doc_id AS id, {sw_filter} AS l FROM documents WHERE doc_id < 100)
+              WHERE len(l) >= 3
+            )
+            SELECT id,
+                   min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
+                   min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3,
+                   min(md5('4:' || shingle)) AS mh4, min(md5('5:' || shingle)) AS mh5,
+                   min(md5('6:' || shingle)) AS mh6, min(md5('7:' || shingle)) AS mh7
+            FROM sh GROUP BY id
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH sh AS (
+              SELECT id, unnest(list_distinct(
+                       list_transform(generate_series(1, len(l) - 2),
+                                      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS shingle
+              FROM (SELECT doc_id AS id, {sw_filter} AS l FROM documents WHERE doc_id < 300)
+              WHERE len(l) >= 3
+            ),
+            sig AS (
+              SELECT id,
+                     min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
+                     min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3,
+                     min(md5('4:' || shingle)) AS mh4, min(md5('5:' || shingle)) AS mh5,
+                     min(md5('6:' || shingle)) AS mh6, min(md5('7:' || shingle)) AS mh7
+              FROM sh GROUP BY id
+            ),
+            banded AS (
+              SELECT id, 0 AS band_idx, md5(mh0 || '|' || mh1) AS band_key FROM sig
+              UNION ALL SELECT id, 1, md5(mh2 || '|' || mh3) FROM sig
+              UNION ALL SELECT id, 2, md5(mh4 || '|' || mh5) FROM sig
+              UNION ALL SELECT id, 3, md5(mh6 || '|' || mh7) FROM sig
+            )
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id
+        """,
+        "embedding_neardup": """
+            WITH e AS (
+              SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 300
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM e a JOIN e b ON a.id < b.id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.8
+        """,
+        "ann_cosine_topk": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+            c AS (SELECT vec_id AS corpus_id, v AS cv FROM e WHERE vec_id >= 5),
+            scored AS (
+              SELECT q.query_id, c.corpus_id,
+                     round(list_cosine_similarity(c.cv, q.qv), 6) AS cosine
+              FROM c CROSS JOIN q
+            )
+            SELECT query_id, corpus_id, cosine,
+                   CAST(rank AS INT) AS rank FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+        "text_langid": f"""
+            SELECT doc_id,
+                   CASE WHEN {en} >= {es} AND {en} >= {fr} AND {en} >= {de} AND {en} > 0 THEN 'en'
+                        WHEN {es} >= {fr} AND {es} >= {de} AND {es} > 0 THEN 'es'
+                        WHEN {fr} >= {de} AND {fr} > 0 THEN 'fr'
+                        WHEN {de} > 0 THEN 'de'
+                        ELSE 'unknown' END AS lang_pred
+            FROM documents
+        """,
+        "text_quality": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     CAST(length(text) AS DOUBLE) AS n_chars,
+                     CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE) AS n_alpha,
+                     CAST(len({sw_filter}) AS DOUBLE) AS n_tok,
+                     CAST(len(list_filter({sw_filter}, x -> x IN ({_SW_SQL}))) AS DOUBLE) AS n_sw
+              FROM documents
+            )
+            SELECT doc_id,
+                   round((least(n_chars / 500.0, 1.0)
+                          + CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END
+                          + least(CASE WHEN n_tok > 0 THEN n_sw / n_tok ELSE 0.0 END * 4.0, 1.0)) / 3.0, 6) AS quality
+            FROM s
+        """,
+        "text_tokens": f"""
+            SELECT doc_id, CAST(len({sw_filter}) AS INT) AS n_tokens FROM documents
+        """,
+        "text_fingerprint": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'),
+                        '[.,?!:;''"(){}<>\\-]', ' ', 'g')), '\\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        "multimodal_decode": """
+            WITH refs AS (
+              SELECT concat('https://cdn.example.com/m', CAST(p_partkey AS VARCHAR), '.',
+                            (['png','jpg','mp3','mp4','pdf'])[CAST(p_partkey % 5 AS INT) + 1]) AS media_ref
+              FROM part WHERE p_partkey < 500
+            ),
+            payload AS (
+              SELECT media_ref,
+                     repeat(media_ref, (ascii(substring(md5(media_ref), 1, 1)) % 8) + 1) AS p
+              FROM refs
+            )
+            SELECT media_ref,
+                   CASE lower(regexp_extract(media_ref, '\\.([a-z0-9]+)$', 1))
+                     WHEN 'png' THEN 'image/png' WHEN 'jpg' THEN 'image/jpeg'
+                     WHEN 'mp3' THEN 'audio/mpeg' WHEN 'mp4' THEN 'video/mp4'
+                     WHEN 'pdf' THEN 'application/pdf'
+                     ELSE 'application/octet-stream' END AS media_type,
+                   CAST(length(p) AS BIGINT) AS n_bytes,
+                   sha256(p) AS payload_sha256
+            FROM payload
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "streaming_window_counts": """
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   count(*) AS n_events, round(sum(value), 4) AS value_sum
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        # dedup_simhash, ann_lsh, crawl_bfs: non-SQL-expressible
+        # (pandas-UDF bit votes / LSH recall / iterative BFS) → rows-only.
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: training-data curation pass over sf0.001 documents —
+    quality + language + fingerprint + exact-dup marking in one plan."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    enriched = docs.select(
+        "doc_id",
+        TX.detect_lang_expr(F.col("text")).alias("lang_pred"),
+        TX.quality_score(F.col("text")).alias("quality"),
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.fingerprint_md5(F.col("text")).alias("fingerprint"),
+    )
+    dups = enriched.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dupes")
+    )
+    return (
+        enriched.join(dups, "fingerprint")
+        .withColumn("is_canonical", F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "lang_pred", "quality", "n_tokens", "fingerprint", "is_canonical")
+    )

@@ -1,0 +1,102 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`cosine_topk` — brute-force exact top-k (correctness baseline;
+  one broadcast join of queries × corpus, JVM ``zip_with``/``aggregate``
+  dot products, window top-k).
+- :func:`lsh_bucketed_ann` — random-hyperplane LSH buckets: sign-bit
+  signature from hash-derived ±1 hyperplanes (deterministic, no RNG
+  state), candidates = bucket equi-join, exact re-rank within bucket.
+  The 100 TB path: buckets shard the corpus so each query only scans
+  ~n/2^bits vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(v):
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast the (small) query set over the
+    corpus, deterministic tie-break on corpus id."""
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"), _norm(F.col(vec_col)).alias("cn")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"), _norm(F.col(vec_col)).alias("qn")
+    )
+    scored = c.join(F.broadcast(q)).withColumn(
+        "cosine", F.round(_dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
+def hyperplane_signature(vec, dim: int, bits: int = 8):
+    """Sign-bit LSH signature: bit j = sign(dot(v, h_j)) with
+    h_j[d] = ±1 derived from xxhash64(j, d) — deterministic, seed-free,
+    computable as one JVM expression."""
+    sig = F.lit(0)
+    for j in range(bits):
+        comps = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: (F.pmod(F.xxhash64(F.lit(j), d), F.lit(2)) * 2 - 1).cast("double"),
+        )
+        dot = F.aggregate(F.zip_with(vec, comps, lambda x, h: x * h), F.lit(0.0), lambda a, x: a + x)
+        sig = sig + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_bucketed_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: exact cosine re-rank inside the query's LSH
+    bucket only. Recall < 1 by design; measured against cosine_topk in
+    tests."""
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+        hyperplane_signature(F.col(vec_col), dim, bits).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+        hyperplane_signature(F.col(vec_col), dim, bits).alias("bucket"),
+    )
+    scored = c.join(F.broadcast(q), "bucket").withColumn(
+        "cosine", F.round(_dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )

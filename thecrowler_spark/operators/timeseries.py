@@ -1,0 +1,67 @@
+"""Time-series bucket aggregation (A4).
+
+Reference: RunTimeSeriesAggregation
+(/root/reference/pkg/database/time_series_aggregation.go:81-334) —
+tumbling buckets per metric with count/sum/min/max/avg, exact
+percentiles (nearest-rank :334-349 / continuous), first/last edge
+values and change counts
+(columns: /root/reference/pkg/database/postgresql-setup.pgsql:2229-2283).
+
+Spark rendering: ``groupBy(metric, window(ts, bucket))`` — partial
+aggregation map-side for free; exact ``percentile`` (not approx) to
+match the reference's exactness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bucket_aggregates(
+    events: DataFrame,
+    ts_col: str = "ts",
+    metric_col: str = "event_type",
+    value_col: str = "value",
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Tumbling-bucket aggregate table, one row per (metric, bucket)."""
+    w = F.window(F.col(ts_col), bucket)
+    return (
+        events.groupBy(F.col(metric_col).alias("metric"), w.alias("w"))
+        .agg(
+            F.count("*").alias("value_count"),
+            F.round(F.sum(value_col), 4).alias("value_sum"),
+            F.round(F.min(value_col), 4).alias("value_min"),
+            F.round(F.max(value_col), 4).alias("value_max"),
+            F.round(F.avg(value_col), 4).alias("value_avg"),
+            F.round(F.percentile(value_col, 0.5), 4).alias("p50"),
+            F.round(F.percentile(value_col, 0.9), 4).alias("p90"),
+            F.round(F.percentile(value_col, 0.95), 4).alias("p95"),
+            F.round(F.percentile(value_col, 0.99), 4).alias("p99"),
+            # deterministic first/last: tie-break timestamps on event_id
+            F.round(
+                F.min_by(value_col, F.struct(ts_col, "event_id")), 4
+            ).alias("first_value"),
+            F.round(
+                F.max_by(value_col, F.struct(ts_col, "event_id")), 4
+            ).alias("last_value"),
+            F.count_distinct(F.col(value_col)).alias("distinct_values"),
+        )
+        .select(
+            "metric",
+            F.col("w.start").alias("bucket_start"),
+            "value_count",
+            "value_sum",
+            "value_min",
+            "value_max",
+            "value_avg",
+            "p50",
+            "p90",
+            "p95",
+            "p99",
+            "first_value",
+            "last_value",
+            "distinct_values",
+        )
+    )
