@@ -264,3 +264,62 @@ def crawl_all(
         merged.visited |= r.visited
         merged.counters.update(r.counters)
     return merged
+
+
+# --------------------------------------------------------------- span parse
+# Independent transcription of the page-info derivation over spans
+# (title/summary/body fallbacks web.go:3208-3311; keywords keywords.go).
+
+def o_body_text(spans: list[dict]) -> str:
+    parts = [s["text"] for s in sorted(spans, key=lambda x: x["offset"]) if s["kind"] in ("text", "link")]
+    return re.sub(r"\s+", " ", " ".join(parts)).strip()
+
+
+def o_meta_content(spans: list[dict], name: str) -> str:
+    for s in sorted(spans, key=lambda x: x["offset"]):
+        if s["kind"] == "meta" and s["text"].startswith(name + " "):
+            return s["text"][len(name) + 1 :]
+    return ""
+
+
+def o_summary(spans: list[dict]) -> str:
+    for name in ("description", "og:description", "twitter:description"):
+        v = o_meta_content(spans, name).strip()
+        if v:
+            return v
+    return o_body_text(spans)[:200]
+
+
+def o_title(spans: list[dict]) -> str:
+    for s in sorted(spans, key=lambda x: x["offset"]):
+        if s["kind"] == "title" and s["text"].strip():
+            return s["text"].strip()
+    for s in sorted(spans, key=lambda x: x["offset"]):
+        if s["kind"] == "text" and s["text"].strip():
+            return s["text"].strip()
+    return o_summary(spans)[:255]
+
+
+def o_normalize_text(text: str) -> str:
+    text = re.sub(r"<[^>]*>", " ", text)
+    text = re.sub(r"""[.,?!:;'"(){}<>\-]""", " ", text)
+    text = text.lower()
+    return re.sub(r"\s+", " ", text).strip()
+
+
+def o_keywords(spans: list[dict], stopwords: set[str]) -> list[str]:
+    def kw(content: str) -> list[str]:
+        toks = [w for w in re.split(r"[^a-z0-9]+", content.lower()) if w]
+        return [w for w in toks if 3 <= len(w) <= 45 and w not in stopwords]
+
+    all_kw = (
+        kw(o_normalize_text(o_body_text(spans)))
+        + kw(o_meta_content(spans, "keywords"))
+        + kw(o_meta_content(spans, "description"))
+    )
+    seen, uniq = set(), []
+    for w in all_kw:
+        if w not in seen:
+            seen.add(w)
+            uniq.append(w)
+    return sorted(uniq)

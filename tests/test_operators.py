@@ -1,0 +1,131 @@
+"""Operator-level invariants: politeness two-phase equivalence, robots
+filter equivalence, MinHash-LSH recall vs exact Jaccard, SimHash sanity,
+ANN-LSH recall vs brute force, streaming-vs-batch equivalence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from thecrowler_spark.operators import dedup as DD
+from thecrowler_spark.operators import similarity as SIM
+from thecrowler_spark.operators.politeness import enforce_host_budget
+from thecrowler_spark.operators.robots import disallow_prefix_filter
+
+SF = "/root/testdata/sf0.001"
+
+
+def _links(spark, n=5000, hosts=7):
+    return spark.range(n).select(
+        F.concat(F.lit("h"), (F.col("id") % hosts).cast("string"), F.lit(".example.com")).alias("host"),
+        F.concat(F.lit("https://h"), (F.col("id") % hosts).cast("string"), F.lit(".example.com/p"), F.col("id").cast("string")).alias("url_link"),
+        F.col("id").alias("seq"),
+        (F.col("id") % 3).cast("string").alias("priority"),
+    )
+
+
+def test_two_phase_budget_equals_single_window(spark):
+    links = _links(spark)
+    budgets = spark.createDataFrame(
+        [(f"h{h}.example.com", 10 + h) for h in range(7)],
+        "host string, max_fetches_per_round int",
+    )
+    one = enforce_host_budget(links, budgets, order_cols=("priority", "seq"), two_phase=False)
+    two = enforce_host_budget(links, budgets, order_cols=("priority", "seq"), two_phase=True, salt_buckets=8)
+    a = {tuple(r) for r in one.select("host", "url_link", "fetch_rank").collect()}
+    b = {tuple(r) for r in two.select("host", "url_link", "fetch_rank").collect()}
+    assert a == b
+
+
+def test_robots_prefix_filter_matches_oracle(spark):
+    from tests import oracle as O
+
+    links = spark.createDataFrame(
+        [
+            ("h0.example.com", "https://h0.example.com/private/s1"),
+            ("h0.example.com", "https://h0.example.com/public/x"),
+            ("h0.example.com", "https://h0.example.com/privateer"),  # prefix, still blocked per RFC prefix match
+            ("h1.example.com", "https://h1.example.com/private/s1"),
+            ("h1.example.com", "https://h1.example.com"),
+        ],
+        "host string, url_link string",
+    )
+    robots_rows = [
+        {"host": "h0.example.com", "rule_type": "disallow", "path_prefix": "/private"},
+    ]
+    robots = spark.createDataFrame(
+        [(r["host"], r["rule_type"], r["path_prefix"]) for r in robots_rows],
+        "host string, rule_type string, path_prefix string",
+    )
+    got = {r["url_link"] for r in disallow_prefix_filter(links, robots).collect()}
+    want = {
+        r["url_link"]
+        for r in links.collect()
+        if not O.robots_blocked(robots_rows, r["url_link"])
+    }
+    assert got == want
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter(F.col("doc_id") < 200)
+    from thecrowler_spark.functions.text import tokens
+
+    docs = docs.filter(F.size(tokens(F.col("text"))) >= 3)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in DD.ngram_jaccard_pairs(docs, threshold=0.7).collect()
+    }
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_lsh_candidates(docs, n_hashes=16, bands=8).collect()
+    }
+    if exact:
+        recall = len(exact & cand) / len(exact)
+        assert recall >= 0.9, f"LSH recall {recall} over {len(exact)} true pairs"
+
+
+def test_simhash_identical_docs_zero_distance(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "a completely different document about spark shuffles and joins")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in DD.simhash_near_dups(df, max_hamming=64).collect()}
+    assert pairs[(1, 2)] == 0
+    assert pairs.get((1, 3), 64) > 10
+
+
+def test_ann_lsh_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    dim = len(emb.select("embedding").first()[0])
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
+    exact = SIM.cosine_topk(corpus, queries, k=5)
+    approx = SIM.lsh_bucketed_ann(corpus, queries, dim=dim, k=5, bits=4)
+    e = {(r["query_id"], r["corpus_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["corpus_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"ANN recall {recall}"  # 16 buckets on random data
+
+
+def test_streaming_equals_batch(spark, tmp_path):
+    from thecrowler_spark.streaming.events import stream_events_from_parquet, windowed_event_counts
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    batch = {tuple(r) for r in windowed_event_counts(ev).collect()}
+
+    stream = stream_events_from_parquet(spark, f"{SF}/events.parquet", ev.schema)
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    got = {tuple(r) for r in spark.table("win_counts").collect()}
+    q.stop()
+    assert got == batch

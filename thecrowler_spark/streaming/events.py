@@ -28,7 +28,9 @@ def windowed_event_counts(
     On a streaming input the watermark bounds state (event TTL analog,
     pgsql:877); on a batch input the watermark is a no-op.
     """
-    df = events
+    # TIMESTAMP_NTZ → TIMESTAMP (watermarks require tz-aware event time;
+    # session TZ is UTC so the instant is unchanged)
+    df = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     return (
