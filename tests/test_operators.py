@@ -113,10 +113,15 @@ def test_ann_lsh_recall(spark):
 def test_streaming_equals_batch(spark, tmp_path):
     from thecrowler_spark.streaming.events import stream_events_from_parquet, windowed_event_counts
 
+    import shutil
+
     ev = spark.read.parquet(f"{SF}/events.parquet")
     batch = {tuple(r) for r in windowed_event_counts(ev).collect()}
 
-    stream = stream_events_from_parquet(spark, f"{SF}/events.parquet", ev.schema)
+    src_dir = tmp_path / "events_stream"
+    src_dir.mkdir()
+    shutil.copy(f"{SF}/events.parquet", src_dir / "part-0.parquet")
+    stream = stream_events_from_parquet(spark, str(src_dir), ev.schema)
     q = (
         windowed_event_counts(stream)
         .writeStream.format("memory")
