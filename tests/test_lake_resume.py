@@ -1,0 +1,54 @@
+"""LakeTable snapshot semantics + engine kill-and-resume parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from thecrowler_spark.operators.frontier import CrawlConfig, CrawlEngine
+from thecrowler_spark.sources.corpus import CorpusSpec, corpus_to_spark, small_corpus
+from thecrowler_spark.sources.lake import LakeTable
+from tests import oracle as O
+
+
+def test_lake_snapshots_merge_timetravel(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "tbl"))
+    s1 = t.write(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    s2 = t.merge(spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string"), ["id"])
+    cur = {tuple(r) for r in t.read().collect()}
+    assert cur == {(1, "a"), (2, "B"), (3, "c")}
+    old = {tuple(r) for r in t.read(s1).collect()}
+    assert old == {(1, "a"), (2, "b")}
+    s3 = t.append(spark.createDataFrame([(4, "d")], "id long, v string"))
+    assert t.snapshots() == [s1, s2, s3]
+    dropped = t.expire_snapshots(keep_last=1)
+    assert s1 in dropped and t.current_snapshot() == s3
+    assert {tuple(r) for r in t.read().collect()} == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+
+
+def test_kill_and_resume_matches_uninterrupted(spark, tmp_path):
+    corpus = small_corpus(CorpusSpec(n_hosts=2, pages_per_host=10))
+    dfs = corpus_to_spark(spark, corpus)
+
+    # uninterrupted run (depth 4)
+    full_cfg = CrawlConfig(max_depth=4, max_rounds=10)
+    eng_full = CrawlEngine(spark, dfs["documents"], cfg=full_cfg, work_dir=str(tmp_path / "full"))
+    res_full = eng_full.run(dfs["seeds"], run_id="full")
+    want_order = sorted(tuple(r) for r in res_full.crawl_order.collect())
+    want_seen = {tuple(r) for r in res_full.visited.collect()}
+
+    # "crash" after 2 rounds (max_rounds caps the loop; manifests committed)
+    crash_cfg = CrawlConfig(max_depth=4, max_rounds=2)
+    eng_crash = CrawlEngine(spark, dfs["documents"], cfg=crash_cfg, work_dir=str(tmp_path / "cr"))
+    eng_crash.run(dfs["seeds"], run_id="cr")
+
+    # resume with the full config from the committed state
+    eng_resume = CrawlEngine(spark, dfs["documents"], cfg=full_cfg, work_dir=str(tmp_path / "cr"))
+    res_resume = eng_resume.run(dfs["seeds"], run_id="cr", resume=True)
+    got_order = sorted(tuple(r) for r in res_resume.crawl_order.collect())
+    got_seen = {tuple(r) for r in res_resume.visited.collect()}
+
+    assert got_order == want_order
+    assert got_seen == want_seen
+    for sid, c in res_full.counters.items():
+        # links counter counts enqueued-per-level; identical across paths
+        assert res_resume.counters[sid] == c, (sid, res_resume.counters[sid], c)

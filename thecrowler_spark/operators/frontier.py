@@ -192,7 +192,7 @@ class CrawlEngine:
 
     # ---------------------------------------------------------- rounds
 
-    def run(self, seeds: DataFrame, run_id: str = "run0") -> CrawlResult:
+    def run(self, seeds: DataFrame, run_id: str = "run0", resume: bool = False) -> CrawlResult:
         cfg = self.cfg
         spark = self.spark
         lineage: list[dict[str, Any]] = []
@@ -203,6 +203,19 @@ class CrawlEngine:
             "restricted",
             "priority",
         ).persist()
+
+        if resume:
+            state = self._load_latest(run_id)
+            if state is not None:
+                return self._run_rounds(
+                    run_id,
+                    state["pages"],
+                    state["visited"],
+                    state["frontier"],
+                    state["counters"],
+                    state["current_depth"],
+                    state["lineage"],
+                )
 
         # ---- depth 0: CrawlInitialURL (web.go:912-993) ----
         t0 = time.time()
@@ -262,9 +275,24 @@ class CrawlEngine:
                 "elapsed_sec": time.time() - t0,
             }
         )
+        self._write_manifest(run_id, 0, counters, 0)
+        return self._run_rounds(run_id, pages, visited, frontier, counters, 0, lineage)
 
+    def _run_rounds(
+        self,
+        run_id: str,
+        pages: DataFrame,
+        visited: DataFrame,
+        frontier: DataFrame,
+        counters: dict[int, dict[str, int]],
+        start_depth: int,
+        lineage: list[dict[str, Any]],
+    ) -> CrawlResult:
+        cfg = self.cfg
         max_depth = 1 if cfg.max_depth == 0 else cfg.max_depth
-        current_depth = 0
+        current_depth = start_depth
+        if cfg.max_depth == 0:
+            max_depth = current_depth + 1
         deferred: DataFrame | None = None
 
         while current_depth < max_depth and current_depth < cfg.max_rounds:
@@ -324,6 +352,7 @@ class CrawlEngine:
                 }
             )
 
+            self._write_manifest(run_id, depth, counters, depth)
             current_depth += 1
             if cfg.max_depth == 0:
                 max_depth = current_depth + 1  # crawler.go:496-498
@@ -597,6 +626,51 @@ class CrawlEngine:
         path = f"{self.work_dir}/{run_id}/r{rnd:04d}/{name}"
         df.write.mode("overwrite").parquet(path)
         return self.spark.read.parquet(path)
+
+    def _write_manifest(
+        self, run_id: str, rnd: int, counters: dict[int, dict[str, int]], depth: int
+    ) -> None:
+        """Per-round commit record — the resume point (reference analog:
+        the Sources status machine + processing-timeout re-claims,
+        postgresql-setup.pgsql:2881-2884)."""
+        if not self.work_dir:
+            return
+        import builtins
+        import os
+
+        path = f"{self.work_dir}/{run_id}/r{rnd:04d}/manifest.json"
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with builtins.open(tmp, "w") as f:
+            json.dump({"round": rnd, "depth": depth, "counters": counters}, f)
+        os.replace(tmp, path)
+
+    def _load_latest(self, run_id: str) -> dict[str, Any] | None:
+        """Load the newest committed round's state (kill-and-resume)."""
+        if not self.work_dir:
+            return None
+        import glob
+        import os
+
+        manifests = sorted(glob.glob(f"{self.work_dir}/{run_id}/r*/manifest.json"))
+        for m in reversed(manifests):
+            rdir = os.path.dirname(m)
+            if not all(
+                os.path.exists(f"{rdir}/{t}/_SUCCESS") for t in ("pages", "visited", "frontier")
+            ):
+                continue
+            with open(m) as f:
+                meta = json.load(f)
+            counters = {int(k): v for k, v in meta["counters"].items()}
+            return {
+                "pages": self.spark.read.parquet(f"{rdir}/pages"),
+                "visited": self.spark.read.parquet(f"{rdir}/visited"),
+                "frontier": self.spark.read.parquet(f"{rdir}/frontier"),
+                "counters": counters,
+                "current_depth": meta["depth"],
+                "lineage": [{"run_id": run_id, "round": meta["round"], "resumed": True}],
+            }
+        return None
 
     def _write_lineage(self, lineage: list[dict[str, Any]], run_id: str) -> None:
         path = f"{self.work_dir}/{run_id}/lineage.json"

@@ -1,0 +1,103 @@
+"""Snapshot-versioned parquet tables — the local stand-in for Iceberg.
+
+Production target is Iceberg (MERGE INTO, snapshot ids, time travel,
+expire_snapshots); this container has no Iceberg runtime, so
+:class:`LakeTable` reproduces the semantics the crawl engine needs on
+plain parquet:
+
+- every write is a NEW immutable snapshot directory;
+- the current pointer is committed via atomic ``os.replace`` (the
+  snapshot-commit analog — readers never see a partial write);
+- ``merge`` = keyed upsert (new rows win), the MERGE INTO analog used
+  for SearchIndex/WebObjects-style sinks
+  (/root/reference/pkg/crawler/crawler.go:1319-1369 upserts);
+- ``read(snapshot_id)`` = time travel; ``expire_snapshots`` = GC.
+
+Swapping to Iceberg is a sink change only: the engine's state tables
+all go through this interface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    # ------------------------------------------------------------ meta
+
+    def _pointer_path(self) -> str:
+        return os.path.join(self.path, "_current.json")
+
+    def current_snapshot(self) -> int | None:
+        try:
+            with open(self._pointer_path()) as f:
+                return json.load(f)["snapshot_id"]
+        except FileNotFoundError:
+            return None
+
+    def snapshots(self) -> list[int]:
+        out = []
+        for d in os.listdir(self.path):
+            if d.startswith("snap-"):
+                out.append(int(d.split("-")[1]))
+        return sorted(out)
+
+    def _commit(self, snapshot_id: int, meta: dict | None = None) -> None:
+        tmp = self._pointer_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"snapshot_id": snapshot_id, "ts": time.time(), **(meta or {})}, f)
+        os.replace(tmp, self._pointer_path())  # atomic commit
+
+    def _snap_dir(self, snapshot_id: int) -> str:
+        return os.path.join(self.path, f"snap-{snapshot_id:08d}")
+
+    # ------------------------------------------------------------- ops
+
+    def write(self, df: DataFrame, meta: dict | None = None) -> int:
+        sid = (self.current_snapshot() or 0) + 1
+        df.write.mode("overwrite").parquet(self._snap_dir(sid))
+        self._commit(sid, meta)
+        return sid
+
+    def append(self, df: DataFrame) -> int:
+        cur = self.current_snapshot()
+        if cur is None:
+            return self.write(df)
+        return self.write(self.read().unionByName(df))
+
+    def merge(self, df: DataFrame, key_cols: list[str]) -> int:
+        """Keyed upsert: incoming rows replace current rows on key match
+        (Iceberg ``MERGE INTO … WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT``)."""
+        cur = self.current_snapshot()
+        if cur is None:
+            return self.write(df.dropDuplicates(key_cols))
+        current = self.read()
+        kept = current.join(df.select(*key_cols).distinct(), key_cols, "left_anti")
+        return self.write(kept.unionByName(df.dropDuplicates(key_cols)))
+
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot()
+        if sid is None:
+            raise FileNotFoundError(f"no snapshot in {self.path}")
+        return self.spark.read.parquet(self._snap_dir(sid))
+
+    def expire_snapshots(self, keep_last: int = 2) -> list[int]:
+        """Drop all but the newest ``keep_last`` snapshots (never the
+        current pointer's target)."""
+        cur = self.current_snapshot()
+        snaps = self.snapshots()
+        to_drop = [s for s in snaps[:-keep_last] if s != cur]
+        for s in to_drop:
+            shutil.rmtree(self._snap_dir(s), ignore_errors=True)
+        return to_drop
