@@ -80,3 +80,11 @@ def test_crawl_parity_restriction_levels(spark):
         cfg = CrawlConfig(max_depth=2, max_rounds=6)
         ocfg = O.OracleConfig(max_depth=2, max_rounds=6)
         _compare(_spark_result(spark, corpus, cfg), _oracle_result(corpus, ocfg))
+
+
+def test_crawl_parity_bloom_prefilter(spark):
+    """Bloom-accelerated URL-seen path must be result-identical."""
+    corpus = small_corpus(CorpusSpec(n_hosts=2, pages_per_host=12))
+    cfg = CrawlConfig(max_depth=3, max_rounds=8, bloom_prefilter=True)
+    ocfg = O.OracleConfig(max_depth=3, max_rounds=8)
+    _compare(_spark_result(spark, corpus, cfg), _oracle_result(corpus, ocfg))

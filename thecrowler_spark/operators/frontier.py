@@ -386,12 +386,37 @@ class CrawlEngine:
         lv = _robots_block(lv, self.robots)
         lv = lv.withColumn("is_skip", F.col("is_skip") | F.col("robots_blocked"))
 
-        # visited-set probe: equi anti-join semantics via left join marker
-        lv = lv.join(
-            visited.withColumn("_seen", F.lit(True)),
-            ["source_id", "norm_url"],
-            "left",
-        ).withColumn("_seen", F.coalesce(F.col("_seen"), F.lit(False)))
+        # visited-set probe: equi anti-join semantics via left join marker.
+        # With bloom_prefilter on, bloom-negative rows skip the exact join
+        # (definitely unseen); positives still get the exact check, so the
+        # final seen-set is identical (operators/bloom.py contract).
+        if cfg.bloom_prefilter:
+            from .bloom import build_bloom, probe_bloom
+
+            skey = F.concat_ws("\x00", F.col("source_id").cast("string"), F.col("norm_url"))
+            vis_keyed = visited.select(skey.alias("_skey"))
+            bloom = build_bloom(vis_keyed, key_col="_skey", n_buckets=cfg.salt_buckets)
+            probed = probe_bloom(
+                lv.withColumn("_skey", skey), bloom, key_col="_skey", n_buckets=cfg.salt_buckets
+            )
+            neg = probed.filter(~F.col("bloom_maybe")).withColumn("_seen", F.lit(False))
+            pos = (
+                probed.filter(F.col("bloom_maybe"))
+                .join(
+                    vis_keyed.withColumn("_vseen", F.lit(True)),
+                    ["_skey"],
+                    "left",
+                )
+                .withColumn("_seen", F.coalesce(F.col("_vseen"), F.lit(False)))
+                .drop("_vseen")
+            )
+            lv = neg.unionByName(pos).drop("bloom_maybe", "_skey")
+        else:
+            lv = lv.join(
+                visited.withColumn("_seen", F.lit(True)),
+                ["source_id", "norm_url"],
+                "left",
+            ).withColumn("_seen", F.coalesce(F.col("_seen"), F.lit(False)))
 
         # first-occurrence-within-level among non-skipped (sequential visited updates)
         w_norm = Window.partitionBy("source_id", "norm_url").orderBy("seq")
