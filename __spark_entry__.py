@@ -497,6 +497,143 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select("media_ref", "media_type", "n_bytes", "payload_sha256")
 
 
+def q_attr_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ObjectAttributes EAV extraction: JSON-path + normalizers + value_hash
+    (crawler.go:1065-1202, postgresql-setup.pgsql:553-601)."""
+    from thecrowler_spark.operators.attributes import AttributeSpec, extract_attributes
+
+    _load(spark, sf_dir, "orders")
+    objs = spark.sql(
+        """
+        SELECT o_orderkey AS object_id,
+               concat('{"product": {"price": " ', CAST(o_orderkey % 997 AS STRING),
+                      ' ", "name": "Item ', upper(o_orderpriority), '"}}') AS details
+        FROM orders
+        """
+    )
+    specs = [
+        AttributeSpec("price", "$.product.price", ("trim",)),
+        AttributeSpec("name", "$.product.name", ("trim", "lowercase", "collapse_spaces")),
+    ]
+    return extract_attributes(objs, specs)
+
+
+def q_attr_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 proper: entity correlation via value_hash self-join, aggregated
+    to per-hash pair counts (bounded subset)."""
+    from thecrowler_spark.operators.attributes import (
+        AttributeSpec,
+        correlate_by_value,
+        extract_attributes,
+    )
+
+    _load(spark, sf_dir, "orders")
+    objs = spark.sql(
+        """
+        SELECT o_orderkey AS object_id,
+               concat('{"seg": "', CAST(o_orderkey % 40 AS STRING), '"}') AS details
+        FROM orders WHERE o_orderkey < 2000
+        """
+    )
+    attrs = extract_attributes(objs, [AttributeSpec("seg", "$.seg", ("trim",))])
+    return correlate_by_value(attrs).groupBy("value_hash").agg(
+        F.count("*").alias("n_pairs"), F.min("object_a").alias("min_object")
+    )
+
+
+def q_url_fuzzing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawling-rule URL fuzzing (FuzzURL, fuzzing_rules.go:28-108)."""
+    from thecrowler_spark.operators.fuzzing import RULES_SCHEMA, fuzz_urls
+
+    _load(spark, sf_dir, "orders")
+    urls = spark.sql(
+        """
+        SELECT concat('https://h', CAST(o_orderkey % 10 AS STRING), '.example.com/v1/items',
+                      CASE WHEN o_orderkey % 2 = 0
+                           THEN concat('?id=', CAST(o_orderkey AS STRING), '&page=1') ELSE '' END) AS url
+        FROM orders WHERE o_orderkey < 4000
+        """
+    )
+    rules = spark.createDataFrame(
+        [("r_query", "query", "id", ["0", "9999"]), ("r_path", "path", "/v1", ["/v2", "/admin"])],
+        RULES_SCHEMA,
+    )
+    return fuzz_urls(urls, rules)
+
+
+def q_normalizers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalizer registry (attribute_indexing.go:74-107): collapse_spaces,
+    remove_punctuation, normalize_email, unix_to_datetime over one column."""
+    from thecrowler_spark.functions import normalizers as N
+
+    _load(spark, sf_dir, "orders")
+    vals = spark.sql(
+        """
+        SELECT o_orderkey AS id,
+               CASE o_orderkey % 4
+                 WHEN 0 THEN concat('  ', o_orderpriority, ',  x!  ')
+                 WHEN 1 THEN concat(CAST(1500000000 + o_orderkey AS STRING))
+                 WHEN 2 THEN concat(CAST((1600000000 + o_orderkey) AS STRING), '123')
+                 ELSE concat(' User', CAST(o_orderkey AS STRING), '@Example.COM ')
+               END AS v
+        FROM orders
+        """
+    )
+    return vals.select(
+        "id",
+        "v",
+        N.collapse_spaces("v").alias("collapsed"),
+        N.remove_punctuation("v").alias("no_punct"),
+        N.normalize_email("v").alias("email_norm"),
+        N.unix_to_datetime("v").alias("dt_norm"),
+    )
+
+
+def q_search_fts_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FTS analog of search_pages (postgresql-setup.pgsql:2953-2971):
+    term-frequency rank over tokenized body, top 50."""
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    toks = TX.tokens(F.lower(F.col("text")))
+    terms = ["data", "model", "training"]
+    score = None
+    for t in terms:
+        s = F.size(F.filter(toks, lambda x: x == F.lit(t)))
+        score = s if score is None else score + s
+    return (
+        docs.select("doc_id", score.alias("rank_score"))
+        .filter(F.col("rank_score") > 0)
+        .orderBy(F.desc("rank_score"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+def q_email_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email WebCrawlQueue (email.go:156-223): policy-approved mailbox
+    links union the link-discovered frontier, tagged by discovered_via,
+    FIFO-claimed together."""
+    _load(spark, sf_dir, "orders", "customer")
+    return spark.sql(
+        """
+        WITH crawl AS (
+          SELECT concat('https://h', CAST(o_orderkey % 30 AS STRING), '.example.com/p',
+                        CAST(o_orderkey AS STRING)) AS url,
+                 'link' AS discovered_via, o_orderkey AS arrival
+          FROM orders WHERE o_orderkey % 5 = 0
+        ),
+        mail AS (
+          SELECT concat('https://mail', CAST(c_custkey % 10 AS STRING), '.example.org/m',
+                        CAST(c_custkey AS STRING)) AS url,
+                 'email' AS discovered_via, c_custkey AS arrival
+          FROM customer WHERE c_custkey % 7 = 0
+        )
+        SELECT url, discovered_via, arrival
+        FROM (SELECT * FROM crawl UNION ALL SELECT * FROM mail)
+        ORDER BY arrival, discovered_via, url
+        LIMIT 200
+        """
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine sanity: TPC-H Q1-shaped aggregation."""
     _load(spark, sf_dir, "lineitem")
@@ -516,7 +653,8 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed event counts (same transform runs on readStream; batch
-    here — streaming equivalence is tested in tests/test_streaming.py)."""
+    here — streaming equivalence is tested in
+    tests/test_operators.py::test_streaming_equals_batch)."""
     from thecrowler_spark.streaming.events import windowed_event_counts
 
     ev = _load(spark, sf_dir, "events")["events"]
@@ -572,6 +710,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
         "multimodal_decode": q_multimodal_decode,
+        "attr_index": q_attr_index,
+        "attr_correlation": q_attr_correlation,
+        "url_fuzzing": q_url_fuzzing,
+        "normalizers": q_normalizers,
+        "search_fts_rank": q_search_fts_rank,
+        "email_frontier": q_email_frontier,
         "pricing_summary": q_pricing_summary,
         "streaming_window_counts": q_streaming_window_counts,
         "crawl_bfs": q_crawl_bfs,
@@ -967,6 +1111,125 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(p) AS BIGINT) AS n_bytes,
                    sha256(p) AS payload_sha256
             FROM payload
+        """,
+        "attr_index": """
+            WITH objs AS (
+              SELECT o_orderkey AS object_id,
+                     concat('{"product": {"price": " ', CAST(o_orderkey % 997 AS VARCHAR),
+                            ' ", "name": "Item ', upper(o_orderpriority), '"}}') AS details
+              FROM orders
+            ),
+            eav AS (
+              SELECT 'web_object' AS object_type, object_id, 'price' AS attribute_key,
+                     json_extract_string(details, '$.product.price') AS attribute_value,
+                     trim(json_extract_string(details, '$.product.price')) AS normalized_value
+              FROM objs
+              UNION ALL
+              SELECT 'web_object', object_id, 'name',
+                     json_extract_string(details, '$.product.name'),
+                     regexp_replace(trim(lower(trim(json_extract_string(details, '$.product.name')))),
+                                    '\\s+', ' ', 'g')
+              FROM objs
+            )
+            SELECT object_type, object_id, attribute_key, attribute_value, normalized_value,
+                   sha256(normalized_value) AS value_hash
+            FROM eav WHERE attribute_value IS NOT NULL
+        """,
+        "attr_correlation": """
+            WITH groups AS (
+              SELECT trim(CAST(o_orderkey % 40 AS VARCHAR)) AS seg,
+                     count(*) AS n, min(o_orderkey) AS min_object
+              FROM orders WHERE o_orderkey < 2000
+              GROUP BY 1
+            )
+            SELECT sha256(seg) AS value_hash,
+                   CAST(n * (n - 1) / 2 AS BIGINT) AS n_pairs,
+                   min_object AS min_object
+            FROM groups WHERE n >= 2
+        """,
+        "url_fuzzing": """
+            WITH urls AS (
+              SELECT concat('https://h', CAST(o_orderkey % 10 AS VARCHAR), '.example.com/v1/items',
+                            CASE WHEN o_orderkey % 2 = 0
+                                 THEN concat('?id=', CAST(o_orderkey AS VARCHAR), '&page=1') ELSE '' END) AS url
+              FROM orders WHERE o_orderkey < 4000
+            ),
+            rules AS (
+              SELECT rule_name, param_name, selector, unnest(vals) AS fuzz_value
+              FROM (VALUES ('r_query', 'query', 'id', ['0', '9999']),
+                           ('r_path', 'path', '/v1', ['/v2', '/admin'])) AS r(rule_name, param_name, selector, vals)
+            ),
+            joined AS (
+              SELECT u.url, r.rule_name, r.selector, r.fuzz_value, r.param_name,
+                     position('?' IN u.url) AS qpos,
+                     strpos(u.url, r.selector) AS spos
+              FROM urls u CROSS JOIN rules r
+            )
+            SELECT url, rule_name, fuzz_value,
+                   CASE WHEN param_name = 'query' AND qpos > 0 THEN
+                          concat(substr(url, 1, qpos),
+                                 CASE WHEN regexp_matches(substr(url, qpos + 1), concat('(^|&)', selector, '=[^&]*'))
+                                      THEN regexp_replace(substr(url, qpos + 1), concat('(^|&)', selector, '=[^&]*'),
+                                                          concat('\\1', selector, '=', fuzz_value))
+                                      ELSE concat(substr(url, qpos + 1), '&', selector, '=', fuzz_value) END)
+                        WHEN param_name = 'path' AND spos > 0 THEN
+                          concat(substr(url, 1, spos - 1), fuzz_value, substr(url, spos + length(selector)))
+                   END AS fuzzed_url
+            FROM joined
+            WHERE (param_name = 'query' AND qpos > 0) OR (param_name = 'path' AND spos > 0)
+        """,
+        "normalizers": """
+            WITH vals AS (
+              SELECT o_orderkey AS id,
+                     CASE o_orderkey % 4
+                       WHEN 0 THEN concat('  ', o_orderpriority, ',  x!  ')
+                       WHEN 1 THEN concat(CAST(1500000000 + o_orderkey AS VARCHAR))
+                       WHEN 2 THEN concat(CAST((1600000000 + o_orderkey) AS VARCHAR), '123')
+                       ELSE concat(' User', CAST(o_orderkey AS VARCHAR), '@Example.COM ')
+                     END AS v
+              FROM orders
+            )
+            SELECT id, v,
+                   regexp_replace(trim(v), '\\s+', ' ', 'g') AS collapsed,
+                   regexp_replace(v, '[^\\p{L}\\p{N}\\s]', '', 'g') AS no_punct,
+                   lower(trim(v)) AS email_norm,
+                   CASE WHEN regexp_matches(trim(v), '^-?[0-9]+$') THEN
+                          strftime(epoch_ms(CASE WHEN CAST(trim(v) AS BIGINT) > 9999999999
+                                                 THEN CAST(trim(v) AS BIGINT) // 1000
+                                                 ELSE CAST(trim(v) AS BIGINT) END * 1000),
+                                   '%Y-%m-%dT%H:%M:%SZ')
+                        ELSE trim(v) END AS dt_norm
+            FROM vals
+        """,
+        "search_fts_rank": f"""
+            WITH scored AS (
+              SELECT doc_id,
+                     len(list_filter({sw_filter}, x -> x = 'data'))
+                   + len(list_filter({sw_filter}, x -> x = 'model'))
+                   + len(list_filter({sw_filter}, x -> x = 'training')) AS rank_score
+              FROM documents
+            )
+            SELECT doc_id, CAST(rank_score AS INT) AS rank_score
+            FROM scored WHERE rank_score > 0
+            ORDER BY rank_score DESC, doc_id ASC LIMIT 50
+        """,
+        "email_frontier": """
+            WITH crawl AS (
+              SELECT concat('https://h', CAST(o_orderkey % 30 AS VARCHAR), '.example.com/p',
+                            CAST(o_orderkey AS VARCHAR)) AS url,
+                     'link' AS discovered_via, o_orderkey AS arrival
+              FROM orders WHERE o_orderkey % 5 = 0
+            ),
+            mail AS (
+              SELECT concat('https://mail', CAST(c_custkey % 10 AS VARCHAR), '.example.org/m',
+                            CAST(c_custkey AS VARCHAR)) AS url,
+                     'email' AS discovered_via, c_custkey AS arrival
+              FROM customer WHERE c_custkey % 7 = 0
+            )
+            SELECT url, discovered_via, arrival
+            FROM (SELECT * FROM crawl UNION ALL SELECT * FROM mail)
+            ORDER BY arrival, discovered_via, url
+            LIMIT 200
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

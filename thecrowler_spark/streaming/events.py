@@ -8,7 +8,7 @@ real stream: watermark for TTL/late data, tumbling windowed counts.
 
 ``windowed_event_counts`` works on BOTH a batch and a streaming
 DataFrame (identical transformation — the batch run is the oracle for
-the streaming run, tested in tests/test_streaming.py).
+the streaming run, tested in tests/test_operators.py::test_streaming_equals_batch).
 """
 
 from __future__ import annotations
