@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""spark-submit entry point: the crawl scheduler as a shippable job.
+
+Run (the north-rule packaging, BASELINE.json):
+
+    scripts/build_pyfiles.sh          # → dist/thecrowler_spark.zip
+    spark-submit --master local[8] \\
+        --py-files dist/thecrowler_spark.zip \\
+        jobs/crawl_job.py --docs 50000 --hosts 200 --seeds 16 \\
+        --max-depth 2 --check-robots --host-budget \\
+        --output /tmp/crawl_out --run-id demo
+
+On a real cluster, swap ``--master`` for YARN/K8s and the same zip +
+script ship unchanged; every knob that matters at 10^10 scale
+(salt buckets, shuffle partitions, budgets) is a CLI flag.
+
+The corpus is hash-defined (``big_corpus_df``) — no driver data, no
+external input; the same generator expresses any corpus size, so the
+job demonstrates the full operator chain (seed claim → BFS rounds →
+robots → politeness budgets → URL-seen dedup → span parse → lineage)
+at whatever scale the cluster affords. ``--resume`` restarts from the
+latest per-round manifest in ``--output`` (kill-and-resume path,
+SURVEY.md §2.9 checkpoint/resume).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def parse_args(argv: list[str]) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="crowler-spark crawl job")
+    p.add_argument("--docs", type=int, default=50000, help="corpus size (hash-defined)")
+    p.add_argument("--hosts", type=int, default=200)
+    p.add_argument("--links", type=int, default=8, help="links per page")
+    p.add_argument("--seeds", type=int, default=16, help="number of seed sources")
+    p.add_argument("--max-depth", type=int, default=2)
+    p.add_argument("--max-rounds", type=int, default=12)
+    p.add_argument("--max-links", type=int, default=0)
+    p.add_argument("--check-robots", action="store_true")
+    p.add_argument("--host-budget", action="store_true")
+    p.add_argument("--budget-per-round", type=int, default=5000)
+    p.add_argument("--salt-buckets", type=int, default=32)
+    p.add_argument("--bloom-prefilter", action="store_true")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--output", required=True, help="output dir (pages/ visited/ lineage/ checkpoints)")
+    p.add_argument("--run-id", default="run0")
+    p.add_argument("--resume", action="store_true")
+    return p.parse_args(argv)
+
+
+def build_inputs(spark, args):
+    from pyspark.sql import functions as F
+
+    from thecrowler_spark.sources.corpus import SEEDS_SCHEMA, big_corpus_df
+
+    docs = big_corpus_df(
+        spark, n_docs=args.docs, n_hosts=args.hosts, links_per_page=args.links
+    )
+    # seeds = the N lowest page ids' URLs (guaranteed in-corpus),
+    # deterministic: ordered by the numeric page id embedded in the URL
+    pid = F.regexp_extract("doc_id", r"p([0-9]+)$", 1).cast("long")
+    seed_urls = docs.select("doc_id", pid.alias("pid")).orderBy("pid").limit(args.seeds)
+    seeds = seed_urls.select(
+        F.col("pid").alias("source_id"),
+        F.sha2(F.col("doc_id"), 256).alias("source_uid"),
+        F.col("doc_id").alias("url"),
+        F.lit("high").alias("priority"),
+        F.lit("new").alias("status"),
+        F.lit(2).cast("int").alias("restricted"),
+        F.lit(False).alias("disabled"),
+        F.lit(0).cast("int").alias("flags"),
+        F.lit("{}").alias("config"),
+        F.current_timestamp().alias("created_at"),
+    )
+    seeds = spark.createDataFrame(seeds.collect(), SEEDS_SCHEMA)  # tiny (N seeds), pin schema
+
+    hosts = spark.range(args.hosts).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".example.com")).alias("host")
+    )
+    robots = hosts.select("host", F.lit("disallow").alias("rule_type"), F.lit("/private").alias("path_prefix"), F.lit(0.0).alias("crawl_delay"))
+    budgets = hosts.select("host", F.lit(args.budget_per_round).cast("int").alias("max_fetches_per_round"), F.lit(0.0).alias("interval_seconds"))
+    return docs, seeds, robots, budgets
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+
+    from pyspark.sql import SparkSession
+
+    builder = SparkSession.builder.appName("crowler-spark-crawl")
+    if args.shuffle_partitions:
+        builder = builder.config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
+    builder = (
+        builder.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    spark = builder.getOrCreate()  # master comes from spark-submit
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from thecrowler_spark.operators.frontier import CrawlConfig, CrawlEngine
+
+    docs, seeds, robots, budgets = build_inputs(spark, args)
+    cfg = CrawlConfig(
+        max_depth=args.max_depth,
+        max_links=args.max_links,
+        max_rounds=args.max_rounds,
+        check_robots=args.check_robots,
+        use_host_budget=args.host_budget,
+        salt_buckets=args.salt_buckets,
+        bloom_prefilter=args.bloom_prefilter,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    engine = CrawlEngine(
+        spark, docs, cfg=cfg, robots=robots, budgets=budgets, work_dir=f"{args.output}/state"
+    )
+
+    t0 = time.time()
+    result = engine.run(seeds, run_id=args.run_id, resume=args.resume)
+    pages_n = result.pages.count()
+    visited_n = result.visited.count()
+    elapsed = time.time() - t0
+
+    result.pages.write.mode("overwrite").parquet(f"{args.output}/pages")
+    result.crawl_order.write.mode("overwrite").parquet(f"{args.output}/crawl_order")
+    result.visited.write.mode("overwrite").parquet(f"{args.output}/visited")
+
+    summary = {
+        "run_id": args.run_id,
+        "pages": pages_n,
+        "visited_urls": visited_n,
+        "rounds": len(result.counters),
+        "elapsed_sec": round(elapsed, 2),
+        "urls_per_sec": round(visited_n / elapsed, 1) if elapsed > 0 else None,
+        "counters": {str(k): v for k, v in result.counters.items()},
+        "output": args.output,
+    }
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
