@@ -256,6 +256,39 @@ def q_content_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return refs.select("id", "media_ref", MM.media_type_expr(F.col("media_ref")).alias("media_type"))
 
 
+def q_content_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 regex-rule content-type detection + P11 HTML sniffing."""
+    from thecrowler_spark.operators.content_type import detect_content_type, sniff_html
+
+    _load(spark, sf_dir, "part")
+    samples = spark.sql(
+        """
+        SELECT p_partkey AS id,
+               CASE p_partkey % 7
+                 WHEN 0 THEN concat('  <!DOCTYPE html><html><body>', p_name, '</body></html>')
+                 WHEN 1 THEN concat('<?xml version="1.0"?><root>', p_name, '</root>')
+                 WHEN 2 THEN concat('{"name": "', p_name, '"}')
+                 WHEN 3 THEN concat('@import "x.css"; .cls { color: red }')
+                 WHEN 4 THEN ''
+                 WHEN 5 THEN ''
+                 ELSE concat('plain text about ', p_name)
+               END AS body,
+               CASE p_partkey % 7
+                 WHEN 4 THEN concat('https://cdn.example.com/d', CAST(p_partkey AS STRING), '.pdf?v=1')
+                 WHEN 5 THEN ''
+                 WHEN 6 THEN concat('https://cdn.example.com/d', CAST(p_partkey AS STRING), '.bin')
+                 ELSE concat('https://www.example.com/page', CAST(p_partkey AS STRING))
+               END AS url
+        FROM part
+        """
+    )
+    return samples.select(
+        "id",
+        detect_content_type("body", "url").alias("content_type"),
+        sniff_html("body").alias("is_html"),
+    )
+
+
 def q_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A2: global keyword dictionary with counts, top 100."""
     docs = _load(spark, sf_dir, "documents")["documents"]
@@ -686,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_seen_antijoin": q_url_seen_antijoin,
         "frontier_dedup_first": q_frontier_dedup_first,
         "content_type": q_content_type,
+        "content_sniff": q_content_sniff,
         "keyword_topk": q_keyword_topk,
         "keyword_per_doc": q_keyword_per_doc,
         "crawl_counters": q_crawl_counters,
@@ -888,6 +922,50 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'application/octet-stream' END AS media_type
             FROM refs
         """,
+        "content_sniff": """
+            WITH samples AS (
+              SELECT p_partkey AS id,
+                     CASE p_partkey % 7
+                       WHEN 0 THEN concat('  <!DOCTYPE html><html><body>', p_name, '</body></html>')
+                       WHEN 1 THEN concat('<?xml version="1.0"?><root>', p_name, '</root>')
+                       WHEN 2 THEN concat('{"name": "', p_name, '"}')
+                       WHEN 3 THEN concat('@import "x.css"; .cls { color: red }')
+                       WHEN 4 THEN ''
+                       WHEN 5 THEN ''
+                       ELSE concat('plain text about ', p_name)
+                     END AS body,
+                     CASE p_partkey % 7
+                       WHEN 4 THEN concat('https://cdn.example.com/d', CAST(p_partkey AS VARCHAR), '.pdf?v=1')
+                       WHEN 5 THEN ''
+                       WHEN 6 THEN concat('https://cdn.example.com/d', CAST(p_partkey AS VARCHAR), '.bin')
+                       ELSE concat('https://www.example.com/page', CAST(p_partkey AS VARCHAR))
+                     END AS url
+              FROM part
+            ),
+            t AS (SELECT id, body, trim(body) AS b, trim(url) AS u FROM samples)
+            SELECT id,
+                   CASE
+                     WHEN b = '' AND u = '' THEN 'text/empty'
+                     WHEN (b <> '' AND regexp_matches(b, '(?i)^[\\s\\n]*(<!DOCTYPE\\s+html|<html|<head|<body|<title|<meta|<script|<div|<span|<!--|<iframe|<form)'))
+                       OR (u <> '' AND regexp_matches(u, '(?i)\\.html?(\\?.*)?$')) THEN 'text/html'
+                     WHEN (b <> '' AND regexp_matches(b, '(?i)^\\s*<\\?xml'))
+                       OR (u <> '' AND regexp_matches(u, '(?i)\\.xml(\\?.*)?$')) THEN 'text/xml'
+                     WHEN (b <> '' AND (regexp_matches(b, '(?i)^\\s*\\{.*\\}') OR regexp_matches(b, '(?i)^\\s*\\[.*\\]')))
+                       OR (u <> '' AND regexp_matches(u, '(?i)\\.json(\\?.*)?$')) THEN 'application/json'
+                     WHEN (b <> '' AND (regexp_matches(b, '(?i)^\\s*@(import|charset)\\s+') OR regexp_matches(b, '(?i)^\\s*([.#]?[a-zA-Z0-9_-]+\\s*\\{)')))
+                       OR (u <> '' AND regexp_matches(u, '(?i)\\.css(\\?.*)?$')) THEN 'text/css'
+                     WHEN (u <> '' AND regexp_matches(u, '(?i)\\.png(\\?.*)?$')) THEN 'image/png'
+                     WHEN (u <> '' AND regexp_matches(u, '(?i)\\.jpe?g(\\?.*)?$')) THEN 'image/jpeg'
+                     WHEN (u <> '' AND regexp_matches(u, '(?i)\\.gif(\\?.*)?$')) THEN 'image/gif'
+                     WHEN (b <> '' AND starts_with(b, '%PDF-'))
+                       OR (u <> '' AND regexp_matches(u, '(?i)\\.pdf(\\?.*)?$')) THEN 'application/pdf'
+                     ELSE 'unknown'
+                   END AS content_type,
+                   (contains(lower(b), '<html') OR starts_with(lower(regexp_replace(substr(body, 1, 512), '^[\\x00\\t\\n\\r ]+', '')), '<!doctype html')
+                    OR contains(lower(substr(body, 1, 512)), '<html') OR contains(lower(substr(body, 1, 512)), '<head')
+                    OR contains(lower(substr(body, 1, 512)), '<body') OR contains(lower(substr(body, 1, 512)), '<meta charset')) AS is_html
+            FROM t
+        """,
         "keyword_topk": f"""
             SELECT keyword, count(*) AS occurrences FROM (
               SELECT {_KW_TOKENS} AS keyword FROM documents
@@ -910,7 +988,9 @@ def oracle_sql() -> dict[str, str]:
             WITH ranked AS (
               SELECT event_type AS metric, date_trunc('hour', ts) AS bucket_start, value,
                      ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts) ORDER BY ts, event_id) AS rn_a,
-                     ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts) ORDER BY ts DESC, event_id DESC) AS rn_d
+                     ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts) ORDER BY ts DESC, event_id DESC) AS rn_d,
+                     CASE WHEN value <> lag(value) OVER (PARTITION BY event_type, date_trunc('hour', ts) ORDER BY ts, event_id)
+                          THEN 1 ELSE 0 END AS changed
               FROM events
             )
             SELECT metric, bucket_start,
@@ -920,12 +1000,14 @@ def oracle_sql() -> dict[str, str]:
                    round(max(value), 4) AS value_max,
                    round(avg(value), 4) AS value_avg,
                    round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS p50,
+                   round(CAST(quantile_cont(value, 0.75) AS DOUBLE), 4) AS p75,
                    round(CAST(quantile_cont(value, 0.9) AS DOUBLE), 4) AS p90,
                    round(CAST(quantile_cont(value, 0.95) AS DOUBLE), 4) AS p95,
                    round(CAST(quantile_cont(value, 0.99) AS DOUBLE), 4) AS p99,
                    round(max(CASE WHEN rn_a = 1 THEN value END), 4) AS first_value,
                    round(max(CASE WHEN rn_d = 1 THEN value END), 4) AS last_value,
-                   count(DISTINCT value) AS distinct_values
+                   count(DISTINCT value) AS distinct_values,
+                   CAST(sum(changed) AS BIGINT) AS change_count
             FROM ranked GROUP BY metric, bucket_start
         """,
         "search_star": """

@@ -14,7 +14,7 @@ match the reference's exactness.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -25,8 +25,20 @@ def bucket_aggregates(
     value_col: str = "value",
     bucket: str = "1 hour",
 ) -> DataFrame:
-    """Tumbling-bucket aggregate table, one row per (metric, bucket)."""
+    """Tumbling-bucket aggregate table, one row per (metric, bucket).
+
+    ``change_count`` = number of consecutive observations (bucket-local
+    time order, event_id tie-break) whose value differs from the
+    previous one (time_series_aggregation.go:309-333 change tracking).
+    The lag window shares the (metric, bucket) partitioning with the
+    groupBy, so AQE plans ONE shuffle for both.
+    """
     w = F.window(F.col(ts_col), bucket)
+    lag_w = Window.partitionBy(F.col(metric_col), w).orderBy(F.col(ts_col), F.col("event_id"))
+    events = events.withColumn(
+        "_changed",
+        (F.col(value_col) != F.lag(value_col).over(lag_w)).cast("int"),
+    )
     return (
         events.groupBy(F.col(metric_col).alias("metric"), w.alias("w"))
         .agg(
@@ -36,6 +48,7 @@ def bucket_aggregates(
             F.round(F.max(value_col), 4).alias("value_max"),
             F.round(F.avg(value_col), 4).alias("value_avg"),
             F.round(F.percentile(value_col, 0.5), 4).alias("p50"),
+            F.round(F.percentile(value_col, 0.75), 4).alias("p75"),
             F.round(F.percentile(value_col, 0.9), 4).alias("p90"),
             F.round(F.percentile(value_col, 0.95), 4).alias("p95"),
             F.round(F.percentile(value_col, 0.99), 4).alias("p99"),
@@ -47,6 +60,7 @@ def bucket_aggregates(
                 F.max_by(value_col, F.struct(ts_col, "event_id")), 4
             ).alias("last_value"),
             F.count_distinct(F.col(value_col)).alias("distinct_values"),
+            F.coalesce(F.sum("_changed"), F.lit(0)).cast("long").alias("change_count"),
         )
         .select(
             "metric",
@@ -57,11 +71,13 @@ def bucket_aggregates(
             "value_max",
             "value_avg",
             "p50",
+            "p75",
             "p90",
             "p95",
             "p99",
             "first_value",
             "last_value",
             "distinct_values",
+            "change_count",
         )
     )
