@@ -504,6 +504,12 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
 
 
+def q_text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword counting (letter/digit/punct runs)."""
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return docs.select("doc_id", TX.token_count_bpe(F.col("text")).alias("n_bpe_tokens"))
+
+
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting."""
     docs = _load(spark, sf_dir, "documents")["documents"]
@@ -742,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
+        "text_tokens_bpe": q_text_tokens_bpe,
         "text_fingerprint": q_text_fingerprint,
         "multimodal_decode": q_multimodal_decode,
         "attr_index": q_attr_index,
@@ -1163,6 +1170,11 @@ def oracle_sql() -> dict[str, str]:
                           + CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END
                           + least(CASE WHEN n_tok > 0 THEN n_sw / n_tok ELSE 0.0 END * 4.0, 1.0)) / 3.0, 6) AS quality
             FROM s
+        """,
+        "text_tokens_bpe": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS INT) AS n_bpe_tokens
+            FROM documents
         """,
         "text_tokens": f"""
             SELECT doc_id, CAST(len({sw_filter}) AS INT) AS n_tokens FROM documents

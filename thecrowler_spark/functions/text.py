@@ -162,3 +162,11 @@ def shingles(c: Column | str, k: int = 3) -> Column:
         n >= k,
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")),
     ).otherwise(F.when(n > 0, F.array(F.array_join(toks, " "))).otherwise(F.array()))
+
+
+def token_count_bpe(c: Column | str) -> Column:
+    """BPE-ish subword count: letter runs, digit runs, and punctuation
+    runs count as separate tokens (the GPT-2 pretokenizer's coarse
+    structure), approximating trained-tokenizer counts without a vocab.
+    JVM-side via ``regexp_count`` — no Python."""
+    return F.regexp_count(_col(c), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"))
