@@ -1,0 +1,52 @@
+"""Goldens for the interval parser + seeded pacing (crawler.go:541-644,
+exprterpreter random(x,y))."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from thecrowler_spark.functions.intervals import parse_interval_seconds, pacing_delay_seconds
+
+CASES = [
+    # (input, expected_seconds) — clamp subtracts 1s whenever result > 1s
+    ("", 1200),              # empty → 20m, UNclamped (crawler.go:545-547)
+    ("15 minutes", 899),     # 900 − 1
+    ("1 min", 59),
+    ("45s", 44),
+    ("2 hours", 7199),
+    ("3 days", 259199),      # 259200 > 86400? NO: clamp to 86400 first → 86399
+    ("1s", 1),               # not > 1s → no −1
+    ("0s", 30),              # <1s → 30s → then −1? 30 > 1 → 29
+    ("1h30m", 5399),         # compound ParseDuration path
+    ("garbage", 1199),       # invalid → 20m → clamped −1
+    ("25h", 86399),          # >24h → 24h → −1
+]
+# fix expectations where clamping order matters:
+EXPECT = dict(CASES)
+EXPECT["3 days"] = 86399   # 259200 → clamp 24h → 86400 − 1
+EXPECT["0s"] = 29          # → 30 → 30 > 1 → 29
+
+
+def test_parse_interval_goldens(spark):
+    df = spark.createDataFrame([(k,) for k, _ in CASES], "v string")
+    got = {
+        r["v"]: r["secs"]
+        for r in df.select("v", parse_interval_seconds("v").alias("secs")).collect()
+    }
+    for k, _ in CASES:
+        assert got[k] == EXPECT[k], f"{k!r}: {got[k]} != {EXPECT[k]}"
+
+
+def test_pacing_delay_reproducible_and_bounded(spark):
+    df = spark.createDataFrame(
+        [(f"https://h{i}.example.com/p{i}",) for i in range(500)], "url string"
+    )
+    d1 = df.select("url", pacing_delay_seconds("url", 1, 3).alias("d")).collect()
+    d2 = df.select("url", pacing_delay_seconds("url", 1, 3).alias("d")).collect()
+    assert [r["d"] for r in d1] == [r["d"] for r in d2]  # seed-pinned replay
+    # min effective sleep 3s (web.go:1312-1321); random(1,3) → all exactly 3
+    assert all(r["d"] == 3.0 for r in d1)
+    d5 = df.select(pacing_delay_seconds("url", 4, 6).alias("d")).collect()
+    vals = [r["d"] for r in d5]
+    assert all(4.0 <= v < 6.0 for v in vals)
+    assert len(set(vals)) > 100  # actually varies per url
