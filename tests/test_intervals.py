@@ -50,3 +50,18 @@ def test_pacing_delay_reproducible_and_bounded(spark):
     vals = [r["d"] for r in d5]
     assert all(4.0 <= v < 6.0 for v in vals)
     assert len(set(vals)) > 100  # actually varies per url
+
+
+def test_budgets_from_intervals(spark):
+    from thecrowler_spark.operators.politeness import budgets_from_intervals
+
+    hosts = spark.createDataFrame(
+        [("a.example.com", 2), ("b.example.com", 5), ("c.example.com", 120)],
+        "host string, interval_seconds int",
+    )
+    got = {
+        r["host"]: r["max_fetches_per_round"]
+        for r in budgets_from_intervals(hosts, round_duration_s=60.0).collect()
+    }
+    # interval 2 → clamped to 3s min → floor(60/3)=20; 5 → 12; 120 → min budget 1
+    assert got == {"a.example.com": 20, "b.example.com": 12, "c.example.com": 1}

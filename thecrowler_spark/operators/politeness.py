@@ -59,3 +59,25 @@ def enforce_host_budget(
         .filter(F.col(budget_col).isNull() | (F.col("fetch_rank") <= F.col(budget_col)))
         .drop(budget_col)
     )
+
+
+def budgets_from_intervals(
+    host_intervals: DataFrame,
+    round_duration_s: float = 60.0,
+    host_col: str = "host",
+    interval_col: str = "interval_seconds",
+) -> DataFrame:
+    """Derive per-host budgets from reference pacing math: the engine
+    sleeps `interval` seconds between fetches on a host
+    (/root/reference/pkg/crawler/web.go:1312-1321), so a round of
+    length R allows floor(R / interval) fetches — with the reference's
+    3 s minimum effective sleep. This is parity mode for SURVEY.md §7
+    trap 7 (budgets mirroring reference pacing).
+    """
+    eff = F.greatest(F.col(interval_col).cast("double"), F.lit(3.0))
+    return host_intervals.select(
+        F.col(host_col),
+        F.greatest(F.floor(F.lit(float(round_duration_s)) / eff), F.lit(1))
+        .cast("int")
+        .alias("max_fetches_per_round"),
+    )
