@@ -1,0 +1,80 @@
+"""Index-sink star tests: build, MERGE idempotence, keep-old-if-blank.
+
+Reference: indexPage TX (crawler.go:943-1063), SearchIndex upsert
+COALESCE semantics (crawler.go:1343-1349), WebObjects hash dedup
+(crawler.go:1504-1543)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from thecrowler_spark.operators.indexer import (
+    build_index_tables,
+    merge_search_index_keep_old_if_blank,
+    write_index_star,
+)
+from thecrowler_spark.operators.spans import parse_documents
+from thecrowler_spark.sources.lake import LakeTable
+
+SPAN = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, f"doc_id string, spans {SPAN}")
+
+
+def _page(url, title, body, metas=()):
+    spans = [("title", title, "", 0), ("text", body, "", 1)]
+    for i, (n, c) in enumerate(metas):
+        spans.append(("meta", f"{n} {c}", "", 2 + i))
+    return (url, spans)
+
+
+def test_build_index_star_shapes(spark):
+    docs = _docs(
+        spark,
+        [
+            _page("https://a.example.com/1", "Page One", "alpha beta gamma alpha", [("keywords", "alpha, delta")]),
+            _page("https://a.example.com/2", "Page Two", "alpha beta gamma alpha"),  # same body
+        ],
+    )
+    t = build_index_tables(parse_documents(docs))
+    assert t["search_index"].count() == 2
+    assert t["web_objects"].count() == 1  # same content hash dedups
+    assert t["web_objects_index"].count() == 2  # both pages bridge to it
+    assert {r["name"] for r in t["meta_tags"].collect()} == {"keywords"}
+    ki = {(r["index_id"][:6], r["keyword"]): r["occurrences"] for r in t["keyword_index"].collect()}
+    assert all(k in {r["keyword"] for r in t["keywords"].collect()} for _, k in ki)
+
+
+def test_write_star_idempotent(spark, tmp_path):
+    docs = _docs(spark, [_page("https://a.example.com/1", "T", "alpha beta gamma")])
+    tables = build_index_tables(parse_documents(docs))
+    d = str(tmp_path / "lake")
+    write_index_star(spark, d, tables)
+    counts1 = {n: LakeTable(spark, f"{d}/{n}").read().count() for n in tables}
+    write_index_star(spark, d, tables)  # replay the same batch
+    counts2 = {n: LakeTable(spark, f"{d}/{n}").read().count() for n in tables}
+    assert counts1 == counts2  # exactly-once analog: replays are no-ops
+
+
+def test_keep_old_if_blank(spark, tmp_path):
+    lake = LakeTable(spark, str(tmp_path / "si"))
+    first = _docs(spark, [_page("https://a.example.com/1", "Real Title", "alpha beta gamma")])
+    merge_search_index_keep_old_if_blank(
+        lake, build_index_tables(parse_documents(first))["search_index"]
+    )
+    # refresh with blank title must keep the old one (crawler.go:1343-1349)
+    blank = build_index_tables(parse_documents(first))["search_index"].withColumn(
+        "title", F.lit("   ")
+    )
+    merge_search_index_keep_old_if_blank(lake, blank)
+    row = lake.read().first()
+    assert row["title"] == "Real Title"
+    # refresh with a new non-blank title replaces it
+    renamed = build_index_tables(parse_documents(first))["search_index"].withColumn(
+        "title", F.lit("New Title")
+    )
+    merge_search_index_keep_old_if_blank(lake, renamed)
+    assert lake.read().first()["title"] == "New Title"
+    assert lake.read().count() == 1

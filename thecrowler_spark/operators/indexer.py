@@ -1,0 +1,157 @@
+"""Index sink — the reference's page-indexing star as idempotent MERGEs.
+
+Reference ``indexPage`` (/root/reference/pkg/crawler/crawler.go:943-1063)
+runs one TX per page: upsert SearchIndex (S7, keep-old-if-blank COALESCE,
+crawler.go:1319-1369) → WebObjects dedup on content hash + bridge
+WebObjectsIndex (S8, crawler.go:1394-1559) → MetaTags + bridge
+(postgresql-setup.pgsql:827-854) → Keywords dict + per-page counts (A1/A2,
+crawler.go:1769-1882) → SourceSearchIndex bridge.
+
+Spark rendering: the whole batch of pages becomes five DataFrames built
+in ONE pass over the parsed pages (no per-page transactions — the
+micro-batch MERGE into LakeTables is the atomicity unit, idempotent by
+natural keys so replays are safe — the Iceberg exactly-once analog,
+SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from thecrowler_spark.sources.lake import LakeTable
+
+
+def build_index_tables(pages: DataFrame, source_col: str | None = None) -> dict[str, DataFrame]:
+    """Parsed pages (spans.parse_documents output) → the index star.
+
+    Keys are deterministic natural-key hashes, never sequence ids
+    (SURVEY.md §1.3: BIGSERIAL → sha2 of natural keys for
+    reproducibility across replays/partitions).
+    """
+    idx = F.sha2(F.col("doc_id"), 256).alias("index_id")
+
+    search_index = pages.select(
+        idx,
+        F.col("doc_id").alias("page_url"),
+        "title",
+        "summary",
+        "detected_lang",
+        "detected_type",
+    )
+
+    # WebObjects: content-hash dedup across the whole batch (S8); details
+    # is the merged-JSON analog — deterministic via sorted keys.
+    web_objects = (
+        pages.select(
+            F.col("content_hash").alias("object_hash"),
+            F.col("body_text").alias("object_content"),
+            F.to_json(
+                F.struct(
+                    F.col("detected_lang").alias("lang"),
+                    F.size("links").alias("n_links"),
+                )
+            ).alias("details"),
+        )
+        .groupBy("object_hash")
+        .agg(
+            F.first("object_content").alias("object_content"),
+            F.first("details").alias("details"),
+            F.count("*").alias("n_pages"),
+        )
+    )
+    web_objects_index = pages.select(
+        F.sha2(F.col("doc_id"), 256).alias("index_id"),
+        F.col("content_hash").alias("object_hash"),
+    ).dropDuplicates(["index_id", "object_hash"])
+
+    # MetaTags: (name, content) rows hash-keyed + bridge (pgsql:827-854)
+    meta = pages.select(
+        F.sha2(F.col("doc_id"), 256).alias("index_id"),
+        F.explode(F.filter(F.col("spans"), lambda s: s["kind"] == "meta")).alias("m"),
+    ).select(
+        "index_id",
+        F.substring_index(F.col("m.text"), " ", 1).alias("name"),
+        F.expr("substring(m.text, instr(m.text, ' ') + 1)").alias("content"),
+    )
+    meta_tags = meta.select(
+        F.sha2(F.concat_ws("\x00", "name", "content"), 256).alias("metatag_hash"),
+        "name",
+        "content",
+    ).dropDuplicates(["metatag_hash"])
+    meta_tags_index = meta.select(
+        "index_id",
+        F.sha2(F.concat_ws("\x00", "name", "content"), 256).alias("metatag_hash"),
+    ).dropDuplicates(["index_id", "metatag_hash"])
+
+    # Keywords: global dictionary (A2, set semantics — no advisory locks
+    # needed) + per-(page, keyword) occurrence counts (A1).
+    kw = pages.select(
+        F.sha2(F.col("doc_id"), 256).alias("index_id"),
+        F.explode("keyword_instances").alias("keyword"),
+    )
+    keyword_index = kw.groupBy("index_id", "keyword").agg(F.count("*").alias("occurrences"))
+    keywords = keyword_index.select("keyword").distinct()
+
+    out = {
+        "search_index": search_index,
+        "web_objects": web_objects,
+        "web_objects_index": web_objects_index,
+        "meta_tags": meta_tags,
+        "meta_tags_index": meta_tags_index,
+        "keywords": keywords,
+        "keyword_index": keyword_index,
+    }
+    if source_col:
+        out["source_search_index"] = pages.select(
+            F.col(source_col).alias("source_id"),
+            F.sha2(F.col("doc_id"), 256).alias("index_id"),
+        ).dropDuplicates(["source_id", "index_id"])
+    return out
+
+
+def merge_search_index_keep_old_if_blank(lake: LakeTable, new: DataFrame) -> int:
+    """S7 upsert semantics: ``COALESCE(NULLIF(BTRIM(new.col), ''), old.col)``
+    for every text column (crawler.go:1343-1349) — a refresh never wipes
+    a previously-indexed title/summary with a blank."""
+    if lake.current_snapshot() is None:
+        return lake.write(new.dropDuplicates(["index_id"]))
+    old = lake.read()
+    text_cols = ["title", "summary", "detected_lang", "detected_type"]
+    o = old.alias("o")
+    n = new.dropDuplicates(["index_id"]).alias("n")
+    joined = n.join(o, "index_id", "left")
+    merged = joined.select(
+        "index_id",
+        F.coalesce(F.col("n.page_url"), F.col("o.page_url")).alias("page_url"),
+        *[
+            F.coalesce(F.nullif(F.trim(F.col(f"n.{c}")), F.lit("")), F.col(f"o.{c}")).alias(c)
+            for c in text_cols
+        ],
+    )
+    untouched = o.join(n.select("index_id"), "index_id", "left_anti").select(
+        "index_id", "page_url", *text_cols
+    )
+    return lake.write(untouched.unionByName(merged))
+
+
+def write_index_star(spark, lake_dir: str, tables: dict[str, DataFrame]) -> dict[str, int]:
+    """MERGE the whole star into LakeTables (idempotent on natural keys)."""
+    snaps = {}
+    keys = {
+        "search_index": ["index_id"],
+        "web_objects": ["object_hash"],
+        "web_objects_index": ["index_id", "object_hash"],
+        "meta_tags": ["metatag_hash"],
+        "meta_tags_index": ["index_id", "metatag_hash"],
+        "keywords": ["keyword"],
+        "keyword_index": ["index_id", "keyword"],
+        "source_search_index": ["source_id", "index_id"],
+    }
+    for name, df in tables.items():
+        lake = LakeTable(spark, f"{lake_dir}/{name}")
+        if name == "search_index":
+            snaps[name] = merge_search_index_keep_old_if_blank(lake, df)
+        else:
+            snaps[name] = lake.merge(df, keys[name])
+    return snaps
