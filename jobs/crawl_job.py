@@ -49,6 +49,8 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--output", required=True, help="output dir (pages/ visited/ lineage/ checkpoints)")
     p.add_argument("--run-id", default="run0")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--write-index", action="store_true",
+                   help="MERGE the index star (SearchIndex/WebObjects/...) into <output>/index")
     return p.parse_args(argv)
 
 
@@ -126,6 +128,22 @@ def main(argv: list[str] | None = None) -> None:
     visited_n = result.visited.count()
     elapsed = time.time() - t0
 
+    index_snaps = None
+    if args.write_index:
+        from pyspark.sql import functions as F
+
+        from thecrowler_spark.operators.indexer import build_index_tables, write_index_star
+
+        crawled = engine.parsed.join(
+            result.pages.select(F.col("url").alias("doc_id"), "source_id").dropDuplicates(
+                ["doc_id", "source_id"]
+            ),
+            "doc_id",
+            "inner",
+        )
+        star = build_index_tables(crawled, source_col="source_id")
+        index_snaps = write_index_star(spark, f"{args.output}/index", star)
+
     result.pages.write.mode("overwrite").parquet(f"{args.output}/pages")
     result.crawl_order.write.mode("overwrite").parquet(f"{args.output}/crawl_order")
     result.visited.write.mode("overwrite").parquet(f"{args.output}/visited")
@@ -139,6 +157,7 @@ def main(argv: list[str] | None = None) -> None:
         "urls_per_sec": round(visited_n / elapsed, 1) if elapsed > 0 else None,
         "counters": {str(k): v for k, v in result.counters.items()},
         "output": args.output,
+        "index_snapshots": index_snaps,
     }
     print(json.dumps(summary))
     spark.stop()
