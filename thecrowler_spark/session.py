@@ -44,6 +44,12 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # ParallelGC over G1: this is a batch-throughput engine, and G1's
+        # concurrent GC threads steal 15-25% of narrow/pinned topologies
+        # (measured on the crawl map stage: 2.14 s G1 vs 1.71 s ParallelGC
+        # at local[8]; scaling eff 0.65 → 0.82). Same reasoning holds for
+        # executor JVMs on a real cluster (spark.executor.extraJavaOptions).
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
