@@ -25,7 +25,7 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-CRAWL_DOCS = int(os.environ.get("BENCH_CRAWL_DOCS", "400000"))
+CRAWL_DOCS = int(os.environ.get("BENCH_CRAWL_DOCS", "1000000"))
 
 HEADLINE = [
     "url_normalize",
