@@ -326,7 +326,7 @@ def q_crawl_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_timeseries_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: tumbling buckets with exact percentiles + first/last edges."""
     ev = _load(spark, sf_dir, "events")["events"]
-    return TS.bucket_aggregates(ev, bucket="1 hour")
+    return TS.bucket_aggregates(ev, bucket="1 hour", decimal_scale=2)
 
 
 def q_search_star(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1002,10 +1002,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT metric, bucket_start,
                    count(*) AS value_count,
-                   round(sum(value), 4) AS value_sum,
+                   round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 4) AS value_sum,
                    round(min(value), 4) AS value_min,
                    round(max(value), 4) AS value_max,
-                   round(avg(value), 4) AS value_avg,
+                   round((CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / count(*)) / 100.0, 4) AS value_avg,
                    round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS p50,
                    round(CAST(quantile_cont(value, 0.75) AS DOUBLE), 4) AS p75,
                    round(CAST(quantile_cont(value, 0.9) AS DOUBLE), 4) AS p90,

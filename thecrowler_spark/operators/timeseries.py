@@ -24,6 +24,7 @@ def bucket_aggregates(
     metric_col: str = "event_type",
     value_col: str = "value",
     bucket: str = "1 hour",
+    decimal_scale: int | None = None,
 ) -> DataFrame:
     """Tumbling-bucket aggregate table, one row per (metric, bucket).
 
@@ -32,6 +33,13 @@ def bucket_aggregates(
     previous one (time_series_aggregation.go:309-333 change tracking).
     The lag window shares the (metric, bucket) partitioning with the
     groupBy, so AQE plans ONE shuffle for both.
+
+    ``decimal_scale``: when the metric is fixed-point (e.g. 2-decimal
+    money), sum/avg are computed on scaled integers — exact and
+    independent of partition/accumulation order, so re-runs, different
+    cluster sizes, and external oracles all produce bit-identical
+    aggregates (distributed-determinism requirement; float summation
+    order otherwise varies with partitioning).
     """
     w = F.window(F.col(ts_col), bucket)
     lag_w = Window.partitionBy(F.col(metric_col), w).orderBy(F.col(ts_col), F.col("event_id"))
@@ -39,14 +47,22 @@ def bucket_aggregates(
         "_changed",
         (F.col(value_col) != F.lag(value_col).over(lag_w)).cast("int"),
     )
+    if decimal_scale is not None:
+        mult = float(10**decimal_scale)
+        cents = F.round(F.col(value_col) * mult).cast("long")
+        sum_expr = F.round(F.sum(cents).cast("double") / mult, 4)
+        avg_expr = F.round((F.sum(cents).cast("double") / F.count("*")) / mult, 4)
+    else:
+        sum_expr = F.round(F.sum(value_col), 4)
+        avg_expr = F.round(F.avg(value_col), 4)
     return (
         events.groupBy(F.col(metric_col).alias("metric"), w.alias("w"))
         .agg(
             F.count("*").alias("value_count"),
-            F.round(F.sum(value_col), 4).alias("value_sum"),
+            sum_expr.alias("value_sum"),
             F.round(F.min(value_col), 4).alias("value_min"),
             F.round(F.max(value_col), 4).alias("value_max"),
-            F.round(F.avg(value_col), 4).alias("value_avg"),
+            avg_expr.alias("value_avg"),
             F.round(F.percentile(value_col, 0.5), 4).alias("p50"),
             F.round(F.percentile(value_col, 0.75), 4).alias("p75"),
             F.round(F.percentile(value_col, 0.9), 4).alias("p90"),
