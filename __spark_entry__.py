@@ -492,6 +492,16 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_bucketed_ann(corpus, queries, dim=dim, k=5, bits=4)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (inverted-file cells + n_probe; rows-only check — full-probe
+    == exact and recall invariants are in tests/test_similarity_ivf.py)."""
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
+    emb = emb.withColumn("embedding", F.transform(F.col("embedding"), lambda x: x.cast("double")))
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    queries_df = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    return SIM.ivf_ann(corpus, queries_df, n_cells=16, n_probe=4, k=5, iters=1)
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (marker-token votes)."""
     docs = _load(spark, sf_dir, "documents")["documents"]
@@ -745,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,

@@ -120,3 +120,111 @@ def lsh_bucketed_ann(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cosine", "rank")
     )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic k-means-lite centroids for IVF.
+
+    Init = the n_cells corpus vectors with smallest xxhash64(id)
+    (seed-free deterministic sample), then `iters` Lloyd rounds:
+    assign by max cosine (broadcast centroids), recompute per-cell
+    element-wise means (posexplode + groupBy — fully distributed, no
+    driver math). Returns (cell, centroid array<double>).
+    """
+    w = Window.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+    cents = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_cells)
+        .select((F.col("_r") - 1).alias("cell"), F.col(vec_col).alias("centroid"))
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, cents, vec_col=vec_col, id_col=id_col)
+        cents = (
+            assigned.join(corpus.select(F.col(id_col), F.col(vec_col)), id_col)
+            .select("cell", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.transform(F.col("pm"), lambda s: s["m"]).alias("centroid"))
+        )
+    return cents
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_probe: int = 1,
+) -> DataFrame:
+    """(id, cell) assignment to the top-``n_probe`` cells by cosine —
+    broadcast the (small) centroid table, rank per vector."""
+    c = F.broadcast(centroids.select("cell", F.col("centroid").alias("_cv"), _norm(F.col("centroid")).alias("_cn")))
+    scored = (
+        vectors.select(F.col(id_col), F.col(vec_col).alias("_v"), _norm(F.col(vec_col)).alias("_vn"))
+        .join(c)
+        .withColumn("_sim", _dot(F.col("_v"), F.col("_cv")) / (F.col("_vn") * F.col("_cn")))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cell"))
+    return (
+        scored.withColumn("_pr", F.row_number().over(w))
+        .filter(F.col("_pr") <= n_probe)
+        .select(id_col, "cell")
+    )
+
+
+def ivf_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    k: int = 5,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: corpus sharded into ``n_cells`` Voronoi
+    cells (the inverted file); each query probes its ``n_probe``
+    closest cells and re-ranks exactly within them. Scan cost ≈
+    n × n_probe / n_cells per query — the alternative 100 TB path to
+    LSH, better when the corpus is clustered. ``n_probe = n_cells``
+    degrades to exact search (recall-vs-cost dial, tested in
+    tests/test_similarity_ivf.py)."""
+    if centroids is None:
+        centroids = ivf_centroids(corpus, n_cells, iters=iters, vec_col=vec_col, id_col=id_col)
+    centroids = centroids.persist()
+    corpus_cells = ivf_assign(corpus, centroids, vec_col=vec_col, id_col=id_col, n_probe=1)
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"), _norm(F.col(vec_col)).alias("cn")
+    ).join(corpus_cells.withColumnRenamed(id_col, "corpus_id"), "corpus_id")
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"), _norm(F.col(vec_col)).alias("qn")
+    )
+    q_cells = ivf_assign(
+        queries.select(F.col(query_id_col), F.col(vec_col)),
+        centroids,
+        vec_col=vec_col,
+        id_col=query_id_col,
+        n_probe=n_probe,
+    )
+    q = q.join(F.broadcast(q_cells.withColumnRenamed(query_id_col, "query_id")), "query_id")
+    cand = c.join(F.broadcast(q), ["cell"]).dropDuplicates(["query_id", "corpus_id"])
+    scored = cand.withColumn(
+        "cosine", F.round(_dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
