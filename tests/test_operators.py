@@ -134,3 +134,22 @@ def test_streaming_equals_batch(spark, tmp_path):
     got = {tuple(r) for r in spark.table("win_counts").collect()}
     q.stop()
     assert got == batch
+
+
+def test_search_json_path_field(spark):
+    """Dorking @json.path:term → get_json_object LIKE (tokenizer.go:343-360)."""
+    from thecrowler_spark.operators.search import compile_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "t", "s", "b", '{"tech": {"server": "Nginx/1.2"}}'),
+            (2, "t", "s", "b", '{"tech": {"server": "apache"}}'),
+            (3, "nginx in title", "s", "b", "{}"),
+        ],
+        "doc_id int, title string, summary string, body_text string, details string",
+    )
+    hits = {r["doc_id"] for r in df.filter(compile_search("@tech.server:nginx")).collect()}
+    assert hits == {1}
+    # OR composition with a default-field term still works
+    hits2 = {r["doc_id"] for r in df.filter(compile_search("@tech.server:nginx | nginx")).collect()}
+    assert hits2 == {1, 3}

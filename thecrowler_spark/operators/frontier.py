@@ -263,8 +263,9 @@ class CrawlEngine:
         for sid, n in initial_link_counts.items():
             counters[sid]["links"] = n
 
-        pages = self._ckpt(pages, run_id, 0, "pages")
-        visited = self._ckpt(visited, run_id, 0, "visited")
+        # depth-0 state is the base delta of the append-only page/visited logs
+        pages = self._ckpt_delta(pages.limit(0), pages, run_id, 0, "pages")
+        visited = self._ckpt_delta(visited.limit(0), visited, run_id, 0, "visited")
         frontier = self._ckpt(frontier, run_id, 0, "frontier")
         lineage.append(
             {
@@ -322,16 +323,18 @@ class CrawlEngine:
             out = self._process_level(level, visited, pages, depth, counters)
             new_frontier, new_pages, new_visited_rows, stats, deferred = out
 
-            # effects → next-round state (snapshot per round = the checkpoint)
-            pages = self._ckpt(pages.unionByName(new_pages), run_id, depth, "pages")
-            visited = self._ckpt(
-                visited.unionByName(new_visited_rows).dropDuplicates(
-                    ["source_id", "norm_url"]
-                ),
-                run_id,
-                depth,
-                "visited",
+            # effects → next-round state. Pages/visited are APPEND-ONLY:
+            # each round commits only its DELTA (the Iceberg-append
+            # analog) and the live state is a union-scan over committed
+            # deltas — per-round write cost stays O(delta), not
+            # O(total-so-far), which is the difference between a crawl
+            # that holds at 10^10 URLs and one whose checkpoint I/O grows
+            # quadratically with crawl length.
+            visited_delta = new_visited_rows.dropDuplicates(["source_id", "norm_url"]).join(
+                visited, ["source_id", "norm_url"], "left_anti"
             )
+            pages = self._ckpt_delta(pages, new_pages, run_id, depth, "pages")
+            visited = self._ckpt_delta(visited, visited_delta, run_id, depth, "visited")
             frontier = self._ckpt(new_frontier, run_id, depth, "frontier")
 
             for sid, s in stats.items():
@@ -652,6 +655,32 @@ class CrawlEngine:
         df.write.mode("overwrite").parquet(path)
         return self.spark.read.parquet(path)
 
+    def _delta_dirs(self, run_id: str, up_to_round: int, name: str) -> list[str]:
+        import glob
+        import os
+        import re
+
+        dirs = []
+        for d in sorted(glob.glob(f"{self.work_dir}/{run_id}/r*/{name}_delta")):
+            m = re.search(r"/r(\d+)/", d)
+            if m and int(m.group(1)) <= up_to_round and os.path.exists(f"{d}/_SUCCESS"):
+                dirs.append(d)
+        return dirs
+
+    def _ckpt_delta(
+        self, cur_state: DataFrame, delta: DataFrame, run_id: str, rnd: int, name: str
+    ) -> DataFrame:
+        """Append-only state commit: write ONLY this round's delta
+        (Iceberg-append analog); the live state becomes a union-scan
+        over all committed deltas ≤ rnd — one scan node, lineage cut,
+        per-round write cost O(delta) instead of O(total state).
+        """
+        if not self.work_dir:
+            return cur_state.unionByName(delta).localCheckpoint(eager=True)
+        path = f"{self.work_dir}/{run_id}/r{rnd:04d}/{name}_delta"
+        delta.write.mode("overwrite").parquet(path)
+        return self.spark.read.parquet(*self._delta_dirs(run_id, rnd, name))
+
     def _write_manifest(
         self, run_id: str, rnd: int, counters: dict[int, dict[str, int]], depth: int
     ) -> None:
@@ -680,20 +709,28 @@ class CrawlEngine:
         manifests = sorted(glob.glob(f"{self.work_dir}/{run_id}/r*/manifest.json"))
         for m in reversed(manifests):
             rdir = os.path.dirname(m)
-            if not all(
-                os.path.exists(f"{rdir}/{t}/_SUCCESS") for t in ("pages", "visited", "frontier")
-            ):
-                continue
             with open(m) as f:
                 meta = json.load(f)
+            rnd = meta["round"]
+            # pages/visited are append-only delta logs: the state at this
+            # round is the union of every committed delta ≤ round; all of
+            # them (incl. the r0000 base) must have committed
+            pages_dirs = self._delta_dirs(run_id, rnd, "pages")
+            visited_dirs = self._delta_dirs(run_id, rnd, "visited")
+            if (
+                not pages_dirs
+                or not visited_dirs
+                or not os.path.exists(f"{rdir}/frontier/_SUCCESS")
+            ):
+                continue
             counters = {int(k): v for k, v in meta["counters"].items()}
             return {
-                "pages": self.spark.read.parquet(f"{rdir}/pages"),
-                "visited": self.spark.read.parquet(f"{rdir}/visited"),
+                "pages": self.spark.read.parquet(*pages_dirs),
+                "visited": self.spark.read.parquet(*visited_dirs),
                 "frontier": self.spark.read.parquet(f"{rdir}/frontier"),
                 "counters": counters,
                 "current_depth": meta["depth"],
-                "lineage": [{"run_id": run_id, "round": meta["round"], "resumed": True}],
+                "lineage": [{"run_id": run_id, "round": rnd, "resumed": True}],
             }
         return None
 

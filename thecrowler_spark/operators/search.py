@@ -45,15 +45,28 @@ def tokenize(query: str) -> list[str]:
     return [m.group(1) for m in _TOKEN_RE.finditer(query)]
 
 
+#: column holding the semi-structured details JSON probed by @path terms
+#: (reference: WebObjects.details JSONB, tokenizer.go:343-360 compiles
+#: ``@a.b.c:v`` to a ``details->'a'->'b'->>'c' LIKE`` accessor chain)
+JSON_DETAILS_COL = "details"
+
+
 def _term_predicate(term: str) -> Column:
     field = None
-    if '"' not in term and ":" in term:
+    json_path = None
+    if term.startswith("@") and ":" in term:
+        spec, rest = term[1:].split(":", 1)
+        if spec and rest:
+            json_path, term = "$." + spec, rest
+    elif '"' not in term and ":" in term:
         prefix, rest = term.split(":", 1)
         if prefix.lower() in FIELD_ALIASES and rest:
             field, term = FIELD_ALIASES[prefix.lower()], rest
     if term.startswith('"') and term.endswith('"') and len(term) >= 2:
         term = term[1:-1].replace('\\"', '"').replace("\\\\", "\\")
     like = f"%{term.lower()}%"
+    if json_path:
+        return F.lower(F.get_json_object(F.col(JSON_DETAILS_COL), json_path)).like(like)
     if field:
         return F.lower(F.col(field)).like(like)
     pred = F.lit(False)
