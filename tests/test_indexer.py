@@ -78,3 +78,35 @@ def test_keep_old_if_blank(spark, tmp_path):
     merge_search_index_keep_old_if_blank(lake, renamed)
     assert lake.read().first()["title"] == "New Title"
     assert lake.read().count() == 1
+
+
+def test_netinfo_screenshot_sinks(spark, tmp_path):
+    from thecrowler_spark.operators.netinfo import (
+        netinfo_rows,
+        screenshot_rows,
+        write_netinfo,
+        write_screenshots,
+    )
+    from thecrowler_spark.sources.lake import LakeTable
+
+    pages = spark.createDataFrame(
+        [("https://a.example.com/1", '{"b": 1, "a": 2}'), ("https://a.example.com/2", '{"a": 2, "b": 1}')],
+        "doc_id string, details string",
+    )
+    net = netinfo_rows(pages)
+    rows = net.collect()
+    # canonical JSON → identical details/hash despite key-order difference
+    assert rows[0]["details"] == rows[1]["details"] == '{"a":2,"b":1}'
+    assert rows[0]["details_hash"] == rows[1]["details_hash"]
+
+    d = str(tmp_path / "lake")
+    write_netinfo(spark, d, net)
+    write_netinfo(spark, d, net)  # replay → idempotent
+    assert LakeTable(spark, f"{d}/net_info").read().count() == 2  # one per page
+
+    shots = screenshot_rows(pages)
+    write_screenshots(spark, d, shots)
+    write_screenshots(spark, d, shots)
+    got = LakeTable(spark, f"{d}/screenshots").read()
+    assert got.count() == 2
+    assert got.first()["screenshot_ref"].endswith(".png")
