@@ -81,21 +81,34 @@ class CrawlResult:
     lineage: list[dict[str, Any]] = field(default_factory=list)
 
 
-def claim_sources(seeds: DataFrame, limit: int, priorities: tuple[str, ...] = ()) -> DataFrame:
+def claim_sources(
+    seeds: DataFrame,
+    limit: int,
+    priorities: tuple[str, ...] = (),
+    engine_id: int | None = None,
+    n_engines: int = 1,
+) -> DataFrame:
     """Frontier scan+claim (S1): eligible → FIFO → limit.
 
     Reference: ``update_sources`` /root/reference/pkg/database/
     postgresql-setup.pgsql:2826-2898 — status filter, optional priority
     list, ``ORDER BY created_at ASC, source_id ASC``, ``LIMIT n``.
-    SKIP LOCKED becomes deterministic: each engine claims a disjoint
-    ordered prefix; multi-engine partitioning would add
-    ``pmod(xxhash64(source_uid), n_engines) = engine_id``.
+
+    ``FOR UPDATE SKIP LOCKED`` (many engines claiming from one table
+    without collisions) becomes deterministic ownership: engine ``e`` of
+    ``n_engines`` only sees sources with
+    ``pmod(xxhash64(source_uid), n_engines) = e`` — disjoint claims with
+    no coordination, stable across retries/resumes (the distributed
+    rendering of the reference's ``engine`` column claim,
+    pgsql:2888-2895).
     """
     df = seeds.filter(
         (~F.col("disabled")) & F.col("status").isin("new", "pending", "completed", "error")
     )
     if priorities:
         df = df.filter(F.col("priority").isin(*priorities))
+    if engine_id is not None and n_engines > 1:
+        df = df.filter(F.pmod(F.xxhash64(F.col("source_uid")), F.lit(n_engines)) == engine_id)
     return df.orderBy("created_at", "source_id").limit(limit)
 
 
