@@ -546,6 +546,34 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select("media_ref", "media_type", "n_bytes", "payload_sha256")
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing (mapInPandas stub): deterministic resized-hash."""
+    _load(spark, sf_dir, "part")
+    refs = spark.sql(
+        """
+        SELECT concat('https://cdn.example.com/m', CAST(p_partkey AS STRING), '.',
+                      element_at(array('png','jpg','mp4'), CAST(p_partkey % 3 AS INT) + 1)) AS media_ref
+        FROM part WHERE p_partkey < 300
+        """
+    )
+    return MM.resize_media(MM.attach_payloads(refs)).select(
+        "media_ref", "media_type", "target_w", "target_h", "resized_sha256", "n_bytes"
+    )
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out (video refs only)."""
+    _load(spark, sf_dir, "part")
+    refs = spark.sql(
+        """
+        SELECT concat('https://cdn.example.com/m', CAST(p_partkey AS STRING), '.',
+                      element_at(array('png','mp4','webm'), CAST(p_partkey % 3 AS INT) + 1)) AS media_ref
+        FROM part WHERE p_partkey < 300
+        """
+    )
+    return MM.sample_frames(MM.attach_payloads(refs))
+
+
 def q_attr_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ObjectAttributes EAV extraction: JSON-path + normalizers + value_hash
     (crawler.go:1065-1202, postgresql-setup.pgsql:553-601)."""
@@ -762,6 +790,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens_bpe": q_text_tokens_bpe,
         "text_fingerprint": q_text_fingerprint,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
         "attr_index": q_attr_index,
         "attr_correlation": q_attr_correlation,
         "url_fuzzing": q_url_fuzzing,
@@ -1335,6 +1365,53 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM crawl UNION ALL SELECT * FROM mail)
             ORDER BY arrival, discovered_via, url
             LIMIT 200
+        """,
+        "multimodal_resize": """
+            WITH refs AS (
+              SELECT concat('https://cdn.example.com/m', CAST(p_partkey AS VARCHAR), '.',
+                            (['png','jpg','mp4'])[CAST(p_partkey % 3 AS INT) + 1]) AS media_ref
+              FROM part WHERE p_partkey < 300
+            ),
+            payload AS (
+              SELECT media_ref,
+                     repeat(media_ref, (ascii(substring(md5(media_ref), 1, 1)) % 8) + 1) AS p
+              FROM refs
+            )
+            SELECT media_ref,
+                   CASE lower(regexp_extract(media_ref, '\\.([a-z0-9]+)$', 1))
+                     WHEN 'png' THEN 'image/png' WHEN 'jpg' THEN 'image/jpeg'
+                     WHEN 'mp4' THEN 'video/mp4'
+                     ELSE 'application/octet-stream' END AS media_type,
+                   CAST(224 AS INT) AS target_w, CAST(224 AS INT) AS target_h,
+                   sha256(p || ':224x224') AS resized_sha256,
+                   CAST(length(p) AS BIGINT) AS n_bytes
+            FROM payload
+        """,
+        "multimodal_frames": """
+            WITH refs AS (
+              SELECT concat('https://cdn.example.com/m', CAST(p_partkey AS VARCHAR), '.',
+                            (['png','mp4','webm'])[CAST(p_partkey % 3 AS INT) + 1]) AS media_ref
+              FROM part WHERE p_partkey < 300
+            ),
+            payload AS (
+              SELECT media_ref,
+                     CASE lower(regexp_extract(media_ref, '\\.([a-z0-9]+)$', 1))
+                       WHEN 'mp4' THEN 'video/mp4' WHEN 'webm' THEN 'video/webm' ELSE 'other' END AS mt,
+                     repeat(media_ref, (ascii(substring(md5(media_ref), 1, 1)) % 8) + 1) AS p
+              FROM refs
+            ),
+            vids AS (
+              SELECT media_ref, p, least((length(p) % 8) + 1, 8) AS n
+              FROM payload WHERE mt LIKE 'video/%'
+            )
+            , frames AS (
+              SELECT media_ref, p, unnest(generate_series(0, n - 1)) AS i FROM vids
+            )
+            SELECT media_ref,
+                   CAST(i AS INT) AS frame_idx,
+                   CAST(i * 1000 AS BIGINT) AS frame_ts_ms,
+                   sha256(p || ':f' || CAST(i AS VARCHAR)) AS frame_sha256
+            FROM frames
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -249,3 +249,55 @@ def embedding_near_dups(
         .filter(F.col("cosine") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
     )
+
+
+def embedding_near_dups_lsh(
+    emb,
+    threshold: float = 0.8,
+    bits: int = 8,
+    tables: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Scale path for embedding-cosine near-dup: random-hyperplane LSH
+    buckets (reusing :mod:`.similarity`'s deterministic signatures)
+    restrict the pair join to same-bucket candidates — O(n·b/2^bits)
+    candidate pairs instead of O(n²) — then exact cosine confirms.
+    Recall vs the exact O(n²) operator is tested in
+    tests/test_dedup_lsh.py; precision is exact (same threshold test)."""
+    from pyspark.sql import functions as F
+
+    from thecrowler_spark.operators.similarity import _dot, _norm, lsh_buckets
+
+    dim = len(emb.select(vec_col).first()[0])
+    keyed = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("n"),
+        F.explode(lsh_buckets(F.col(vec_col), dim, bits, tables)).alias("b"),
+    ).select("id", "v", "n", F.col("b.table").alias("table"), F.col("b.bucket").alias("bucket"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn(
+            "cosine", F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

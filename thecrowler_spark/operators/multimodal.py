@@ -115,3 +115,78 @@ def media_spans_table(documents: DataFrame) -> DataFrame:
         )
         .filter(F.col("media_ref") != "")
     )
+
+
+RESIZED_SCHEMA = (
+    "media_ref string, media_type string, target_w int, target_h int, "
+    "resized_sha256 string, n_bytes long"
+)
+
+FRAMES_SCHEMA = (
+    "media_ref string, frame_idx int, frame_ts_ms long, frame_sha256 string"
+)
+
+
+def resize_media(df: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """Resize plumbing over mapInPandas (Arrow batches).
+
+    Schema/batch contract is production-real; the pixel work is a
+    deterministic stub (this container has no pillow/libav): the
+    "resized" payload is payload + dims, hashed. Swapping in a real
+    decoder changes only the body of ``batches``.
+    """
+    from collections.abc import Iterator
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            tag = f":{target_w}x{target_h}".encode()
+            sha = pdf["payload"].map(lambda b: hashlib.sha256(bytes(b) + tag).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "media_type": pdf["media_type"],
+                    "target_w": target_w,
+                    "target_h": target_h,
+                    "resized_sha256": sha,
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 8) -> DataFrame:
+    """Frame-sampling plumbing for video refs: one output row per sampled
+    frame (frame count derived deterministically from the payload size —
+    a stand-in for real container parsing; the fan-out shape, schema and
+    per-frame hashing are the production contract)."""
+    from collections.abc import Iterator
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            refs, idxs, tss, hashes = [], [], [], []
+            for ref, payload, mtype in zip(pdf["media_ref"], pdf["payload"], pdf["media_type"]):
+                if not str(mtype).startswith("video/"):
+                    continue
+                n = min((len(payload) % max_frames) + 1, max_frames)
+                for i in range(n):
+                    refs.append(ref)
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    hashes.append(
+                        hashlib.sha256(bytes(payload) + f":f{i}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_ref": pd.Series(refs, dtype="object"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_ts_ms": pd.Series(tss, dtype="int64"),
+                    "frame_sha256": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(batches, FRAMES_SCHEMA)
