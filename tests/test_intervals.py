@@ -65,3 +65,13 @@ def test_budgets_from_intervals(spark):
     }
     # interval 2 → clamped to 3s min → floor(60/3)=20; 5 → 12; 120 → min budget 1
     assert got == {"a.example.com": 20, "b.example.com": 12, "c.example.com": 1}
+
+
+def test_parse_pacing_expr():
+    from thecrowler_spark.functions.intervals import parse_pacing_expr
+
+    assert parse_pacing_expr("2") == (2.0, 2.0)
+    assert parse_pacing_expr("random(1, 3)") == (1.0, 3.0)
+    assert parse_pacing_expr("RANDOM(3,1)") == (1.0, 3.0)
+    assert parse_pacing_expr("") == (0.0, 0.0)
+    assert parse_pacing_expr("garbage") == (0.0, 0.0)

@@ -102,3 +102,28 @@ def pacing_delay_seconds(
     ) / F.lit(float(16**8))
     delay = F.lit(float(lo)) + frac * F.lit(float(hi - lo))
     return F.greatest(delay, F.lit(3.0))
+
+
+def parse_pacing_expr(expr: str) -> tuple[float, float]:
+    """Parse the reference's pacing config expression into (lo, hi).
+
+    Reference: the ``exprterpreter`` evaluates strings like ``"2"`` or
+    ``"random(1, 3)"`` per fetch (/root/reference/pkg/exprterpreter/
+    exprterpreter.go:144-242; shipped default ``random(1,3)``,
+    config.default:79). Driver-side (config parse, not data plane);
+    the per-URL draw itself is :func:`pacing_delay_seconds`.
+    """
+    import re
+
+    t = (expr or "").strip().lower()
+    if t == "":
+        return (0.0, 0.0)
+    m = re.match(r"^random\(\s*([0-9.]+)\s*,\s*([0-9.]+)\s*\)$", t)
+    if m:
+        lo, hi = float(m.group(1)), float(m.group(2))
+        return (min(lo, hi), max(lo, hi))
+    try:
+        v = float(t)
+    except ValueError:
+        return (0.0, 0.0)  # exprterpreter falls back to 0 on parse failure
+    return (v, v)
