@@ -226,6 +226,12 @@ def main() -> None:
 
     spark = _fresh_spark(CPUS)
     queries = E.queries()
+    # JVM/codegen/scan warm-up so the first headline query isn't charged
+    # session start-up costs the others don't pay
+    from pyspark.sql import functions as F
+
+    spark.range(1_000_000).select(F.sum("id")).collect()
+    spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
