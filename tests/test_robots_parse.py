@@ -1,0 +1,62 @@
+"""robots.txt parser → rule rows (RFC 9309 grouping), wired into the
+enforcement operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from thecrowler_spark.operators.robots import disallow_prefix_filter, parse_robots_txt
+
+TXT = """
+# comment
+User-agent: googlebot
+Disallow: /google-only
+
+User-agent: *
+Disallow: /private
+Allow: /private/s0
+Crawl-delay: 2.5
+Disallow:
+
+User-agent: evilbot
+Disallow: /
+"""
+
+
+def test_parse_robots_groups(spark):
+    docs = spark.createDataFrame([("h0.example.com", TXT)], "host string, robots_txt string")
+    rules = parse_robots_txt(docs).collect()
+    got = {(r["rule_type"], r["path_prefix"], r["crawl_delay"]) for r in rules}
+    # only the '*' group applies: googlebot + evilbot groups are skipped;
+    # empty Disallow dropped
+    assert got == {
+        ("disallow", "/private", 0.0),
+        ("allow", "/private/s0", 0.0),
+        ("crawl_delay", "", 2.5),
+    }
+
+
+def test_parse_feeds_enforcement(spark):
+    docs = spark.createDataFrame([("h0.example.com", TXT)], "host string, robots_txt string")
+    rules = parse_robots_txt(docs)
+    links = spark.createDataFrame(
+        [
+            ("https://h0.example.com/public/a", "h0.example.com"),
+            ("https://h0.example.com/private/x", "h0.example.com"),
+            ("https://h1.example.com/private/x", "h1.example.com"),  # no robots → allowed
+        ],
+        "url_link string, host string",
+    )
+    kept = {r["url_link"] for r in disallow_prefix_filter(links, rules).collect()}
+    assert kept == {
+        "https://h0.example.com/public/a",
+        "https://h1.example.com/private/x",
+    }
+
+
+def test_specific_agent_overrides_star(spark):
+    docs = spark.createDataFrame([("h.example.com", TXT)], "host string, robots_txt string")
+    rules = parse_robots_txt(docs, user_agent="googlebot").collect()
+    prefixes = {r["path_prefix"] for r in rules if r["rule_type"] == "disallow"}
+    # googlebot group AND the '*' group both apply for agent=googlebot
+    assert "/google-only" in prefixes and "/private" in prefixes

@@ -55,3 +55,69 @@ def disallow_prefix_filter(
         F.exists("_dis_prefixes", lambda p: path.startswith(p)),
     ).otherwise(F.lit(False))
     return joined.filter(~blocked).drop("_rhost", "_dis_prefixes")
+
+
+def parse_robots_txt(
+    robots_docs: DataFrame,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+    user_agent: str = "*",
+) -> DataFrame:
+    """robots.txt bodies → (host, rule_type, path_prefix, crawl_delay)
+    rule rows, RFC 9309 grouping semantics.
+
+    Vectorized pandas UDF (one robots.txt is small; the corpus of them
+    is huge — per-host parse is the right batch unit): lines are split
+    into user-agent groups; a group applies if any of its agents is
+    ``user_agent`` or ``*``; Allow/Disallow/Crawl-delay collected from
+    applying groups; empty Disallow ("allow all") is dropped.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    out_schema = "host string, rule_type string, path_prefix string, crawl_delay double"
+
+    def parse_one(host: str, txt: str) -> list[tuple]:
+        rules: list[tuple] = []
+        if not txt:
+            return rules
+        group_agents: list[str] = []
+        group_active = False
+        in_group_body = False
+        want = {user_agent.lower(), "*"}
+        for raw in txt.splitlines():
+            line = raw.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            key, val = line.split(":", 1)
+            key = key.strip().lower()
+            val = val.strip()
+            if key == "user-agent":
+                if in_group_body:  # new group starts
+                    group_agents, group_active, in_group_body = [], False, False
+                group_agents.append(val.lower())
+                group_active = bool(want & set(group_agents))
+            elif key in ("allow", "disallow", "crawl-delay"):
+                in_group_body = True
+                if not group_active:
+                    continue
+                if key == "crawl-delay":
+                    try:
+                        rules.append((host, "crawl_delay", "", float(val)))
+                    except ValueError:
+                        pass
+                elif val:  # empty Disallow == allow-all → no rule
+                    rules.append((host, key, val, 0.0))
+        return rules
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: list[tuple] = []
+            for h, t in zip(pdf[host_col], pdf[body_col]):
+                rows.extend(parse_one(h, t))
+            yield pd.DataFrame(
+                rows, columns=["host", "rule_type", "path_prefix", "crawl_delay"]
+            )
+
+    return robots_docs.mapInPandas(batches, out_schema)
