@@ -711,6 +711,24 @@ def q_email_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt → rule rows (RFC 9309 groups; rows-only — group
+    semantics goldens are in tests/test_robots_parse.py)."""
+    from thecrowler_spark.operators.robots import parse_robots_txt
+
+    _load(spark, sf_dir, "nation")
+    docs = spark.sql(
+        """
+        SELECT concat('h', CAST(n_nationkey AS STRING), '.example.com') AS host,
+               concat('User-agent: *\nDisallow: /private', CAST(n_nationkey % 3 AS STRING),
+                      '\nAllow: /private', CAST(n_nationkey % 3 AS STRING), '/ok',
+                      '\nCrawl-delay: ', CAST(n_nationkey % 5 + 1 AS STRING)) AS robots_txt
+        FROM nation
+        """
+    )
+    return parse_robots_txt(docs)
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine sanity: TPC-H Q1-shaped aggregation."""
     _load(spark, sf_dir, "lineitem")
@@ -798,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalizers": q_normalizers,
         "search_fts_rank": q_search_fts_rank,
         "email_frontier": q_email_frontier,
+        "robots_parse": q_robots_parse,
         "pricing_summary": q_pricing_summary,
         "streaming_window_counts": q_streaming_window_counts,
         "crawl_bfs": q_crawl_bfs,
