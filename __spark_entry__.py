@@ -1028,7 +1028,7 @@ def oracle_sql() -> dict[str, str]:
                        OR (u <> '' AND regexp_matches(u, '(?i)\\.pdf(\\?.*)?$')) THEN 'application/pdf'
                      ELSE 'unknown'
                    END AS content_type,
-                   (contains(lower(b), '<html') OR starts_with(lower(regexp_replace(substr(body, 1, 512), '^[\\x00\\t\\n\\r ]+', '')), '<!doctype html')
+                   (starts_with(lower(regexp_replace(substr(body, 1, 512), '^[\\x00\\t\\n\\r ]+', '')), '<!doctype html')
                     OR contains(lower(substr(body, 1, 512)), '<html') OR contains(lower(substr(body, 1, 512)), '<head')
                     OR contains(lower(substr(body, 1, 512)), '<body') OR contains(lower(substr(body, 1, 512)), '<meta charset')) AS is_html
             FROM t

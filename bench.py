@@ -144,18 +144,10 @@ def _pipeline(spark, docs, visited, robots, budgets):
     )
 
 
-def _spin_worker() -> int:
-    x = 0
-    for i in range(40_000_000):
-        x += i
-    return x
-
-
 def _raw_cpu_time(cores: int) -> float:
     """Wall time for `cores` pure-Python spin processes pinned to `cores`
     cores — measures the HOST's parallel-efficiency ceiling at this
     moment (shared VM; steal/throttle varies run to run)."""
-    import multiprocessing as mp
     import subprocess
 
     code = (

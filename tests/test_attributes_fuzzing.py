@@ -109,3 +109,20 @@ def test_fuzz_urls_appends_missing_param(spark):
     rules = spark.createDataFrame([("rq", "query", "id", ["5"])], RULES_SCHEMA)
     row = fuzz_urls(urls, rules).first()
     assert row["fuzzed_url"] == "https://h.example.com/i?x=1&id=5"
+
+
+def test_fuzz_urls_metachar_selector_and_value(spark):
+    """Regex metacharacters in selectors/values are treated literally
+    (the reference never uses regex — strings.Replace / url.Values)."""
+    urls = spark.createDataFrame(
+        [("https://h.example.com/api?ids[]=1&x=2",), ("https://v1-cdn.example.com/v1/items",)],
+        "url string",
+    )
+    rules = spark.createDataFrame(
+        [("rq", "query", "ids[]", ["$ref"]), ("rp", "path", "/v1", ["/v2"])], RULES_SCHEMA
+    )
+    got = {(r["rule_name"], r["fuzzed_url"]) for r in fuzz_urls(urls, rules).collect()}
+    assert ("rq", "https://h.example.com/api?ids[]=$ref&x=2") in got
+    # path selector '/v1' must hit the PATH, never the hostname
+    assert ("rp", "https://v1-cdn.example.com/v2/items") in got
+    assert not any("v2-cdn" in u for _, u in got)

@@ -54,9 +54,10 @@ def test_parse_feeds_enforcement(spark):
     }
 
 
-def test_specific_agent_overrides_star(spark):
+def test_specific_agent_excludes_star(spark):
     docs = spark.createDataFrame([("h.example.com", TXT)], "host string, robots_txt string")
     rules = parse_robots_txt(docs, user_agent="googlebot").collect()
-    prefixes = {r["path_prefix"] for r in rules if r["rule_type"] == "disallow"}
-    # googlebot group AND the '*' group both apply for agent=googlebot
-    assert "/google-only" in prefixes and "/private" in prefixes
+    got = {(r["rule_type"], r["path_prefix"]) for r in rules}
+    # RFC 9309 §2.2.1: the most specific group wins — ONLY the googlebot
+    # group applies; the '*' group (incl. its crawl-delay) is ignored
+    assert got == {("disallow", "/google-only")}

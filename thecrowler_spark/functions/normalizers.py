@@ -79,7 +79,9 @@ def unix_to_datetime(c: Column | str) -> Column:
     """
     s = F.trim(_col(c))
     is_int = s.rlike(r"^-?[0-9]+$")
-    v = s.cast("long")
+    # try_cast: a >19-digit numeric token passes the rlike guard but
+    # overflows BIGINT — ANSI mode would kill the job on cast()
+    v = s.try_cast("long")
     secs = F.when(v > 9999999999, (v / 1000).cast("long")).otherwise(v)
     iso = F.concat(
         F.date_format(F.to_utc_timestamp(F.timestamp_seconds(secs), "UTC"), "yyyy-MM-dd'T'HH:mm:ss"),
@@ -90,9 +92,10 @@ def unix_to_datetime(c: Column | str) -> Column:
 
 def fix_utf8(c: Column | str) -> Column:
     """Strip NULs and control chars except \\n and \\t
-    (attribute_indexing.go:136-160). Spark strings are already valid
-    UTF-8, so the ToValidUTF8 step is a no-op here."""
-    return F.regexp_replace(_col(c), r"[\x00\x01-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    (attribute_indexing.go:136-160 keeps ONLY \\n and \\t — \\r is
+    stripped too). Spark strings are already valid UTF-8, so the
+    ToValidUTF8 step is a no-op here."""
+    return F.regexp_replace(_col(c), r"[\x00-\x08\x0B-\x1F\x7F]", "")
 
 
 #: sanitize_string keeps graphic+space runes minus controls — for valid

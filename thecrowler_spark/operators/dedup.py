@@ -258,6 +258,7 @@ def embedding_near_dups_lsh(
     tables: int = 6,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ):
     """Scale path for embedding-cosine near-dup: random-hyperplane LSH
     buckets (reusing :mod:`.similarity`'s deterministic signatures)
@@ -269,7 +270,15 @@ def embedding_near_dups_lsh(
 
     from thecrowler_spark.operators.similarity import _dot, _norm, lsh_buckets
 
-    dim = len(emb.select(vec_col).first()[0])
+    if dim is None:
+        # convenience inference — one driver round-trip; pass dim
+        # explicitly in pipelines. Empty input → no pairs, not a crash.
+        first = emb.select(vec_col).first()
+        if first is None:
+            return emb.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cosine double"
+            )
+        dim = len(first[0])
     keyed = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),

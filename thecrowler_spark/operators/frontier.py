@@ -671,12 +671,16 @@ class CrawlEngine:
     def _delta_dirs(self, run_id: str, up_to_round: int, name: str) -> list[str]:
         import glob
         import os
-        import re
 
         dirs = []
         for d in sorted(glob.glob(f"{self.work_dir}/{run_id}/r*/{name}_delta")):
-            m = re.search(r"/r(\d+)/", d)
-            if m and int(m.group(1)) <= up_to_round and os.path.exists(f"{d}/_SUCCESS"):
+            # the round is the delta dir's PARENT component ("r0007") —
+            # matching anywhere in the path would mis-read a work_dir or
+            # run_id segment that happens to look like /r<digits>/
+            rdir = os.path.basename(os.path.dirname(d))
+            if not (rdir.startswith("r") and rdir[1:].isdigit()):
+                continue
+            if int(rdir[1:]) <= up_to_round and os.path.exists(f"{d}/_SUCCESS"):
                 dirs.append(d)
         return dirs
 

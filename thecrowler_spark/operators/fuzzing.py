@@ -24,17 +24,6 @@ from pyspark.sql.functions import broadcast
 RULES_SCHEMA = "rule_name string, param_name string, selector string, fuzz_values array<string>"
 
 
-def _replace_first(url: F.Column, sel: F.Column, val: F.Column) -> F.Column:
-    """Replace the first literal occurrence of `sel` in `url` with `val`
-    (Go strings.Replace(s, old, new, 1)); positions are 1-based."""
-    pos = F.expr("locate(selector, url)")
-    return F.concat(
-        F.substring(url, F.lit(1), pos - 1),
-        val,
-        F.substring(url, pos + F.length(sel), F.length(url)),
-    )
-
-
 def fuzz_urls(urls: DataFrame, rules: DataFrame, url_col: str = "url") -> DataFrame:
     """Generate fuzzed URLs per rule; output (url, rule_name, fuzz_value,
     fuzzed_url), one row per (input URL × rule × value) that applies.
@@ -54,21 +43,43 @@ def fuzz_urls(urls: DataFrame, rules: DataFrame, url_col: str = "url") -> DataFr
     base = F.substring_index(u, "?", 1)
     query = F.expr("substring_index(url, '?', -1)")
 
+    # selectors/values are LITERAL strings (the Go reference manipulates
+    # url.Values / strings.Replace, never regex): quote the selector with
+    # \Q..\E in patterns and escape '\' and '$' in replacements so
+    # metacharacter-bearing rules ('ids[]', '$ref') cannot crash the job
+    sel_q = F.concat(F.lit(r"\Q"), sel, F.lit(r"\E"))
+    val_repl = F.regexp_replace(val, r"([\\$])", r"\\$1")
+
     # query fuzz: rewrite `sel=...` if present (up to next & or end), else append
-    param_re = F.concat(F.lit("(^|&)"), sel, F.lit("=[^&]*"))
+    param_re = F.concat(F.lit("(^|&)"), sel_q, F.lit("=[^&]*"))
     has_param = F.regexp_count(query, param_re) > 0
     new_query = F.when(
         has_param,
-        F.regexp_replace(query, param_re, F.concat(F.lit("$1"), sel, F.lit("="), val)),
+        F.regexp_replace(query, param_re, F.concat(F.lit("$1"), sel, F.lit("="), val_repl)),
     ).otherwise(F.concat(query, F.lit("&"), sel, F.lit("="), val))
     query_fuzzed = F.concat(base, F.lit("?"), new_query)
 
-    path_fuzzed = _replace_first(u, sel, val)
+    # path fuzz: the reference replaces within URL.Path only
+    # (fuzzing_rules.go:78-81) — splice the first occurrence AFTER the
+    # scheme://host prefix so a selector matching the hostname is never
+    # rewritten into a different host
+    prefix = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/]*)", 1)
+    rest = F.substring(u, F.length(prefix) + 1, F.length(u))
+    pos_in_rest = F.expr(
+        "locate(selector, substring(url, length(regexp_extract(url,"
+        " '^([A-Za-z][A-Za-z0-9+.\\\\-]*://[^/]*)', 1)) + 1, length(url)))"
+    )
+    path_fuzzed = F.concat(
+        prefix,
+        F.substring(rest, F.lit(1), pos_in_rest - 1),
+        val,
+        F.substring(rest, pos_in_rest + F.length(sel), F.length(rest)),
+    )
 
     out = joined.withColumn(
         "fuzzed_url",
         F.when((F.col("param_name") == "query") & has_query, query_fuzzed).when(
-            (F.col("param_name") == "path") & u.contains(sel), path_fuzzed
+            (F.col("param_name") == "path") & (pos_in_rest > 0), path_fuzzed
         ),
     ).filter(F.col("fuzzed_url").isNotNull())
     return out.select("url", "rule_name", "fuzz_value", "fuzzed_url")

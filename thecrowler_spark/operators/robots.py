@@ -67,10 +67,12 @@ def parse_robots_txt(
     rule rows, RFC 9309 grouping semantics.
 
     Vectorized pandas UDF (one robots.txt is small; the corpus of them
-    is huge — per-host parse is the right batch unit): lines are split
-    into user-agent groups; a group applies if any of its agents is
-    ``user_agent`` or ``*``; Allow/Disallow/Crawl-delay collected from
-    applying groups; empty Disallow ("allow all") is dropped.
+    is huge — per-host parse is the right batch unit). RFC 9309 §2.2.1
+    group selection: the MOST SPECIFIC matching group wins — if any
+    group names ``user_agent`` exactly, only those groups apply and the
+    ``*`` groups are ignored; ``*`` groups apply only as the fallback.
+    Allow/Disallow/Crawl-delay collected from the selected groups;
+    empty Disallow ("allow all") is dropped.
     """
     from collections.abc import Iterator
 
@@ -79,13 +81,14 @@ def parse_robots_txt(
     out_schema = "host string, rule_type string, path_prefix string, crawl_delay double"
 
     def parse_one(host: str, txt: str) -> list[tuple]:
-        rules: list[tuple] = []
         if not txt:
-            return rules
-        group_agents: list[str] = []
-        group_active = False
-        in_group_body = False
-        want = {user_agent.lower(), "*"}
+            return []
+        ua = user_agent.lower()
+        # pass 1: split into (agents, lines) groups
+        groups: list[tuple[list[str], list[tuple[str, str]]]] = []
+        agents: list[str] = []
+        body: list[tuple[str, str]] = []
+        in_body = False
         for raw in txt.splitlines():
             line = raw.split("#", 1)[0].strip()
             if not line or ":" not in line:
@@ -94,14 +97,21 @@ def parse_robots_txt(
             key = key.strip().lower()
             val = val.strip()
             if key == "user-agent":
-                if in_group_body:  # new group starts
-                    group_agents, group_active, in_group_body = [], False, False
-                group_agents.append(val.lower())
-                group_active = bool(want & set(group_agents))
+                if in_body:
+                    groups.append((agents, body))
+                    agents, body, in_body = [], [], False
+                agents.append(val.lower())
             elif key in ("allow", "disallow", "crawl-delay"):
-                in_group_body = True
-                if not group_active:
-                    continue
+                in_body = True
+                body.append((key, val))
+        if agents or body:
+            groups.append((agents, body))
+        # pass 2: most-specific group selection (RFC 9309 §2.2.1)
+        specific = [g for g in groups if ua in g[0]]
+        selected = specific if specific else [g for g in groups if "*" in g[0]]
+        rules: list[tuple] = []
+        for _agents, glines in selected:
+            for key, val in glines:
                 if key == "crawl-delay":
                     try:
                         rules.append((host, "crawl_delay", "", float(val)))

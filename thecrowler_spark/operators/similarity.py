@@ -201,8 +201,13 @@ def ivf_ann(
     degrades to exact search (recall-vs-cost dial, tested in
     tests/test_similarity_ivf.py)."""
     if centroids is None:
-        centroids = ivf_centroids(corpus, n_cells, iters=iters, vec_col=vec_col, id_col=id_col)
-    centroids = centroids.persist()
+        # localCheckpoint (not persist): cuts the deep iterative k-means
+        # lineage and is GC'd with the DataFrame — repeated ivf_ann calls
+        # in a long-lived driver don't accumulate pinned cache entries,
+        # and a caller-supplied `centroids` is never mutated.
+        centroids = ivf_centroids(
+            corpus, n_cells, iters=iters, vec_col=vec_col, id_col=id_col
+        ).localCheckpoint(eager=True)
     corpus_cells = ivf_assign(corpus, centroids, vec_col=vec_col, id_col=id_col, n_probe=1)
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"), _norm(F.col(vec_col)).alias("cn")
