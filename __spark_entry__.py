@@ -309,7 +309,12 @@ def q_keyword_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_crawl_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3: status-counter aggregation shape over the events table."""
+    """A3: status-counter aggregation shape over the events table.
+
+    ``total_value`` sums on scaled integers (fixed-point, like
+    operators/timeseries.bucket_aggregates) — float accumulation order
+    differs between Spark partitions and the oracle, integer sums don't.
+    """
     _load(spark, sf_dir, "events")
     return spark.sql(
         """
@@ -317,7 +322,7 @@ def q_crawl_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS total_events,
                sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS total_clicks,
                sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS total_errors,
-               round(sum(value), 4) AS total_value
+               round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 4) AS total_value
         FROM events GROUP BY user_id % 100
         """
     )
@@ -730,15 +735,20 @@ def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine sanity: TPC-H Q1-shaped aggregation."""
+    """Engine sanity: TPC-H Q1-shaped aggregation.
+
+    All money/quantity sums are fixed-point (scaled-integer) so the
+    result is independent of partition accumulation order — same
+    construction on the oracle side.
+    """
     _load(spark, sf_dir, "lineitem")
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 4) AS sum_qty,
-               round(sum(l_extendedprice), 4) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-               round(avg(l_quantity), 6) AS avg_qty,
+               round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0, 4) AS sum_qty,
+               round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 4) AS sum_base_price,
+               round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS sum_disc_price,
+               round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100.0, 6) AS avg_qty,
                count(*) AS count_order
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
@@ -1048,7 +1058,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS total_events,
                    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS total_clicks,
                    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS total_errors,
-                   round(sum(value), 4) AS total_value
+                   round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 4) AS total_value
             FROM events GROUP BY user_id % 100
         """,
         "timeseries_buckets": """
@@ -1434,16 +1444,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 4) AS sum_qty,
-                   round(sum(l_extendedprice), 4) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0, 4) AS sum_qty,
+                   round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 4) AS sum_base_price,
+                   round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS sum_disc_price,
+                   round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100.0, 6) AS avg_qty,
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         "streaming_window_counts": """
             SELECT event_type, date_trunc('hour', ts) AS window_start,
-                   count(*) AS n_events, round(sum(value), 4) AS value_sum
+                   count(*) AS n_events,
+                   round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 4) AS value_sum
             FROM events GROUP BY event_type, date_trunc('hour', ts)
         """,
         # dedup_simhash, ann_lsh, crawl_bfs: non-SQL-expressible

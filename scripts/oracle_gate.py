@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """Replica of the driver's correctness gate at an arbitrary SF.
 
-Usage: python scripts/oracle_gate.py [/root/testdata/sf0.01]
+Usage: python scripts/oracle_gate.py [/root/testdata/sf0.01] [query ...]
+Extra args restrict the run to those query names (default: all).
 Prints one line per query: OK / MISMATCH / ERROR, then a summary.
 """
 
@@ -30,6 +31,7 @@ def canon(rows, cols):
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
     from thecrowler_spark.session import get_spark
 
     spark = get_spark(app_name="oracle-gate", cores=16, shuffle_partitions=32)
@@ -38,6 +40,8 @@ def main() -> None:
     queries, oracles = E.queries(), E.oracle_sql()
     ok = bad = err = 0
     for name in sorted(queries):
+        if only and name not in only:
+            continue
         try:
             qdf = queries[name](spark, sf_dir)
             spark_cols = [c.lower() for c in qdf.columns]

@@ -49,13 +49,14 @@ def fuzz_urls(urls: DataFrame, rules: DataFrame, url_col: str = "url") -> DataFr
     # metacharacter-bearing rules ('ids[]', '$ref') cannot crash the job
     sel_q = F.concat(F.lit(r"\Q"), sel, F.lit(r"\E"))
     val_repl = F.regexp_replace(val, r"([\\$])", r"\\$1")
+    sel_repl = F.regexp_replace(sel, r"([\\$])", r"\\$1")  # selector in replacement position too
 
     # query fuzz: rewrite `sel=...` if present (up to next & or end), else append
     param_re = F.concat(F.lit("(^|&)"), sel_q, F.lit("=[^&]*"))
     has_param = F.regexp_count(query, param_re) > 0
     new_query = F.when(
         has_param,
-        F.regexp_replace(query, param_re, F.concat(F.lit("$1"), sel, F.lit("="), val_repl)),
+        F.regexp_replace(query, param_re, F.concat(F.lit("$1"), sel_repl, F.lit("="), val_repl)),
     ).otherwise(F.concat(query, F.lit("&"), sel, F.lit("="), val))
     query_fuzzed = F.concat(base, F.lit("?"), new_query)
 

@@ -137,11 +137,16 @@ def ivf_centroids(
     element-wise means (posexplode + groupBy — fully distributed, no
     driver math). Returns (cell, centroid array<double>).
     """
+    # deterministic sample WITHOUT a global window: orderBy().limit(n)
+    # compiles to TakeOrderedAndProject (per-partition top-n + driver
+    # merge of n_cells rows) — no single task ever sees the full corpus.
+    # The row_number window after the limit runs over n_cells rows only.
     w = Window.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
     cents = (
         corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(n_cells)
         .withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= n_cells)
         .select((F.col("_r") - 1).alias("cell"), F.col(vec_col).alias("centroid"))
     )
     for _ in range(iters):

@@ -37,7 +37,12 @@ def windowed_event_counts(
         df.groupBy(F.col("event_type"), F.window(F.col(ts_col), window).alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("value_sum"),
+            # fixed-point sum (scaled-integer cents): float accumulation
+            # order differs between partitions/engines; integer sums are
+            # order-independent, so re-runs and oracles hash identically
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100.0, 4
+            ).alias("value_sum"),
         )
         .select(
             "event_type",
