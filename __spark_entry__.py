@@ -466,7 +466,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dups (pandas-UDF bit votes; rows-only check)."""
+    """SimHash near-dups (JVM bit votes + 16-bit-chunk blocking)."""
     docs = _load(spark, sf_dir, "documents")["documents"].filter(F.col("doc_id") < 300)
     return DD.simhash_near_dups(docs, text_col="text", id_col="doc_id", max_hamming=10)
 
@@ -844,6 +844,64 @@ _MARKER = (
     "len(list_filter(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''), "
     "x -> x IN ({m})))"
 )
+
+
+def _simhash_oracle_sql(max_id: int = 300, max_hamming: int = 10) -> str:
+    """DuckDB mirror of operators/dedup.simhash_chunks + simhash_near_dups:
+    same md5-derived 64-bit token hash, same ±1 bit votes, same 16-bit
+    chunk blocking — generated from one loop so the 64 vote expressions
+    can't drift between engines."""
+    votes = ",\n                 ".join(
+        f"sum(CASE WHEN (({'lo' if b < 32 else 'hi'} >> {b % 32}) & 1) = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64)
+    )
+    chunks = ", ".join(
+        "("
+        + " + ".join(f"(CASE WHEN v{16 * c + j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+        + f")::BIGINT AS chunk{c}"
+        for c in range(4)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id AS id,
+                 unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+          FROM documents WHERE doc_id < {max_id}
+        ),
+        h AS (
+          SELECT id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+                     ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo
+          FROM toks
+        ),
+        votes AS (SELECT id, {votes} FROM h GROUP BY id),
+        chunked AS (SELECT id, {chunks} FROM votes),
+        sig0 AS (
+          SELECT id, chunk0, chunk1, chunk2, chunk3,
+                 chunk0 + (chunk1 << 16) + (chunk2 << 32) + ((chunk3 & 32767) << 48)
+                 + (CASE WHEN chunk3 >= 32768 THEN (-9223372036854775807 - 1) ELSE 0 END) AS simhash
+          FROM chunked
+        ),
+        sig AS (
+          SELECT d.doc_id AS id,
+                 coalesce(s.simhash, 0) AS simhash,
+                 coalesce(s.chunk0, 0) AS chunk0, coalesce(s.chunk1, 0) AS chunk1,
+                 coalesce(s.chunk2, 0) AS chunk2, coalesce(s.chunk3, 0) AS chunk3
+          FROM (SELECT doc_id FROM documents WHERE doc_id < {max_id}) d
+          LEFT JOIN sig0 s ON s.id = d.doc_id
+        ),
+        unp AS (
+          SELECT id, simhash, 0 AS chunk_idx, chunk0 AS chunk FROM sig
+          UNION ALL SELECT id, simhash, 1, chunk1 FROM sig
+          UNION ALL SELECT id, simhash, 2, chunk2 FROM sig
+          UNION ALL SELECT id, simhash, 3, chunk3 FROM sig
+        ),
+        pairs AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.simhash AS sh_a, b.simhash AS sh_b
+          FROM unp a JOIN unp b
+            ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.id < b.id
+        )
+        SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+        FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1457,8 +1515,9 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 4) AS value_sum
             FROM events GROUP BY event_type, date_trunc('hour', ts)
         """,
-        # dedup_simhash, ann_lsh, crawl_bfs: non-SQL-expressible
-        # (pandas-UDF bit votes / LSH recall / iterative BFS) → rows-only.
+        "dedup_simhash": _simhash_oracle_sql(max_id=300, max_hamming=10),
+        # ann_lsh, crawl_bfs: non-SQL-expressible (hyperplane-LSH recall
+        # contract / iterative BFS) → rows-only with pytest invariants.
     }
 
 

@@ -1,9 +1,9 @@
 """Deduplication family for training-data pipelines.
 
 Exact (hash groupBy), n-gram Jaccard, MinHash+LSH, SimHash, and
-embedding-cosine near-dup. All but SimHash are pure JVM expressions;
-SimHash uses an Arrow-batched pandas UDF (numpy bit ops, no per-row
-Python).
+embedding-cosine near-dup. All pure JVM expressions (SimHash included:
+md5-derived token hashes + 64 conditional-sum bit votes in one groupBy),
+so every signature step has an exact DuckDB oracle.
 
 Reference analog: WebObjects content-hash dedup
 (/root/reference/pkg/crawler/crawler.go:1504-1543) is the exact path;
@@ -19,8 +19,7 @@ Scale notes:
 
 from __future__ import annotations
 
-import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
@@ -143,61 +142,86 @@ def minhash_lsh_candidates(
     )
 
 
-def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per doc via an Arrow-batched pandas UDF.
+#: int64 minimum — the bit-63 term of the signed simhash reinterpret.
+#: Added as a constant because neither engine can left-shift into the
+#: sign bit without overflow (Spark wraps, DuckDB throws).
+_INT64_MIN = -9223372036854775808
 
-    Token hashes are md5-derived (stable across engines); the bit-vote
-    accumulation is numpy (vectorized over the Arrow batch — no
-    per-row Python loops over tokens beyond the tokenizer split).
+
+def simhash_chunks(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash, chunk0..chunk3): 64-bit SimHash, entirely JVM-side.
+
+    Classic SimHash (Charikar): each token votes ±1 per bit of its
+    64-bit hash (duplicates vote once per occurrence); bit b of the
+    signature is 1 iff the vote is positive. The token hash is the
+    first 8 bytes of md5 (big-endian) — portable, so DuckDB computes an
+    identical signature and the whole operator has a SQL oracle.
+
+    Plan shape: explode tokens → two conv() hex parses → ONE groupBy
+    with 64 conditional sums (map-side partial agg) → bit assembly as
+    four 16-bit chunks (also the Hamming-blocking keys). No Python in
+    the hot path. Docs with zero tokens keep signature 0.
     """
-    from pyspark.sql.functions import pandas_udf
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != "")
+    base = docs.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+    h = base.select(
+        "id",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("lo" if b < 32 else "hi"), b % 32).bitwiseAND(F.lit(1)) == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    agg = h.groupBy("id").agg(*votes)
+    chunk_exprs = []
+    for c in range(4):
+        e = F.lit(0).cast("long")
+        for j in range(16):
+            e = e + F.when(F.col(f"v{16 * c + j}") > 0, F.lit(1 << j).cast("long")).otherwise(0)
+        chunk_exprs.append(e.alias(f"chunk{c}"))
+    chunks = agg.select("id", *chunk_exprs)
+    # signed int64 reinterpret of the unsigned bit pattern: bits 48-62
+    # shift in range; bit 63 is the sign bit, added as INT64_MIN
+    sim = (
+        F.col("chunk0")
+        + F.shiftleft(F.col("chunk1"), 16)
+        + F.shiftleft(F.col("chunk2"), 32)
+        + F.shiftleft(F.col("chunk3").bitwiseAND(F.lit(32767)), 48)
+        + F.when(F.col("chunk3") >= 32768, F.lit(_INT64_MIN)).otherwise(F.lit(0))
+    )
+    sig = chunks.select("id", sim.alias("simhash"), "chunk0", "chunk1", "chunk2", "chunk3")
+    # resurrect zero-token docs with signature 0 (the empty vote vector)
+    zeros = [F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("simhash", "chunk0", "chunk1", "chunk2", "chunk3")]
+    return docs.select(F.col(id_col).alias("id")).join(sig, "id", "left").select("id", *zeros)
 
-    @pandas_udf("long")
-    def _simhash(texts: "pd.Series") -> "pd.Series":
-        import hashlib
 
-        import numpy as np
-
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = [w for w in __import__("re").split(r"[^a-z0-9]+", (t or "").lower()) if w]
-            if not toks:
-                continue
-            hs = np.fromiter(
-                (
-                    int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big", signed=False)
-                    for w in toks
-                ),
-                dtype=np.uint64,
-                count=len(toks),
-            )
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
-            votes = (2 * bits - 1).sum(axis=0)
-            sim = np.uint64(0)
-            for b in np.nonzero(votes > 0)[0]:
-                sim |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(sim)
-        return pd.Series(out)
-
-    return docs.select(F.col(id_col).alias("id"), _simhash(F.col(text_col)).alias("simhash"))
+def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash) — see :func:`simhash_chunks`."""
+    return simhash_chunks(docs, text_col, id_col).select("id", "simhash")
 
 
 def simhash_near_dups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit chunks.
 
     Pigeonhole: distance ≤3 ⇒ at least one of 4 16-bit chunks equal —
-    so candidates come from 4 equi-joins, never a cross join.
+    so candidates come from 4 equi-joins, never a cross join. For
+    max_hamming > 3 the blocking is approximate (a pair differing in
+    all four chunks is missed) — the standard LSH-style recall trade;
+    raise the chunk count for exact recall at larger radii.
     """
-    sig = simhash64(docs, text_col, id_col)
+    sig = simhash_chunks(docs, text_col, id_col)
     chunks = sig.select(
         "id",
         "simhash",
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(c).alias("chunk_idx"),
-                    F.shiftrightunsigned(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
-                )
+                F.struct(F.lit(c).alias("chunk_idx"), F.col(f"chunk{c}").alias("chunk"))
                 for c in range(4)
             ])
         ).alias("ch"),
