@@ -163,6 +163,42 @@ def q_frontier_claim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frontier_claim_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 full eligibility: the update_sources interval OR-chain
+    (last_ok_update / regular_crawling / error-retry / stale-processing
+    re-claim) over synthesized source state; fixed `now` so the claim
+    is deterministic. Reference: postgresql-setup.pgsql:2864-2884."""
+    from thecrowler_spark.operators.frontier import claim_sources
+
+    _load(spark, sf_dir, "orders")
+    seeds = spark.sql(
+        """
+        SELECT o_orderkey AS source_id,
+               concat('https://h', CAST(o_orderkey % 50 AS STRING), '.example.com/p0') AS url,
+               CASE CAST(o_orderkey % 6 AS INT)
+                 WHEN 0 THEN 'new' WHEN 1 THEN 'pending' WHEN 2 THEN 'completed'
+                 WHEN 3 THEN 'error' WHEN 4 THEN 'processing' ELSE NULL END AS status,
+               o_orderkey % 37 = 0 AS disabled,
+               CASE WHEN o_orderpriority LIKE '1%' THEN 'high'
+                    WHEN o_orderpriority LIKE '2%' THEN 'medium' ELSE 'low' END AS priority,
+               CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                    ELSE timestamp'1995-06-01 00:00:00' - make_interval(0, 0, 0, 0, CAST(o_orderkey % 100 AS INT), 0, 0)
+               END AS last_updated_at,
+               o_orderdate AS created_at
+        FROM orders
+        """
+    )
+    claimed = claim_sources(
+        seeds,
+        100,
+        priorities=("high", "medium"),
+        now="1995-06-01 00:00:00",
+        last_ok_update="12 hours",
+        regular_crawling="6 hours",
+    )
+    return claimed.select("source_id", "status", "priority", "last_updated_at", "created_at")
+
+
 def q_politeness_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host window-rank budget (core politeness operator, SURVEY §2.5)."""
     _load(spark, sf_dir, "lineitem")
@@ -786,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_combine": q_url_combine,
         "url_external": q_url_external,
         "frontier_claim": q_frontier_claim,
+        "frontier_claim_intervals": q_frontier_claim_intervals,
         "politeness_budget": q_politeness_budget,
         "robots_filter": q_robots_filter,
         "url_seen_antijoin": q_url_seen_antijoin,
@@ -989,6 +1026,42 @@ def oracle_sql() -> dict[str, str]:
                      o_orderdate AS created_at
               FROM orders)
             WHERE status IN ('new','pending','completed','error') AND priority IN ('high','medium')
+            ORDER BY created_at, source_id LIMIT 100
+        """,
+        # cutoffs = parse_interval_seconds_py('12 hours'/'6 hours'/'15 minutes'/'1 day')
+        # = 43199 / 21599 / 899 / 86399 (incl. the clamp's -1s quirk);
+        # tests/test_intervals.py pins these values.
+        "frontier_claim_intervals": """
+            WITH seeds AS (
+              SELECT o_orderkey AS source_id,
+                     CASE CAST(o_orderkey % 6 AS INT)
+                       WHEN 0 THEN 'new' WHEN 1 THEN 'pending' WHEN 2 THEN 'completed'
+                       WHEN 3 THEN 'error' WHEN 4 THEN 'processing' ELSE NULL END AS status,
+                     o_orderkey % 37 = 0 AS disabled,
+                     CASE WHEN o_orderpriority LIKE '1%' THEN 'high'
+                          WHEN o_orderpriority LIKE '2%' THEN 'medium' ELSE 'low' END AS priority,
+                     CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                          ELSE TIMESTAMP '1995-06-01 00:00:00' - (o_orderkey % 100) * INTERVAL '1 hour'
+                     END AS last_updated_at,
+                     o_orderdate AS created_at
+              FROM orders
+            )
+            SELECT source_id, status, priority, last_updated_at, created_at
+            FROM seeds
+            WHERE NOT disabled
+              AND lower(trim(priority)) IN ('high', 'medium')
+              AND (
+                   status IS NULL
+                OR lower(trim(status)) IN ('pending', 'new')
+                OR (lower(trim(status)) = 'error'
+                    AND last_updated_at < TIMESTAMP '1995-06-01 00:00:00' - INTERVAL 899 SECOND)
+                OR (lower(trim(status)) = 'processing'
+                    AND last_updated_at < TIMESTAMP '1995-06-01 00:00:00' - INTERVAL 86399 SECOND)
+                OR last_updated_at IS NULL
+                OR last_updated_at < TIMESTAMP '1995-06-01 00:00:00' - INTERVAL 43199 SECOND
+                OR (lower(trim(status)) = 'completed'
+                    AND last_updated_at < TIMESTAMP '1995-06-01 00:00:00' - INTERVAL 21599 SECOND)
+              )
             ORDER BY created_at, source_id LIMIT 100
         """,
         "politeness_budget": """

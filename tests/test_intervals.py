@@ -75,3 +75,25 @@ def test_parse_pacing_expr():
     assert parse_pacing_expr("RANDOM(3,1)") == (1.0, 3.0)
     assert parse_pacing_expr("") == (0.0, 0.0)
     assert parse_pacing_expr("garbage") == (0.0, 0.0)
+
+
+def test_scalar_parser_matches_column_parser(spark):
+    """parse_interval_seconds_py (driver-side scalar) must equal the
+    Column version on the golden battery + extra grammar corners."""
+    from thecrowler_spark.functions.intervals import parse_interval_seconds_py
+
+    extra = ["1 day", "12 hours", "6 hours", "15 minutes", "2w", "1mo",
+             "90 secs", "0h0m5s", "  10 MIN  ", "7", "1h", "24h"]
+    battery = [k for k, _ in CASES] + extra
+    df = spark.createDataFrame([(v,) for v in battery], "v string")
+    col_vals = {
+        r["v"]: r["secs"]
+        for r in df.select("v", parse_interval_seconds("v").alias("secs")).collect()
+    }
+    for v in battery:
+        assert parse_interval_seconds_py(v) == col_vals[v], v
+    # the claim-eligibility cutoffs pinned in __spark_entry__'s oracle SQL
+    assert parse_interval_seconds_py("12 hours") == 43199
+    assert parse_interval_seconds_py("6 hours") == 21599
+    assert parse_interval_seconds_py("15 minutes") == 899
+    assert parse_interval_seconds_py("1 day") == 86399

@@ -85,6 +85,45 @@ def parse_interval_seconds(c: Column | str) -> Column:
     ).alias("interval_seconds")
 
 
+def parse_interval_seconds_py(s: str | None) -> int:
+    """Scalar twin of :func:`parse_interval_seconds` — same grammar,
+    same clamp (incl. the −1 s quirk), for DRIVER-side config strings
+    (the claim eligibility cutoffs are scalars, not columns, so the
+    cutoff timestamps can be plan literals instead of per-row regex
+    work). tests/test_intervals.py asserts scalar ≡ Column on a
+    battery so the two can't drift.
+    """
+    import re
+
+    t = (s or "").strip().lower()
+    for old, new in (
+        (" minutes", "m"), (" minute", "m"), (" mins", "m"), (" min", "m"),
+        (" hours", "h"), (" hour", "h"), (" hrs", "h"), (" hr", "h"),
+        (" seconds", "s"), (" second", "s"), (" secs", "s"), (" sec", "s"),
+    ):
+        t = t.replace(old, new)
+    if t == "":
+        return _DEFAULT  # unclamped, crawler.go:545-547
+
+    def clamp(v: int) -> int:
+        if v < 0:
+            v = _DEFAULT
+        if v > 86400:
+            v = 86400
+        if v < 1:
+            v = 30
+        return v - 1 if v > 1 else v
+
+    m = re.match(_SIMPLE_RE, t)
+    if m:
+        return clamp(int(m.group(1)) * UNIT_SECONDS[m.group(2)])
+    m = re.match(_COMPOUND_RE, t)
+    if m and any(g for g in m.groups()):
+        h, mi, se = (int(g) if g else 0 for g in m.groups())
+        return clamp(h * 3600 + mi * 60 + se)
+    return clamp(_DEFAULT)
+
+
 def pacing_delay_seconds(
     url: Column | str, lo: float, hi: float, seed: int = 42
 ) -> Column:

@@ -87,12 +87,35 @@ def claim_sources(
     priorities: tuple[str, ...] = (),
     engine_id: int | None = None,
     n_engines: int = 1,
+    now: str | None = None,
+    last_ok_update: str | None = None,
+    regular_crawling: str | None = None,
+    last_error: str = "15 minutes",
+    processing_timeout: str = "1 day",
 ) -> DataFrame:
     """Frontier scan+claim (S1): eligible → FIFO → limit.
 
     Reference: ``update_sources`` /root/reference/pkg/database/
-    postgresql-setup.pgsql:2826-2898 — status filter, optional priority
-    list, ``ORDER BY created_at ASC, source_id ASC``, ``LIMIT n``.
+    postgresql-setup.pgsql:2826-2898. With ``now`` given (ISO timestamp
+    string), the full eligibility OR-chain of the proc
+    (pgsql:2864-2884) is mirrored:
+
+    - ``last_ok_update`` set → any source whose ``last_updated_at`` is
+      NULL or older than ``now - last_ok_update`` (status-independent);
+    - ``regular_crawling`` set → ``completed`` sources older than the
+      interval (periodic re-crawl);
+    - ``error`` sources retry after ``last_error`` (proc default 15 min);
+    - ``new`` / ``pending`` / NULL status always eligible;
+    - **stale-claim recovery**: ``processing`` sources whose claim is
+      older than ``processing_timeout`` (proc default 1 day) are
+      re-claimed — a crashed engine's sources are never stranded (the
+      reference's actual resume path, SURVEY §2.9).
+
+    Interval strings go through the engine's single interval grammar
+    (:func:`..functions.intervals.parse_interval_seconds_py`, scalar —
+    the cutoffs become plan literals, no per-row parsing). With
+    ``now=None`` the r1 status-only gate is kept (callers that manage
+    eligibility themselves).
 
     ``FOR UPDATE SKIP LOCKED`` (many engines claiming from one table
     without collisions) becomes deterministic ownership: engine ``e`` of
@@ -100,16 +123,68 @@ def claim_sources(
     ``pmod(xxhash64(source_uid), n_engines) = e`` — disjoint claims with
     no coordination, stable across retries/resumes (the distributed
     rendering of the reference's ``engine`` column claim,
-    pgsql:2888-2895).
+    pgsql:2888-2895). The proc's UPDATE leg is :func:`mark_processing`.
     """
-    df = seeds.filter(
-        (~F.col("disabled")) & F.col("status").isin("new", "pending", "completed", "error")
-    )
+    df = seeds.filter(~F.col("disabled"))
     if priorities:
-        df = df.filter(F.col("priority").isin(*priorities))
+        df = df.filter(
+            F.lower(F.trim(F.col("priority"))).isin(*[p.strip().lower() for p in priorities])
+        )
+    if now is None:
+        df = df.filter(F.col("status").isin("new", "pending", "completed", "error"))
+    else:
+        from ..functions.intervals import parse_interval_seconds_py
+
+        now_ts = F.lit(now).cast("timestamp")
+        lu = F.col("last_updated_at")
+        st = F.lower(F.trim(F.col("status")))
+
+        def cutoff(interval_str: str):
+            return now_ts - F.expr(
+                f"INTERVAL {parse_interval_seconds_py(interval_str)} SECOND"
+            )
+
+        elig = (
+            (st == "pending")
+            | (st == "new")
+            | F.col("status").isNull()
+            | ((st == "error") & (lu < cutoff(last_error or "15 minutes")))
+            | ((st == "processing") & (lu < cutoff(processing_timeout or "1 day")))
+        )
+        if last_ok_update:
+            elig = elig | lu.isNull() | (lu < cutoff(last_ok_update))
+        if regular_crawling:
+            elig = elig | ((st == "completed") & (lu < cutoff(regular_crawling)))
+        df = df.filter(elig)
     if engine_id is not None and n_engines > 1:
         df = df.filter(F.pmod(F.xxhash64(F.col("source_uid")), F.lit(n_engines)) == engine_id)
     return df.orderBy("created_at", "source_id").limit(limit)
+
+
+def mark_processing(
+    seeds: DataFrame,
+    claimed: DataFrame,
+    engine_id: str = "engine-0",
+    now: str | None = None,
+) -> DataFrame:
+    """The proc's UPDATE leg (pgsql:2893-2897): claimed sources →
+    ``status='processing'``, ``engine=engine_id``; ``last_updated_at``
+    bumps to ``now`` (the Sources update trigger's effect). Broadcast
+    join — ``claimed`` is at most ``limit`` rows.
+    """
+    c = F.broadcast(
+        claimed.select(F.col("source_id").alias("_cid")).withColumn("_claimed", F.lit(True))
+    )
+    out = seeds.join(c, seeds["source_id"] == F.col("_cid"), "left")
+    hit = F.coalesce(F.col("_claimed"), F.lit(False))
+    now_ts = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
+    prev_engine = F.col("engine") if "engine" in seeds.columns else F.lit(None).cast("string")
+    return (
+        out.withColumn("status", F.when(hit, F.lit("processing")).otherwise(F.col("status")))
+        .withColumn("engine", F.when(hit, F.lit(engine_id)).otherwise(prev_engine))
+        .withColumn("last_updated_at", F.when(hit, now_ts).otherwise(F.col("last_updated_at")))
+        .drop("_cid", "_claimed")
+    )
 
 
 def _skip_flags(df: DataFrame, cfg: CrawlConfig) -> DataFrame:
