@@ -147,15 +147,18 @@ def main(argv: list[str] | None = None) -> None:
     result.pages.write.mode("overwrite").parquet(f"{args.output}/pages")
     result.crawl_order.write.mode("overwrite").parquet(f"{args.output}/crawl_order")
     result.visited.write.mode("overwrite").parquet(f"{args.output}/visited")
+    # counters stay distributed: written as a table, never collected into
+    # the summary (a 10^6-source claim would OOM the driver JSON)
+    result.counters_df.write.mode("overwrite").parquet(f"{args.output}/counters")
 
     summary = {
         "run_id": args.run_id,
         "pages": pages_n,
         "visited_urls": visited_n,
-        "rounds": len(result.counters),
+        "sources": result.counters_df.count(),
+        "rounds": len(result.lineage),
         "elapsed_sec": round(elapsed, 2),
         "urls_per_sec": round(visited_n / elapsed, 1) if elapsed > 0 else None,
-        "counters": {str(k): v for k, v in result.counters.items()},
         "output": args.output,
         "index_snapshots": index_snaps,
     }

@@ -88,3 +88,103 @@ def test_crawl_parity_bloom_prefilter(spark):
     cfg = CrawlConfig(max_depth=3, max_rounds=8, bloom_prefilter=True)
     ocfg = O.OracleConfig(max_depth=3, max_rounds=8)
     _compare(_spark_result(spark, corpus, cfg), _oracle_result(corpus, ocfg))
+
+
+def test_budget_two_phase_skew(spark):
+    """Skewed mega-host budget: the two-phase rank must (a) cap fetches
+    per host per round exactly, (b) drain deferred links in seq order
+    across rounds, and (c) be result-identical to the degenerate
+    single-bucket ranking (salt_buckets=1 ≈ the single-window form)."""
+    from pyspark.sql import functions as F
+
+    mega = [f"https://m.example.com/p{i}" for i in range(60)]
+    bs = [f"https://b.example.com/p{i}" for i in range(5)]
+    seed_url = "https://a.example.com/p0"
+
+    def doc(url, links):
+        spans = [("title", f"t {url}", "", 0)] + [
+            ("link", f"l{i}", l, i + 1) for i, l in enumerate(links)
+        ]
+        return (url, spans)
+
+    docs = spark.createDataFrame(
+        [doc(seed_url, mega + bs)] + [doc(u, []) for u in mega + bs],
+        "doc_id string, spans array<struct<kind string, text string, media_ref string, offset int>>",
+    )
+    seeds = spark.createDataFrame(
+        [(1, seed_url, 3, "high", "new", False, "2026-01-01 00:00:00")],
+        "source_id long, url string, restricted int, priority string, status string,"
+        " disabled boolean, created_at string",
+    ).withColumn("created_at", F.col("created_at").cast("timestamp"))
+    budgets = spark.createDataFrame(
+        [("m.example.com", 7)], "host string, max_fetches_per_round int"
+    )
+
+    def crawl(salt_buckets):
+        cfg = CrawlConfig(
+            max_depth=4, max_rounds=10, use_host_budget=True, salt_buckets=salt_buckets
+        )
+        eng = CrawlEngine(spark, docs, cfg=cfg, budgets=budgets)
+        res = eng.run(seeds)
+        order = sorted(
+            (r["source_id"], r["seq"], r["depth"], r["url"])
+            for r in res.crawl_order.collect()
+        )
+        return order, res.counters
+
+    order16, counters16 = crawl(16)
+    # per-round cap: exactly 7 mega-host fetches per depth ≥ 1
+    by_depth = {}
+    for _, _, depth, url in order16:
+        if "m.example.com" in url:
+            by_depth[depth] = by_depth.get(depth, 0) + 1
+    assert by_depth == {1: 7, 2: 7, 3: 7, 4: 7}  # 28 of 60 within 4 rounds
+    # unbudgeted host fully fetched in round 1
+    assert sum("b.example.com" in u for _, _, d, u in order16 if d == 1) == 5
+    # deferred drain in seq order: mega pages appear in link order
+    mega_seq = [u for _, _, _, u in sorted(order16) if "m.example.com" in u]
+    assert mega_seq == mega[:28]
+    # two-phase invariance: single salt bucket (≈ one host-wide window)
+    order1, counters1 = crawl(1)
+    assert order1 == order16
+    assert counters1 == counters16
+
+
+def test_many_sources_no_plan_blowup(spark):
+    """10^4 claimed sources through a full round: counters must stay a
+    Spark-side table (r1 embedded one plan-literal map entry per source
+    — a driver OOM at fleet scale). Passes iff the crawl completes and
+    the counter totals reconcile with the fetched pages."""
+    from pyspark.sql import functions as F
+
+    from thecrowler_spark.sources.corpus import big_corpus_df
+
+    n_docs, n_hosts, n_src = 20_000, 50, 10_000
+    docs = big_corpus_df(spark, n_docs=n_docs, n_hosts=n_hosts, links_per_page=2)
+    skew_cut = int(n_docs * 0.2)
+    host = F.when(F.col("id") < skew_cut, F.lit(0)).otherwise(
+        F.pmod(F.xxhash64(F.col("id")), F.lit(n_hosts - 1)) + 1
+    )
+    seeds = spark.range(n_src).select(
+        (F.col("id") + 1).alias("source_id"),
+        F.concat(
+            F.lit("https://h"), host.cast("string"), F.lit(".example.com/p"),
+            F.col("id").cast("string"),
+        ).alias("url"),
+        F.lit(2).alias("restricted"),
+        F.lit("high").alias("priority"),
+        F.lit("new").alias("status"),
+        F.lit(False).alias("disabled"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("created_at"),
+    )
+    eng = CrawlEngine(spark, docs, cfg=CrawlConfig(max_depth=1, max_rounds=2))
+    res = eng.run(seeds)
+    n_counter_rows = res.counters_df.count()
+    assert n_counter_rows == n_src
+    tot = res.counters_df.agg(
+        F.sum("pages").alias("p"), F.sum("links").alias("l")
+    ).first()
+    n_pages = res.pages.count()
+    assert int(tot["p"]) == n_pages
+    assert n_pages >= n_src  # every seed fetched (+ depth-1 fetches)
+    assert int(tot["l"]) >= n_src  # 2 links per fetched seed page

@@ -72,13 +72,31 @@ class CrawlConfig:
     shuffle_partitions: int | None = None
 
 
+#: per-source counter fields (TotalPages/Links/Skipped/Duplicates/Errors
+#: of the reference's Status struct, pkg/crawler/types.go:55-84)
+COUNTER_FIELDS = ("pages", "links", "skipped", "duplicates", "errors")
+
+
 @dataclass
 class CrawlResult:
     pages: DataFrame
     crawl_order: DataFrame
     visited: DataFrame
-    counters: dict[int, dict[str, int]]
+    #: per-source counters as a small DataFrame
+    #: (source_id, pages, links, skipped, duplicates, errors) — counters
+    #: never live on the driver during the crawl; at 10^6 claimed
+    #: sources this stays a distributed table
+    counters_df: DataFrame
     lineage: list[dict[str, Any]] = field(default_factory=list)
+
+    @property
+    def counters(self) -> dict[int, dict[str, int]]:
+        """Counters as a dict — ONE collect, reporting/test convenience
+        only; fleet-scale consumers read :attr:`counters_df`."""
+        return {
+            r["source_id"]: {k: int(r[k]) for k in COUNTER_FIELDS}
+            for r in self.counters_df.collect()
+        }
 
 
 def claim_sources(
@@ -303,6 +321,7 @@ class CrawlEngine:
                     state["counters"],
                     state["current_depth"],
                     state["lineage"],
+                    deferred=state["deferred"],
                 )
 
         # ---- depth 0: CrawlInitialURL (web.go:912-993) ----
@@ -326,45 +345,55 @@ class CrawlEngine:
             .withColumn("page_url", F.col("source_url"))
         )
         # TotalLinks stores the initial count BEFORE the restricted gate
-        # (crawler.go:412), so count first …
-        initial_link_counts = {
-            r["source_id"]: int(r["count"])
-            for r in frontier.groupBy("source_id").count().collect()
-        }
+        # (crawler.go:412), so aggregate first …
+        initial_links = frontier.groupBy("source_id").agg(F.count("*").alias("links"))
         # … then: restricted==0 sources never enter the BFS loop (crawler.go:414)
         frontier = frontier.filter(F.col("restricted") != 0)
 
         pages = seed_ok.select(
             "source_id",
             F.lit(0).alias("depth"),
-            F.lit(0).alias("fetch_seq"),
+            F.lit(0).cast("long").alias("fetch_seq"),
             F.col("source_url").alias("url"),
         )
         visited = seed_ok.select(
             "source_id", U.normalize_url_seen("source_url").alias("norm_url")
         )
-        counters: dict[int, dict[str, int]] = {}
-        for row in src.collect():
-            counters[row["source_id"]] = dict(pages=0, links=0, skipped=0, duplicates=0, errors=0)
-        for row in pages.groupBy("source_id").count().collect():
-            counters[row["source_id"]]["pages"] = int(row["count"])
-        for sid, n in initial_link_counts.items():
-            counters[sid]["links"] = n
+        # counters live as a small DataFrame for the whole crawl — never
+        # as a driver dict (a 10^5-10^6-source claim embedded in plan
+        # literals or collect()ed per round is a driver OOM; SURVEY §4)
+        pages0 = pages.groupBy("source_id").agg(F.count("*").alias("pages"))
+        counters = (
+            src.select("source_id")
+            .join(pages0, "source_id", "left")
+            .join(initial_links, "source_id", "left")
+            .select(
+                "source_id",
+                F.coalesce("pages", F.lit(0)).cast("long").alias("pages"),
+                F.coalesce("links", F.lit(0)).cast("long").alias("links"),
+                F.lit(0).cast("long").alias("skipped"),
+                F.lit(0).cast("long").alias("duplicates"),
+                F.lit(0).cast("long").alias("errors"),
+            )
+        )
 
         # depth-0 state is the base delta of the append-only page/visited logs
         pages = self._ckpt_delta(pages.limit(0), pages, run_id, 0, "pages")
         visited = self._ckpt_delta(visited.limit(0), visited, run_id, 0, "visited")
         frontier = self._ckpt(frontier, run_id, 0, "frontier")
+        counters = self._ckpt(counters, run_id, 0, "counters")
+        # the round's ONLY driver-side materialization: one totals row
+        tot = counters.agg(F.sum("pages").alias("p")).first()
         lineage.append(
             {
                 "run_id": run_id,
                 "round": 0,
                 "frontier_in": 0,
-                "fetched": sum(c["pages"] for c in counters.values()),
+                "fetched": int(tot["p"] or 0),
                 "elapsed_sec": time.time() - t0,
             }
         )
-        self._write_manifest(run_id, 0, counters, 0)
+        self._write_manifest(run_id, 0, 0)
         return self._run_rounds(run_id, pages, visited, frontier, counters, 0, lineage)
 
     def _run_rounds(
@@ -373,16 +402,16 @@ class CrawlEngine:
         pages: DataFrame,
         visited: DataFrame,
         frontier: DataFrame,
-        counters: dict[int, dict[str, int]],
+        counters: DataFrame,
         start_depth: int,
         lineage: list[dict[str, Any]],
+        deferred: DataFrame | None = None,
     ) -> CrawlResult:
         cfg = self.cfg
         max_depth = 1 if cfg.max_depth == 0 else cfg.max_depth
         current_depth = start_depth
         if cfg.max_depth == 0:
             max_depth = current_depth + 1
-        deferred: DataFrame | None = None
 
         while current_depth < max_depth and current_depth < cfg.max_rounds:
             n_frontier = frontier.count()
@@ -409,7 +438,7 @@ class CrawlEngine:
             )
 
             out = self._process_level(level, visited, pages, depth, counters)
-            new_frontier, new_pages, new_visited_rows, stats, deferred = out
+            new_frontier, new_pages, new_visited_rows, stats, deferred, processed = out
 
             # effects → next-round state. Pages/visited are APPEND-ONLY:
             # each round commits only its DELTA (the Iceberg-append
@@ -424,26 +453,48 @@ class CrawlEngine:
             pages = self._ckpt_delta(pages, new_pages, run_id, depth, "pages")
             visited = self._ckpt_delta(visited, visited_delta, run_id, depth, "visited")
             frontier = self._ckpt(new_frontier, run_id, depth, "frontier")
+            if deferred is not None:
+                # deferred rows are next-round input state — commit them
+                # like the frontier so kill-and-resume replays them too
+                deferred = self._ckpt(deferred, run_id, depth, "deferred")
 
-            for sid, s in stats.items():
-                c = counters.setdefault(sid, dict(pages=0, links=0, skipped=0, duplicates=0, errors=0))
-                for k, v in s.items():
-                    c[k] += v
+            # merge the round's per-source stats into the running
+            # counters — a full outer join + coalesce sums, all Spark-side
+            merged = (
+                counters.alias("c")
+                .join(stats.alias("s"), "source_id", "full")
+                .select(
+                    "source_id",
+                    *[
+                        (
+                            F.coalesce(F.col(f"c.{k}"), F.lit(0))
+                            + F.coalesce(F.col(f"s.{k}"), F.lit(0))
+                        ).alias(k)
+                        for k in COUNTER_FIELDS
+                    ],
+                )
+            )
+            counters = self._ckpt(merged, run_id, depth, "counters")
 
+            # the round's ONLY driver-side materialization: one totals row
+            tot = stats.agg(
+                *[F.sum(k).alias(k) for k in ("pages", "skipped", "duplicates", "errors")]
+            ).first()
+            processed.unpersist()
             lineage.append(
                 {
                     "run_id": run_id,
                     "round": depth,
                     "frontier_in": n_frontier + n_deferred,
-                    "fetched": sum(s.get("pages", 0) for s in stats.values()),
-                    "skipped": sum(s.get("skipped", 0) for s in stats.values()),
-                    "duplicates": sum(s.get("duplicates", 0) for s in stats.values()),
-                    "errors": sum(s.get("errors", 0) for s in stats.values()),
+                    "fetched": int(tot["pages"] or 0) if tot else 0,
+                    "skipped": int(tot["skipped"] or 0) if tot else 0,
+                    "duplicates": int(tot["duplicates"] or 0) if tot else 0,
+                    "errors": int(tot["errors"] or 0) if tot else 0,
                     "elapsed_sec": time.time() - t0,
                 }
             )
 
-            self._write_manifest(run_id, depth, counters, depth)
+            self._write_manifest(run_id, depth, depth)
             current_depth += 1
             if cfg.max_depth == 0:
                 max_depth = current_depth + 1  # crawler.go:496-498
@@ -464,9 +515,15 @@ class CrawlEngine:
         visited: DataFrame,
         pages: DataFrame,
         depth: int,
-        counters: dict[int, dict[str, int]],
+        counters: DataFrame,
     ):
-        """One BFS level for all sources — the worker loop, set-at-a-time."""
+        """One BFS level for all sources — the worker loop, set-at-a-time.
+
+        ``counters`` is the running per-source counter table (small:
+        one row per claimed source); it is broadcast-joined wherever the
+        reference's worker reads its own Status struct — never collected
+        to the driver, never embedded in plan literals.
+        """
         cfg = self.cfg
 
         # resolve relative links (crawler.go:2210-2212) + seen-key
@@ -543,6 +600,13 @@ class CrawlEngine:
 
         # politeness budget (north-rule mode): cap successful fetches per
         # host per round; excess re-queued next round, ordered first.
+        # Two-phase skew-safe rank (the operators/politeness.py contract):
+        # phase 1 ranks budget-capped fetch_ok rows within (host, salt) —
+        # parallel across salt buckets; a local rank > B implies global
+        # rank > B, so those rows defer without ever entering a
+        # whole-host window. Phase 2 ranks only the ≤ B×S survivors per
+        # host. Identical outcome to a single host-wide rank, but a
+        # mega-host with 10^9 pending URLs never pins one task.
         if self.budgets is not None:
             lv = lv.withColumn("_bhost", U.url_hostname("url_link"))
             lv = lv.join(
@@ -550,30 +614,42 @@ class CrawlEngine:
                 ["_bhost"],
                 "left",
             )
-            w_host = Window.partitionBy("_bhost").orderBy("priority", "source_id", "seq")
-            fetch_rank = F.when(
-                F.col("category") == CAT_FETCH_OK, F.row_number().over(w_host)
+            is_capped = (F.col("category") == CAT_FETCH_OK) & F.col(
+                "max_fetches_per_round"
+            ).isNotNull()
+            rest = lv.filter(~is_capped).withColumn("_over", F.lit(False))
+            capped = lv.filter(is_capped).withColumn(
+                "_salt", F.pmod(F.xxhash64(F.col("source_id"), F.col("seq")), F.lit(cfg.salt_buckets))
             )
-            lv = lv.withColumn("_frank", fetch_rank).withColumn(
+            order = [F.col("priority"), F.col("source_id"), F.col("seq")]
+            w1 = Window.partitionBy("_bhost", "_salt").orderBy(*order)
+            capped = capped.withColumn("_r1", F.row_number().over(w1))
+            over1 = capped.filter(F.col("_r1") > F.col("max_fetches_per_round")).withColumn(
+                "_over", F.lit(True)
+            )
+            surv = capped.filter(F.col("_r1") <= F.col("max_fetches_per_round"))
+            w2 = Window.partitionBy("_bhost").orderBy(*order)
+            surv = surv.withColumn(
+                "_over", F.row_number().over(w2) > F.col("max_fetches_per_round")
+            )
+            lv = rest.unionByName(over1.drop("_salt", "_r1")).unionByName(
+                surv.drop("_salt", "_r1")
+            )
+            lv = lv.withColumn(
                 "category",
-                F.when(
-                    (F.col("category") == CAT_FETCH_OK)
-                    & F.col("max_fetches_per_round").isNotNull()
-                    & (F.col("_frank") > F.col("max_fetches_per_round")),
-                    F.lit(CAT_DEFERRED),
-                ).otherwise(F.col("category")),
-            ).drop("max_fetches_per_round", "_frank", "_bhost")
+                F.when(F.col("_over"), F.lit(CAT_DEFERRED)).otherwise(F.col("category")),
+            ).drop("max_fetches_per_round", "_over", "_bhost")
 
         # max_links cutoff: worker stops once TotalPages reaches the cap
-        # (crawler.go:2203-2206) — guard precedes every job.
-        pages_before = F.create_map(
-            *[
-                x
-                for sid, c in counters.items()
-                for x in (F.lit(sid), F.lit(c["pages"]))
-            ]
-        ) if counters else F.create_map()
-        lv = lv.withColumn("_pages_before", F.coalesce(pages_before[F.col("source_id")], F.lit(0)))
+        # (crawler.go:2203-2206) — guard precedes every job. The worker's
+        # TotalPages-so-far comes from the counters table via a broadcast
+        # join (NOT a per-source plan literal, which explodes the plan at
+        # a 10^5+-source claim).
+        lv = lv.join(
+            F.broadcast(counters.select("source_id", F.col("pages").alias("_pages_before"))),
+            "source_id",
+            "left",
+        ).withColumn("_pages_before", F.coalesce(F.col("_pages_before"), F.lit(0)))
         w_cum = (
             Window.partitionBy("source_id")
             .orderBy("seq")
@@ -598,27 +674,21 @@ class CrawlEngine:
                 "source_id", "source_url", "restricted", "priority", "seq", "link", "page_url"
             )
 
-        # ---- per-source stats (single agg pass) ----
-        stats_rows = (
-            processed.groupBy("source_id")
-            .agg(
-                F.sum(F.when(F.col("category") == CAT_FETCH_OK, 1).otherwise(0)).alias("pages"),
-                F.sum(F.when(F.col("category") == CAT_SKIP, 1).otherwise(0)).alias("skipped"),
-                F.sum(F.when(F.col("category") == CAT_DUP, 1).otherwise(0)).alias("duplicates"),
-                F.sum(F.when(F.col("category") == CAT_FETCH_ERR, 1).otherwise(0)).alias("errors"),
-            )
-            .collect()
+        # ---- per-source stats (single agg pass, stays a DataFrame) ----
+        stats = processed.groupBy("source_id").agg(
+            F.sum(F.when(F.col("category") == CAT_FETCH_OK, 1).otherwise(0))
+            .cast("long")
+            .alias("pages"),
+            F.sum(F.when(F.col("category") == CAT_SKIP, 1).otherwise(0))
+            .cast("long")
+            .alias("skipped"),
+            F.sum(F.when(F.col("category") == CAT_DUP, 1).otherwise(0))
+            .cast("long")
+            .alias("duplicates"),
+            F.sum(F.when(F.col("category") == CAT_FETCH_ERR, 1).otherwise(0))
+            .cast("long")
+            .alias("errors"),
         )
-        stats = {
-            r["source_id"]: dict(
-                pages=int(r["pages"]),
-                skipped=int(r["skipped"]),
-                duplicates=int(r["duplicates"]),
-                errors=int(r["errors"]),
-                links=0,
-            )
-            for r in stats_rows
-        }
 
         # ---- effects ----
         attempted = processed.filter(F.col("category").isin(CAT_FETCH_OK, CAT_FETCH_ERR))
@@ -701,33 +771,41 @@ class CrawlEngine:
         new_links = new_links.withColumn("seq", F.row_number().over(w_order) - 1)
 
         # MaxLinks prefix truncation AFTER the level (crawler.go:475-483):
-        # keep first (max_links - TotalPages_after) per source.
+        # keep first (max_links - TotalPages_after) per source —
+        # TotalPages_after = running counter + this round's fetches, a
+        # broadcast join of two small per-source tables.
         if cfg.max_links > 0:
-            pages_after = F.create_map(
-                *[
-                    x
-                    for sid, c in counters.items()
-                    for x in (
-                        F.lit(sid),
-                        F.lit(c["pages"] + stats.get(sid, {}).get("pages", 0)),
-                    )
-                ]
+            pages_after = (
+                counters.select("source_id", F.col("pages").alias("_pb"))
+                .join(stats.select("source_id", F.col("pages").alias("_ps")), "source_id", "full")
+                .select(
+                    "source_id",
+                    (F.coalesce("_pb", F.lit(0)) + F.coalesce("_ps", F.lit(0))).alias(
+                        "_pages_after"
+                    ),
+                )
             )
-            budget_col = F.lit(cfg.max_links) - F.coalesce(
-                pages_after[F.col("source_id")], F.lit(0)
-            )
-            new_links = new_links.filter(F.col("seq") < F.greatest(budget_col, F.lit(0)))
+            new_links = new_links.join(F.broadcast(pages_after), "source_id", "left")
+            budget_col = F.lit(cfg.max_links) - F.coalesce(F.col("_pages_after"), F.lit(0))
+            new_links = new_links.filter(
+                F.col("seq") < F.greatest(budget_col, F.lit(0))
+            ).drop("_pages_after")
 
-        for r in new_links.groupBy("source_id").count().collect():
-            stats.setdefault(
-                r["source_id"], dict(pages=0, skipped=0, duplicates=0, errors=0, links=0)
-            )["links"] = int(r["count"])
+        links_df = new_links.groupBy("source_id").agg(F.count("*").cast("long").alias("links"))
+        stats = stats.join(links_df, "source_id", "full").select(
+            "source_id",
+            *[
+                F.coalesce(F.col(k), F.lit(0)).cast("long").alias(k)
+                for k in ("pages", "skipped", "duplicates", "errors", "links")
+            ],
+        )
 
         new_frontier = new_links.select(
             "source_id", "source_url", "restricted", "priority", "seq", "link", "page_url"
         )
-        processed.unpersist()
-        return new_frontier, new_pages, new_visited, stats, deferred_df
+        # caller unpersists `processed` once the round's state is committed
+        # (stats/new_* all derive from it)
+        return new_frontier, new_pages, new_visited, stats, deferred_df, processed
 
     # ------------------------------------------------------- checkpoint
 
@@ -773,12 +851,12 @@ class CrawlEngine:
         delta.write.mode("overwrite").parquet(path)
         return self.spark.read.parquet(*self._delta_dirs(run_id, rnd, name))
 
-    def _write_manifest(
-        self, run_id: str, rnd: int, counters: dict[int, dict[str, int]], depth: int
-    ) -> None:
+    def _write_manifest(self, run_id: str, rnd: int, depth: int) -> None:
         """Per-round commit record — the resume point (reference analog:
         the Sources status machine + processing-timeout re-claims,
-        postgresql-setup.pgsql:2881-2884)."""
+        postgresql-setup.pgsql:2881-2884). Counters live in the round's
+        ``counters`` parquet, not in the manifest — the manifest stays
+        O(1) regardless of claim size."""
         if not self.work_dir:
             return
         import builtins
@@ -788,7 +866,7 @@ class CrawlEngine:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + ".tmp"
         with builtins.open(tmp, "w") as f:
-            json.dump({"round": rnd, "depth": depth, "counters": counters}, f)
+            json.dump({"round": rnd, "depth": depth}, f)
         os.replace(tmp, path)
 
     def _load_latest(self, run_id: str) -> dict[str, Any] | None:
@@ -798,6 +876,9 @@ class CrawlEngine:
         import glob
         import os
 
+        def _rounds(dirs: list[str]) -> set[int]:
+            return {int(os.path.basename(os.path.dirname(d))[1:]) for d in dirs}
+
         manifests = sorted(glob.glob(f"{self.work_dir}/{run_id}/r*/manifest.json"))
         for m in reversed(manifests):
             rdir = os.path.dirname(m)
@@ -805,22 +886,28 @@ class CrawlEngine:
                 meta = json.load(f)
             rnd = meta["round"]
             # pages/visited are append-only delta logs: the state at this
-            # round is the union of every committed delta ≤ round; all of
-            # them (incl. the r0000 base) must have committed
+            # round is the union of every committed delta ≤ round — and it
+            # must be CONTIGUOUS (one delta per round 0..rnd); a missing
+            # intermediate delta means this manifest's state is silently
+            # incomplete, so fall back to an older manifest instead
+            expected = set(range(rnd + 1))
             pages_dirs = self._delta_dirs(run_id, rnd, "pages")
             visited_dirs = self._delta_dirs(run_id, rnd, "visited")
-            if (
-                not pages_dirs
-                or not visited_dirs
-                or not os.path.exists(f"{rdir}/frontier/_SUCCESS")
+            if not (_rounds(pages_dirs) >= expected and _rounds(visited_dirs) >= expected):
+                continue
+            if not os.path.exists(f"{rdir}/frontier/_SUCCESS") or not os.path.exists(
+                f"{rdir}/counters/_SUCCESS"
             ):
                 continue
-            counters = {int(k): v for k, v in meta["counters"].items()}
+            deferred = None
+            if os.path.exists(f"{rdir}/deferred/_SUCCESS"):
+                deferred = self.spark.read.parquet(f"{rdir}/deferred")
             return {
                 "pages": self.spark.read.parquet(*pages_dirs),
                 "visited": self.spark.read.parquet(*visited_dirs),
                 "frontier": self.spark.read.parquet(f"{rdir}/frontier"),
-                "counters": counters,
+                "counters": self.spark.read.parquet(f"{rdir}/counters"),
+                "deferred": deferred,
                 "current_depth": meta["depth"],
                 "lineage": [{"run_id": run_id, "round": rnd, "resumed": True}],
             }
