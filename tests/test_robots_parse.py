@@ -61,3 +61,41 @@ def test_specific_agent_excludes_star(spark):
     # RFC 9309 §2.2.1: the most specific group wins — ONLY the googlebot
     # group applies; the '*' group (incl. its crawl-delay) is ignored
     assert got == {("disallow", "/google-only")}
+
+
+def test_robots_verdict_allow_overrides(spark):
+    """Allow'd sub-path of a Disallow'd prefix must be allowed (RFC 9309
+    longest-match; the disallow-only fast path can't express this)."""
+    from thecrowler_spark.operators.robots import robots_verdict
+
+    docs = spark.createDataFrame([("h0.example.com", TXT)], "host string, robots_txt string")
+    rules = parse_robots_txt(docs)
+    links = spark.createDataFrame(
+        [
+            ("https://h0.example.com/private/s0/ok", "h0.example.com"),  # allow wins
+            ("https://h0.example.com/private/s1", "h0.example.com"),     # disallowed
+            ("https://h0.example.com/public/a", "h0.example.com"),       # no match
+            ("https://h1.example.com/private/x", "h1.example.com"),      # no robots
+        ],
+        "url_link string, host string",
+    )
+    got = {r["url_link"]: r["robots_allowed"] for r in robots_verdict(links, rules).collect()}
+    assert got == {
+        "https://h0.example.com/private/s0/ok": True,
+        "https://h0.example.com/private/s1": False,
+        "https://h0.example.com/public/a": True,
+        "https://h1.example.com/private/x": True,
+    }
+
+
+def test_crawl_delay_routes_into_budgets(spark):
+    from thecrowler_spark.operators.robots import crawl_delay_budgets
+
+    docs = spark.createDataFrame([("h0.example.com", TXT)], "host string, robots_txt string")
+    rules = parse_robots_txt(docs)
+    got = {
+        r["host"]: r["max_fetches_per_round"]
+        for r in crawl_delay_budgets(rules, round_duration_s=60.0).collect()
+    }
+    # Crawl-delay 2.5 → clamped to the 3 s minimum sleep → floor(60/3) = 20
+    assert got == {"h0.example.com": 20}

@@ -57,6 +57,69 @@ def disallow_prefix_filter(
     return joined.filter(~blocked).drop("_rhost", "_dis_prefixes")
 
 
+def robots_verdict(
+    links: DataFrame,
+    robots: DataFrame,
+    url_col: str = "url_link",
+    host_col: str = "host",
+) -> DataFrame:
+    """Full RFC 9309 verdict over parser output (allow + disallow rows):
+    longest matching prefix wins, allow beats disallow on equal length,
+    no matching rule → allowed. This is the operator to feed
+    :func:`parse_robots_txt` rows into — :func:`disallow_prefix_filter`
+    ignores allow rows and would wrongly block an Allow'd sub-path of a
+    Disallow'd prefix.
+
+    Shape: rules aggregate to one array per host (tiny), broadcast,
+    single equi-join on host, then a vectorized array reduction —
+    ``array_max`` over (plen, is_allow) structs implements
+    longest-prefix-wins with allow-on-tie in one expression. No non-equi
+    join condition anywhere (the 10^10-URL shape).
+
+    Returns the input plus ``robots_allowed`` boolean.
+    """
+    rules = (
+        robots.filter(F.col("rule_type").isin("allow", "disallow"))
+        .groupBy("host")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.length("path_prefix").alias("plen"),
+                    (F.col("rule_type") == "allow").cast("int").alias("is_allow"),
+                    F.col("path_prefix").alias("prefix"),
+                )
+            ).alias("_rules")
+        )
+        .withColumnRenamed("host", "_rhost")
+    )
+    joined = links.join(F.broadcast(rules), links[host_col] == F.col("_rhost"), "left")
+    path = url_path_expr(F.col(url_col))
+    matched = F.filter(F.col("_rules"), lambda r: path.startswith(r["prefix"]))
+    best = F.array_max(matched)  # struct compare: plen, then is_allow (allow wins tie)
+    allowed = F.when(
+        F.col("_rules").isNull() | (F.size(matched) == 0), F.lit(True)
+    ).otherwise(best["is_allow"] == 1)
+    return joined.withColumn("robots_allowed", allowed).drop("_rhost", "_rules")
+
+
+def crawl_delay_budgets(robots_rules: DataFrame, round_duration_s: float = 60.0) -> DataFrame:
+    """Route the parser's ``crawl_delay`` rows into per-host politeness
+    budgets: a host declaring Crawl-delay d gets
+    ``floor(round_duration / max(d, 3s))`` fetches per round, min 1
+    (:func:`..operators.politeness.budgets_from_intervals` math). The
+    most conservative (largest) delay wins when groups repeat it.
+    Output plugs straight into ``CrawlEngine(budgets=...)``.
+    """
+    from .politeness import budgets_from_intervals
+
+    delays = (
+        robots_rules.filter(F.col("rule_type") == "crawl_delay")
+        .groupBy("host")
+        .agg(F.max("crawl_delay").alias("interval_seconds"))
+    )
+    return budgets_from_intervals(delays, round_duration_s=round_duration_s)
+
+
 def parse_robots_txt(
     robots_docs: DataFrame,
     host_col: str = "host",
