@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from thecrowler_spark.functions import text as TX
 from thecrowler_spark.functions import urls as U
+from thecrowler_spark.operators import content_type as CT
 from thecrowler_spark.operators import dedup as DD
 from thecrowler_spark.operators import multimodal as MM
 from thecrowler_spark.operators import search as SE
@@ -277,19 +278,34 @@ def q_frontier_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: every docTypeMap extension + two unknowns — the content_type oracle
+#: exercises the full 96-entry transcribed map
+_DOC_EXTS = sorted(CT.DOC_TYPE_MAP) + ["xyz", "noext"]
+
+
 def q_content_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P10: extension-map content typing."""
-    _load(spark, sf_dir, "part")
-    refs = spark.sql(
-        """
-        SELECT p_partkey AS id,
-               concat('https://cdn.example.com/f', CAST(p_partkey AS STRING), '.',
-                      element_at(array('png','jpg','gif','mp3','mp4','pdf','zip','xyz'),
-                                 CAST(p_partkey % 8 AS INT) + 1)) AS media_ref
-        FROM part
-        """
+    """P10: extension-map content typing — media map (11 media types)
+    plus the FULL docTypeMap transcription (inferDocumentType,
+    web.go:3404-3429 + types.go:324-413) over all 96 extensions."""
+    from thecrowler_spark.operators.content_type import infer_doc_type
+
+    part = _load(spark, sf_dir, "part")["part"]
+    ext = F.element_at(
+        F.array(*[F.lit(e) for e in _DOC_EXTS]),
+        (F.col("p_partkey") % len(_DOC_EXTS)).cast("int") + 1,
     )
-    return refs.select("id", "media_ref", MM.media_type_expr(F.col("media_ref")).alias("media_type"))
+    refs = part.select(
+        F.col("p_partkey").alias("id"),
+        F.concat(
+            F.lit("https://cdn.example.com/f"), F.col("p_partkey").cast("string"), F.lit("."), ext
+        ).alias("media_ref"),
+    )
+    return refs.select(
+        "id",
+        "media_ref",
+        MM.media_type_expr(F.col("media_ref")).alias("media_type"),
+        infer_doc_type(F.col("media_ref")).alias("doc_type"),
+    )
 
 
 def q_content_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -300,16 +316,18 @@ def q_content_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     samples = spark.sql(
         """
         SELECT p_partkey AS id,
-               CASE p_partkey % 7
+               CASE p_partkey % 9
                  WHEN 0 THEN concat('  <!DOCTYPE html><html><body>', p_name, '</body></html>')
                  WHEN 1 THEN concat('<?xml version="1.0"?><root>', p_name, '</root>')
                  WHEN 2 THEN concat('{"name": "', p_name, '"}')
                  WHEN 3 THEN concat('@import "x.css"; .cls { color: red }')
                  WHEN 4 THEN ''
                  WHEN 5 THEN ''
-                 ELSE concat('plain text about ', p_name)
+                 WHEN 6 THEN concat('plain text about ', p_name)
+                 WHEN 7 THEN concat('<svg width="10"><title>', p_name, '</title></svg>')
+                 ELSE concat('function f() { return "', p_name, '"; }')
                END AS body,
-               CASE p_partkey % 7
+               CASE p_partkey % 9
                  WHEN 4 THEN concat('https://cdn.example.com/d', CAST(p_partkey AS STRING), '.pdf?v=1')
                  WHEN 5 THEN ''
                  WHEN 6 THEN concat('https://cdn.example.com/d', CAST(p_partkey AS STRING), '.bin')
@@ -883,6 +901,78 @@ _MARKER = (
 )
 
 
+def _content_type_oracle_sql() -> str:
+    """DuckDB mirror of content_type.infer_doc_type + multimodal's media
+    map — both CASE chains generated from the same Python dicts, so the
+    96-entry docTypeMap transcription can't drift between engines."""
+    arr = ", ".join(f"'{e}'" for e in _DOC_EXTS)
+    media_case = " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in MM.EXT_TYPE_MAP.items())
+    doc_case = " ".join(f"WHEN '{k}' THEN '{v.lower()}'" for k, v in CT.DOC_TYPE_MAP.items())
+    return f"""
+        WITH refs AS (
+          SELECT p_partkey AS id,
+                 concat('https://cdn.example.com/f', CAST(p_partkey AS VARCHAR), '.',
+                        ([{arr}])[CAST(p_partkey % {len(_DOC_EXTS)} AS INT) + 1]) AS media_ref
+          FROM part
+        ),
+        e AS (
+          SELECT id, media_ref,
+                 lower(regexp_extract(media_ref, '\\.([a-z0-9]+)$', 1)) AS ext
+          FROM refs
+        )
+        SELECT id, media_ref,
+               CASE ext {media_case} ELSE 'application/octet-stream' END AS media_type,
+               CASE ext {doc_case} ELSE 'UNKNOWN' END AS doc_type
+        FROM e
+    """
+
+
+def _content_sniff_oracle_sql() -> str:
+    """DuckDB mirror of content_type.detect_content_type: the CASE chain
+    is generated from DETECTION_RULES (all 35 transcribed YAML rules) —
+    same first-match-wins order in both engines."""
+    whens = []
+    for tag, content_pats, url_pats in CT.DETECTION_RULES:
+        conds = [f"(b <> '' AND regexp_matches(b, '{p.replace(chr(39), chr(39) * 2)}'))" for p in content_pats]
+        conds += [f"(u <> '' AND regexp_matches(u, '{p.replace(chr(39), chr(39) * 2)}'))" for p in url_pats]
+        whens.append(f"WHEN {' OR '.join(conds)} THEN '{tag}'")
+    rules_case = (
+        "CASE WHEN b = '' AND u = '' THEN 'text/empty' "
+        + " ".join(whens)
+        + " ELSE 'unknown' END"
+    )
+    return f"""
+        WITH samples AS (
+          SELECT p_partkey AS id,
+                 CASE p_partkey % 9
+                   WHEN 0 THEN concat('  <!DOCTYPE html><html><body>', p_name, '</body></html>')
+                   WHEN 1 THEN concat('<?xml version="1.0"?><root>', p_name, '</root>')
+                   WHEN 2 THEN concat('{{"name": "', p_name, '"}}')
+                   WHEN 3 THEN concat('@import "x.css"; .cls {{ color: red }}')
+                   WHEN 4 THEN ''
+                   WHEN 5 THEN ''
+                   WHEN 6 THEN concat('plain text about ', p_name)
+                   WHEN 7 THEN concat('<svg width="10"><title>', p_name, '</title></svg>')
+                   ELSE concat('function f() {{ return "', p_name, '"; }}')
+                 END AS body,
+                 CASE p_partkey % 9
+                   WHEN 4 THEN concat('https://cdn.example.com/d', CAST(p_partkey AS VARCHAR), '.pdf?v=1')
+                   WHEN 5 THEN ''
+                   WHEN 6 THEN concat('https://cdn.example.com/d', CAST(p_partkey AS VARCHAR), '.bin')
+                   ELSE concat('https://www.example.com/page', CAST(p_partkey AS VARCHAR))
+                 END AS url
+          FROM part
+        ),
+        t AS (SELECT id, body, trim(body) AS b, trim(url) AS u FROM samples)
+        SELECT id,
+               {rules_case} AS content_type,
+               (starts_with(lower(regexp_replace(substr(body, 1, 512), '^[\\x00\\t\\n\\r ]+', '')), '<!doctype html')
+                OR contains(lower(substr(body, 1, 512)), '<html') OR contains(lower(substr(body, 1, 512)), '<head')
+                OR contains(lower(substr(body, 1, 512)), '<body') OR contains(lower(substr(body, 1, 512)), '<meta charset')) AS is_html
+        FROM t
+    """
+
+
 def _simhash_oracle_sql(max_id: int = 300, max_hamming: int = 10) -> str:
     """DuckDB mirror of operators/dedup.simhash_chunks + simhash_near_dups:
     same md5-derived 64-bit token hash, same ±1 bit votes, same 16-bit
@@ -1114,66 +1204,8 @@ def oracle_sql() -> dict[str, str]:
               FROM lineitem
             ) WHERE occ = 1
         """,
-        "content_type": """
-            WITH refs AS (
-              SELECT p_partkey AS id,
-                     concat('https://cdn.example.com/f', CAST(p_partkey AS VARCHAR), '.',
-                            (['png','jpg','gif','mp3','mp4','pdf','zip','xyz'])[CAST(p_partkey % 8 AS INT) + 1]) AS media_ref
-              FROM part)
-            SELECT id, media_ref,
-                   CASE lower(regexp_extract(media_ref, '\\.([a-z0-9]+)$', 1))
-                     WHEN 'png' THEN 'image/png' WHEN 'jpg' THEN 'image/jpeg' WHEN 'jpeg' THEN 'image/jpeg'
-                     WHEN 'gif' THEN 'image/gif' WHEN 'webp' THEN 'image/webp'
-                     WHEN 'mp3' THEN 'audio/mpeg' WHEN 'wav' THEN 'audio/wav'
-                     WHEN 'mp4' THEN 'video/mp4' WHEN 'webm' THEN 'video/webm'
-                     WHEN 'pdf' THEN 'application/pdf' WHEN 'zip' THEN 'application/zip'
-                     ELSE 'application/octet-stream' END AS media_type
-            FROM refs
-        """,
-        "content_sniff": """
-            WITH samples AS (
-              SELECT p_partkey AS id,
-                     CASE p_partkey % 7
-                       WHEN 0 THEN concat('  <!DOCTYPE html><html><body>', p_name, '</body></html>')
-                       WHEN 1 THEN concat('<?xml version="1.0"?><root>', p_name, '</root>')
-                       WHEN 2 THEN concat('{"name": "', p_name, '"}')
-                       WHEN 3 THEN concat('@import "x.css"; .cls { color: red }')
-                       WHEN 4 THEN ''
-                       WHEN 5 THEN ''
-                       ELSE concat('plain text about ', p_name)
-                     END AS body,
-                     CASE p_partkey % 7
-                       WHEN 4 THEN concat('https://cdn.example.com/d', CAST(p_partkey AS VARCHAR), '.pdf?v=1')
-                       WHEN 5 THEN ''
-                       WHEN 6 THEN concat('https://cdn.example.com/d', CAST(p_partkey AS VARCHAR), '.bin')
-                       ELSE concat('https://www.example.com/page', CAST(p_partkey AS VARCHAR))
-                     END AS url
-              FROM part
-            ),
-            t AS (SELECT id, body, trim(body) AS b, trim(url) AS u FROM samples)
-            SELECT id,
-                   CASE
-                     WHEN b = '' AND u = '' THEN 'text/empty'
-                     WHEN (b <> '' AND regexp_matches(b, '(?i)^[\\s\\n]*(<!DOCTYPE\\s+html|<html|<head|<body|<title|<meta|<script|<div|<span|<!--|<iframe|<form)'))
-                       OR (u <> '' AND regexp_matches(u, '(?i)\\.html?(\\?.*)?$')) THEN 'text/html'
-                     WHEN (b <> '' AND regexp_matches(b, '(?i)^\\s*<\\?xml'))
-                       OR (u <> '' AND regexp_matches(u, '(?i)\\.xml(\\?.*)?$')) THEN 'text/xml'
-                     WHEN (b <> '' AND (regexp_matches(b, '(?i)^\\s*\\{.*\\}') OR regexp_matches(b, '(?i)^\\s*\\[.*\\]')))
-                       OR (u <> '' AND regexp_matches(u, '(?i)\\.json(\\?.*)?$')) THEN 'application/json'
-                     WHEN (b <> '' AND (regexp_matches(b, '(?i)^\\s*@(import|charset)\\s+') OR regexp_matches(b, '(?i)^\\s*([.#]?[a-zA-Z0-9_-]+\\s*\\{)')))
-                       OR (u <> '' AND regexp_matches(u, '(?i)\\.css(\\?.*)?$')) THEN 'text/css'
-                     WHEN (u <> '' AND regexp_matches(u, '(?i)\\.png(\\?.*)?$')) THEN 'image/png'
-                     WHEN (u <> '' AND regexp_matches(u, '(?i)\\.jpe?g(\\?.*)?$')) THEN 'image/jpeg'
-                     WHEN (u <> '' AND regexp_matches(u, '(?i)\\.gif(\\?.*)?$')) THEN 'image/gif'
-                     WHEN (b <> '' AND starts_with(b, '%PDF-'))
-                       OR (u <> '' AND regexp_matches(u, '(?i)\\.pdf(\\?.*)?$')) THEN 'application/pdf'
-                     ELSE 'unknown'
-                   END AS content_type,
-                   (starts_with(lower(regexp_replace(substr(body, 1, 512), '^[\\x00\\t\\n\\r ]+', '')), '<!doctype html')
-                    OR contains(lower(substr(body, 1, 512)), '<html') OR contains(lower(substr(body, 1, 512)), '<head')
-                    OR contains(lower(substr(body, 1, 512)), '<body') OR contains(lower(substr(body, 1, 512)), '<meta charset')) AS is_html
-            FROM t
-        """,
+        "content_type": _content_type_oracle_sql(),
+        "content_sniff": _content_sniff_oracle_sql(),
         "keyword_topk": f"""
             SELECT keyword, count(*) AS occurrences FROM (
               SELECT {_KW_TOKENS} AS keyword FROM documents

@@ -62,3 +62,25 @@ def test_sniff_and_looks_like_html(spark):
     }
     for i, (_, want_sniff, want_looks) in enumerate(rows):
         assert got[i] == (want_sniff, want_looks), f"case {i}: {got[i]}"
+
+
+def test_infer_doc_type_full_map(spark):
+    """inferDocumentType parity (web.go:3404-3429): full docTypeMap,
+    lowercased values, UNKNOWN fallback, query string stripped."""
+    from thecrowler_spark.operators.content_type import DOC_TYPE_MAP, infer_doc_type
+
+    assert len(DOC_TYPE_MAP) >= 90  # the full transcription, not a subset
+    cases = [
+        ("https://x.example.com/a.pdf", "application/pdf"),
+        ("https://x.example.com/a.mp4", "application/mp4"),   # lowered from MP4
+        ("https://x.example.com/a.webm", "application/webm"),
+        ("https://x.example.com/a.xhtml", "text/xhtml"),
+        ("https://x.example.com/a.woff2", "application/woff2"),
+        ("https://x.example.com/a.7z", "application/7z"),
+        ("https://x.example.com/a.pdf?v=1", "application/pdf"),  # query stripped
+        ("https://x.example.com/a.nope", "UNKNOWN"),
+    ]
+    df = spark.createDataFrame(cases, "url string, want string")
+    got = df.select("want", infer_doc_type("url").alias("got")).collect()
+    for r in got:
+        assert r["got"] == r["want"], (r["want"], r["got"])
