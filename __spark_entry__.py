@@ -403,7 +403,10 @@ def q_search_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_search_dorking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dorking query language compiled to a Catalyst predicate."""
+    """Dorking query language compiled to a Catalyst predicate —
+    exercises the '=' field separator, a quoted phrase, a field probe,
+    and the in-query '&limit' control modifier (tokenizer.go:82-86,
+    329-330, 561-574)."""
     docs = _load(spark, sf_dir, "documents")["documents"]
     pages = docs.select(
         F.col("doc_id"),
@@ -412,7 +415,7 @@ def q_search_dorking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("body_text"),
         F.col("lang").alias("detected_lang"),
     )
-    hits = pages.filter(SE.compile_search('data & "model" | lang:en training'))
+    hits = SE.search(pages, 'content=data & "spark" | lang:en window&limit:120', limit=10)
     return hits.select("doc_id", "detected_lang")
 
 
@@ -1259,8 +1262,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "search_dorking": """
             SELECT doc_id, lang AS detected_lang FROM documents
-            WHERE (lower(text) LIKE '%data%' AND lower(text) LIKE '%model%')
-               OR (lower(lang) LIKE '%en%' AND lower(text) LIKE '%training%')
+            WHERE (lower(text) LIKE '%data%' AND lower(text) LIKE '%spark%')
+               OR (lower(lang) LIKE '%en%' AND lower(text) LIKE '%window%')
+            ORDER BY doc_id DESC LIMIT 120
         """,
         "correlation_union": """
             WITH probes AS (

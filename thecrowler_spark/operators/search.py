@@ -2,10 +2,13 @@
 
 Reference pipeline (/root/reference/pkg/search/search.go:39-110,
 tokenizer.go:55-130,490-510): tokenize (quoted phrases, ``\\`` escape,
-``field:term``, ``|`` = OR, ``&`` = AND, bare juxtaposition = AND) →
-compile each term to a case-insensitive ``LIKE %term%`` over the
-default fields → prepend the star join
-(/root/reference/pkg/search/sql_templates.go:5-56).
+``field:term`` OR ``field=term`` — ``:``/``=`` end a specifier only
+when it passes ``isValidSpecifier`` (tokenizer.go:82-86,199-207),
+``|`` = OR, ``&`` = AND, bare juxtaposition = AND) → per-token
+``&limit:N``/``&limit=N``/``&offset`` control-modifier extraction
+(tokenizer.go:329-330,561-574) → compile each term to a
+case-insensitive ``LIKE %term%`` over the default fields → prepend the
+star join (/root/reference/pkg/search/sql_templates.go:5-56).
 
 Here: the same token grammar compiled to a Catalyst Column predicate —
 the filter then pushes into the scan for free.
@@ -20,29 +23,90 @@ from pyspark.sql import functions as F
 
 #: searchable fields → column names (SearchIndex star analog)
 DEFAULT_FIELDS = ("title", "summary", "body_text")
+#: reference specifiers (isValidSpecifier, tokenizer.go:199-207) mapped
+#: to our page-schema columns, plus documented extensions (body/url/lang)
 FIELD_ALIASES = {
     "title": "title",
     "summary": "summary",
-    "body": "body_text",
-    "url": "doc_id",
-    "lang": "detected_lang",
+    "content": "body_text",
+    "file_type": "file_type",
+    "body": "body_text",  # extension
+    "url": "doc_id",  # extension
+    "lang": "detected_lang",  # extension
 }
 
+#: the reference's full valid-specifier set (tokenizer.go:199-207);
+#: 'details'/'&details' compile to the JSON details probe, 'limit' /
+#: 'offset' are control words handled by extract_control_modifier
+VALID_SPECIFIERS = frozenset(
+    ("title", "summary", "content", "details", "&details", "offset", "&offset",
+     "limit", "&limit", "file_type")
+) | frozenset(FIELD_ALIASES)
+
+#: '&' is an operator only when doubled or space-surrounded
+#: (tokenizer.go:96-118); otherwise it stays inside the token — URL
+#: query strings ("?a=1&b=2") and attached control modifiers
+#: ("term&limit:10") survive as one token.
 _TOKEN_RE = re.compile(
     r"""
     \s*(
-        "(?:[^"\\]|\\.)*"          # quoted phrase
-      | [|&]                       # operators
-      | [^\s|&]+                   # bare term (may be field:term)
+        "(?:[^"\\]|\\.)*"            # quoted phrase
+      | \|                           # OR operator
+      | &&                           # doubled AND operator
+      | &(?=\s|$)                    # standalone space-delimited AND
+      | (?:[^\s|&]|&(?!&)(?!\s))+    # bare term (may embed ':'/'='/&modifier)
     )
     """,
     re.VERBOSE,
 )
 
 
+def is_valid_specifier(spec: str) -> bool:
+    """``isValidSpecifier`` tokenizer.go:199-207: ``@``-prefixed JSON
+    paths plus the fixed word list; anything else keeps its ':'/'='
+    literal (so ``foo:bar`` is a substring term, not a field probe)."""
+    return spec.startswith("@") or spec.lower() in VALID_SPECIFIERS
+
+
+def extract_control_modifier(value: str, name: str, current: int | None):
+    """``extractControlModifier`` tokenizer.go:561-574, transcribed:
+    find ``&name:`` or ``&name=``; the REMAINDER of the token is the
+    integer value (so modifiers sit at a token's end); parse failure
+    leaves the token intact."""
+    for sep in (":", "="):
+        marker = f"&{name}{sep}"
+        idx = value.find(marker)
+        if idx >= 0:
+            mod = value[idx + len(marker):]
+            try:
+                current = int(mod)
+                value = value[:idx]
+            except ValueError:
+                pass
+            break
+    return value, current
+
+
 def tokenize(query: str) -> list[str]:
     """Token stream per tokenizer.go:55-130 (quotes + escapes kept)."""
     return [m.group(1) for m in _TOKEN_RE.finditer(query)]
+
+
+def parse_query(query: str, limit: int | None = None, offset: int = 0):
+    """Tokenize + per-token control-modifier extraction
+    (tokenizer.go:329-330: limit first, then offset, on every token).
+    Returns (tokens, limit, offset); tokens emptied by extraction drop.
+    Note: '&' is both the AND operator (whitespace-separated) and the
+    modifier marker (inside a token) — the tokenizer already split
+    standalone '&', so only embedded '&limit'/' &offset' reach here."""
+    out: list[str] = []
+    for t in tokenize(query):
+        if t not in ("|", "&") and '"' not in t:
+            t, limit = extract_control_modifier(t, "limit", limit)
+            t, offset = extract_control_modifier(t, "offset", offset)
+        if t:
+            out.append(t)
+    return out, limit, offset
 
 
 #: column holding the semi-structured details JSON probed by @path terms
@@ -51,22 +115,35 @@ def tokenize(query: str) -> list[str]:
 JSON_DETAILS_COL = "details"
 
 
+_SEP_RE = re.compile(r"^([^:=]*)([:=])(.*)$", re.DOTALL)
+
+
 def _term_predicate(term: str) -> Column:
     field = None
     json_path = None
-    if term.startswith("@") and ":" in term:
-        spec, rest = term[1:].split(":", 1)
-        if spec and rest:
-            json_path, term = "$." + spec, rest
-    elif '"' not in term and ":" in term:
-        prefix, rest = term.split(":", 1)
-        if prefix.lower() in FIELD_ALIASES and rest:
-            field, term = FIELD_ALIASES[prefix.lower()], rest
+    details_probe = False
+    if '"' not in term:
+        m = _SEP_RE.match(term)
+        if m and m.group(3) and is_valid_specifier(m.group(1)):
+            spec, rest = m.group(1), m.group(3)
+            low = spec.lower()
+            if spec.startswith("@"):
+                json_path, term = "$." + spec[1:], rest
+            elif low in ("details", "&details"):
+                details_probe, term = True, rest
+            elif low in FIELD_ALIASES:
+                field, term = FIELD_ALIASES[low], rest
+            # bare 'limit:'/'offset:' specifiers fall through as literal
+            # terms (the &-marked forms are the control-modifier path)
     if term.startswith('"') and term.endswith('"') and len(term) >= 2:
         term = term[1:-1].replace('\\"', '"').replace("\\\\", "\\")
     like = f"%{term.lower()}%"
     if json_path:
         return F.lower(F.get_json_object(F.col(JSON_DETAILS_COL), json_path)).like(like)
+    if details_probe:
+        # 'details:v' probes the whole semi-structured blob as text
+        # (WebObjects.details::text LIKE, sql_templates.go)
+        return F.lower(F.col(JSON_DETAILS_COL).cast("string")).like(like)
     if field:
         return F.lower(F.col(field)).like(like)
     pred = F.lit(False)
@@ -75,18 +152,12 @@ def _term_predicate(term: str) -> Column:
     return pred
 
 
-def compile_search(query: str) -> Column:
-    """Compile a dorking query to one Column predicate.
-
-    Grammar: OR ('|') binds looser than AND ('&' or juxtaposition) —
-    i.e. ``a b | c`` = (a AND b) OR c.
-    """
-    tokens = tokenize(query)
+def _compile_tokens(tokens: list[str]) -> Column:
     or_groups: list[list[str]] = [[]]
     for t in tokens:
         if t == "|":
             or_groups.append([])
-        elif t == "&":
+        elif t in ("&", "&&"):
             continue
         else:
             or_groups[-1].append(t)
@@ -101,10 +172,24 @@ def compile_search(query: str) -> Column:
     return result
 
 
+def compile_search(query: str) -> Column:
+    """Compile a dorking query to one Column predicate.
+
+    Grammar: OR ('|') binds looser than AND ('&'/'&&' or juxtaposition)
+    — i.e. ``a b | c`` = (a AND b) OR c. Control modifiers are stripped
+    (use :func:`search` or :func:`parse_query` to consume them).
+    """
+    tokens, _, _ = parse_query(query)
+    return _compile_tokens(tokens)
+
+
 def search(pages: DataFrame, query: str, limit: int = 10, offset: int = 0) -> DataFrame:
     """DISTINCT + recency order + limit/offset, per the reference
-    templates (sql_templates.go:6,49; search.go:112-130 defaults)."""
-    out = pages.filter(compile_search(query)).dropDuplicates(["doc_id"])
+    templates (sql_templates.go:6,49; search.go:112-130 defaults —
+    reference default limit is 10). In-query ``&limit``/``&offset``
+    control modifiers override the arguments (tokenizer.go:329-330)."""
+    tokens, limit, offset = parse_query(query, limit, offset)
+    out = pages.filter(_compile_tokens(tokens)).dropDuplicates(["doc_id"])
     out = out.orderBy(F.desc("doc_id"))
     if offset:
         out = out.offset(offset)
