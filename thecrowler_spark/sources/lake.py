@@ -46,6 +46,15 @@ class LakeTable:
         except FileNotFoundError:
             return None
 
+    def current_meta(self) -> dict:
+        """Commit metadata of the current snapshot (e.g. the time-series
+        aggregation checkpoint, recordTimeSeriesAggregationRun analog)."""
+        try:
+            with open(self._pointer_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
     def snapshots(self) -> list[int]:
         out = []
         for d in os.listdir(self.path):
@@ -56,7 +65,9 @@ class LakeTable:
     def _commit(self, snapshot_id: int, meta: dict | None = None) -> None:
         tmp = self._pointer_path() + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"snapshot_id": snapshot_id, "ts": time.time(), **(meta or {})}, f)
+            # reserved keys LAST so caller meta (e.g. a round-tripped
+            # current_meta()) can never clobber the new pointer target
+            json.dump({**(meta or {}), "snapshot_id": snapshot_id, "ts": time.time()}, f)
         os.replace(tmp, self._pointer_path())  # atomic commit
 
     def _snap_dir(self, snapshot_id: int) -> str:
