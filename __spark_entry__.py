@@ -565,9 +565,28 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic (marker-token votes)."""
+    """Language-ID heuristic (marker-token argmax over 8 languages)."""
     docs = _load(spark, sf_dir, "documents")["documents"]
     return docs.select("doc_id", TX.detect_lang_expr(F.col("text")).alias("lang_pred"))
+
+
+def q_text_langmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """convertLangStrToLangCode parity: the full 60-entry ISO-639 map
+    (types.go:416-479), trim+lower, missing key → '' (Go zero value)."""
+    _load(spark, sf_dir, "orders")
+    keys = _iso_keys()
+    ids = spark.sql("SELECT o_orderkey AS id FROM orders WHERE o_orderkey < 3000")
+    raw = F.element_at(
+        F.array(*[F.lit(k) for k in keys]), (F.col("id") % len(keys)).cast("int") + 1
+    )
+    lang3 = (
+        F.when(F.col("id") % 3 == 0, F.upper(raw))
+        .when(F.col("id") % 3 == 1, F.concat(F.lit(" "), raw, F.lit("  ")))
+        .otherwise(raw)
+    )
+    return ids.select(
+        "id", lang3.alias("lang3"), TX.iso_lang_code(lang3).alias("lang_code")
+    )
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -871,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "text_langid": q_text_langid,
+        "text_langmap": q_text_langmap,
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
         "text_tokens_bpe": q_text_tokens_bpe,
@@ -976,6 +996,55 @@ def _content_sniff_oracle_sql() -> str:
     """
 
 
+def _langid_oracle_sql() -> str:
+    """DuckDB mirror of text.detect_lang_expr, generated from the SAME
+    LANG_MARKERS dict (argmax with dict-order tie-break)."""
+    langs = list(TX.LANG_MARKERS)
+    hits = ",\n                     ".join(
+        _MARKER.format(m=", ".join(f"'{w}'" for w in TX.LANG_MARKERS[lang])) + f" AS h_{lang}"
+        for lang in langs
+    )
+    whens = []
+    for i, lang in enumerate(langs):
+        conds = [f"h_{lang} > 0"] + [f"h_{lang} >= h_{o}" for o in langs[i + 1:]]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return f"""
+        WITH h AS (
+          SELECT doc_id, {hits}
+          FROM documents
+        )
+        SELECT doc_id, CASE {' '.join(whens)} ELSE 'unknown' END AS lang_pred FROM h
+    """
+
+
+def _iso_keys() -> list[str]:
+    return sorted(TX.ISO_639_MAP) + ["xx_nope"]
+
+
+def _langmap_oracle_sql() -> str:
+    """DuckDB mirror of text.iso_lang_code over the same synthesized
+    3-letter-code column (mixed case/padding exercises trim+lower)."""
+    keys = _iso_keys()
+    arr = ", ".join(f"'{k}'" for k in keys)
+    case = " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in TX.ISO_639_MAP.items())
+    return f"""
+        WITH ids AS (SELECT o_orderkey AS id FROM orders WHERE o_orderkey < 3000),
+        raw AS (
+          SELECT id, ([{arr}])[CAST(id % {len(keys)} AS INT) + 1] AS r FROM ids
+        ),
+        c AS (
+          SELECT id,
+                 CASE WHEN id % 3 = 0 THEN upper(r)
+                      WHEN id % 3 = 1 THEN concat(' ', r, '  ')
+                      ELSE r END AS lang3
+          FROM raw
+        )
+        SELECT id, lang3,
+               CASE lower(trim(lang3)) {case} ELSE '' END AS lang_code
+        FROM c
+    """
+
+
 def _simhash_oracle_sql(max_id: int = 300, max_hamming: int = 10) -> str:
     """DuckDB mirror of operators/dedup.simhash_chunks + simhash_near_dups:
     same md5-derived 64-bit token hash, same ±1 bit votes, same 16-bit
@@ -1035,10 +1104,6 @@ def _simhash_oracle_sql(max_id: int = 300, max_hamming: int = 10) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    en = _MARKER.format(m="'the','and','of','to','is'")
-    es = _MARKER.format(m="'el','la','los','que','es'")
-    fr = _MARKER.format(m="'le','les','des','est','une'")
-    de = _MARKER.format(m="'der','die','und','ist','das'")
     sw_filter = (
         "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
     )
@@ -1384,15 +1449,8 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             ) WHERE rank <= 5
         """,
-        "text_langid": f"""
-            SELECT doc_id,
-                   CASE WHEN {en} >= {es} AND {en} >= {fr} AND {en} >= {de} AND {en} > 0 THEN 'en'
-                        WHEN {es} >= {fr} AND {es} >= {de} AND {es} > 0 THEN 'es'
-                        WHEN {fr} >= {de} AND {fr} > 0 THEN 'fr'
-                        WHEN {de} > 0 THEN 'de'
-                        ELSE 'unknown' END AS lang_pred
-            FROM documents
-        """,
+        "text_langid": _langid_oracle_sql(),
+        "text_langmap": _langmap_oracle_sql(),
         "text_quality": f"""
             WITH s AS (
               SELECT doc_id,

@@ -86,31 +86,71 @@ def unique_preserving(arr: Column | str) -> Column:
     return F.array_distinct(_col(arr))
 
 
+#: per-language marker words (n-gram-heuristic stand-in for whatlanggo,
+#: web.go:3370-3401). Dict ORDER is the tie-break priority. ASCII-latin
+#: markers only — the tokenizer class is [a-z0-9], so non-latin scripts
+#: resolve to 'unknown' by construction (honest stub limit, documented).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "los", "que", "es"),
+    "fr": ("le", "les", "des", "est", "une"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "it": ("il", "che", "di", "per", "sono"),
+    "pt": ("um", "uma", "os", "para", "como"),
+    "nl": ("het", "een", "van", "niet", "zijn"),
+    "sv": ("och", "att", "det", "som", "inte"),
+}
+
+#: whatlanggo ISO-639-3 name → ISO-639-1 code, full transcription of
+#: langMap /root/reference/pkg/crawler/types.go:416-479.
+ISO_639_MAP: dict[str, str] = {
+    "unknown": "unknown", "afr": "af", "sqi": "sq", "amh": "am", "ara": "ar",
+    "hye": "hy", "asm": "as", "aze": "az", "aze_cyrl": "az", "bel": "be",
+    "ben": "bn", "bod": "bo", "bos": "bs", "bul": "bg", "cat": "ca",
+    "ceb": "ceb", "ces": "cs", "cha": "ch", "cmn": "zh", "cnr": "ru",
+    "cos": "co", "cre": "cr", "cym": "cy", "dan": "da", "deu": "de",
+    "div": "dv", "ell": "el", "eng": "en", "rus": "ru", "spa": "es",
+    "por": "pt", "ita": "it", "fra": "fr", "ukr": "uk", "pol": "pl",
+    "slv": "sl", "nld": "nl", "fin": "fi", "tur": "tr", "heb": "he",
+    "hin": "hi", "jpn": "ja", "kor": "ko", "zho": "zh", "vie": "vi",
+    "ind": "id", "msa": "ms", "tha": "th", "kat": "ka", "kat_old": "ka",
+    "hrv": "hr", "ron": "ro", "srp": "sr", "srp_latn": "sr", "slk": "sk",
+    "slk_frak": "sk", "slk_old": "sk", "slk_1929": "sk", "slk_1996": "sk",
+    "slk_2006": "sk", "slk_2010": "sk", "slk_2018": "sk",
+}
+
+
 def detect_lang_expr(c: Column | str) -> Column:
-    """Deterministic language-ID stub (reference uses whatlanggo,
+    """Deterministic language-ID heuristic (reference uses whatlanggo,
     /root/reference/pkg/crawler/web.go:3370-3401).
 
-    Heuristic: count hits from tiny per-language marker sets over the
-    token array; ties broken by fixed priority en>es>fr>de>unknown.
-    Pure Column expression so the DuckDB oracle can mirror it exactly.
+    Counts hits from :data:`LANG_MARKERS` per language over the token
+    array; argmax wins with dict-order priority on ties; zero hits
+    everywhere → 'unknown'. Pure Column expression so the DuckDB oracle
+    can mirror it exactly (generated from the same dict).
     """
     toks = tokens(c)
-
-    def hits(markers: list[str]) -> Column:
+    hit_cols: dict[str, Column] = {}
+    for lang, markers in LANG_MARKERS.items():
         m = F.array(*[F.lit(w) for w in markers])
-        return F.size(F.filter(toks, lambda w: F.array_contains(m, w)))
+        hit_cols[lang] = F.size(F.filter(toks, lambda w: F.array_contains(m, w)))
+    langs = list(LANG_MARKERS)
+    out = F.when(F.lit(False), F.lit(""))
+    for i, lang in enumerate(langs):
+        cond = hit_cols[lang] > 0
+        for other in langs[i + 1:]:
+            cond = cond & (hit_cols[lang] >= hit_cols[other])
+        out = out.when(cond, F.lit(lang))
+    return out.otherwise(F.lit("unknown"))
 
-    en = hits(["the", "and", "of", "to", "is"])
-    es = hits(["el", "la", "los", "que", "es"])
-    fr = hits(["le", "les", "des", "est", "une"])
-    de = hits(["der", "die", "und", "ist", "das"])
-    return (
-        F.when((en >= es) & (en >= fr) & (en >= de) & (en > 0), F.lit("en"))
-        .when((es >= fr) & (es >= de) & (es > 0), F.lit("es"))
-        .when((fr >= de) & (fr > 0), F.lit("fr"))
-        .when(de > 0, F.lit("de"))
-        .otherwise(F.lit("unknown"))
-    )
+
+def iso_lang_code(c: Column | str) -> Column:
+    """``convertLangStrToLangCode`` (web.go:3397-3401): trim + lower +
+    langMap lookup; a missing key yields Go's map zero value '' (empty
+    string). One literal-map lookup, JVM-side."""
+    key = F.lower(F.trim(_col(c)))
+    mapping = F.create_map(*[F.lit(x) for k, v in ISO_639_MAP.items() for x in (k, v)])
+    return F.coalesce(mapping[key], F.lit(""))
 
 
 def token_count(c: Column | str) -> Column:
