@@ -419,6 +419,60 @@ def q_search_dorking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select("doc_id", "detected_lang")
 
 
+def q_search_webobjects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity search template (sqlWebObjectsBody,
+    sql_templates.go:85-113): WebObjects ⋈ bridge ⋈ SearchIndex with
+    keyword + source chains, non-empty-link guard, DISTINCT projection.
+    'f' is a bare term, so it ORs into the keyword-equality group."""
+    from thecrowler_spark.operators.search import search_entity_star
+
+    _load(spark, sf_dir, "orders", "customer")
+    si = spark.sql(
+        """
+        SELECT sha2(CAST(o_orderkey AS STRING), 256) AS index_id,
+               o_orderpriority AS title,
+               concat('order status ', lower(o_orderstatus)) AS summary
+        FROM orders WHERE o_orderkey < 5000
+        """
+    )
+    wo = spark.sql(
+        """
+        SELECT DISTINCT sha2(o_orderpriority, 256) AS object_hash,
+               concat('https://cdn.example.com/obj/', substring(sha2(o_orderpriority, 256), 1, 8)) AS object_link
+        FROM orders WHERE o_orderkey < 5000
+        """
+    )
+    woi = spark.sql(
+        """
+        SELECT sha2(CAST(o_orderkey AS STRING), 256) AS index_id,
+               sha2(o_orderpriority, 256) AS object_hash
+        FROM orders WHERE o_orderkey < 5000
+        """
+    )
+    ssi = spark.sql(
+        "SELECT o_custkey AS source_id, sha2(CAST(o_orderkey AS STRING), 256) AS index_id"
+        " FROM orders WHERE o_orderkey < 5000"
+    )
+    srcs = spark.sql(
+        "SELECT c_custkey AS source_id, concat('uid-', CAST(c_custkey AS STRING)) AS source_uid FROM customer"
+    )
+    ki = spark.sql(
+        "SELECT sha2(CAST(o_orderkey AS STRING), 256) AS index_id, lower(o_orderstatus) AS keyword"
+        " FROM orders WHERE o_orderkey < 5000"
+    )
+    return search_entity_star(
+        wo,
+        woi,
+        si,
+        "title:urgent | f",
+        entity_cols=("object_hash", "object_link"),
+        link_col="object_link",
+        keyword_index=ki,
+        source_search_index=ssi,
+        sources=srcs,
+    )
+
+
 def q_correlation_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4: UNION-distinct of probes joined back to a dimension."""
     _load(spark, sf_dir, "events", "customer")
@@ -875,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timeseries_buckets": q_timeseries_buckets,
         "search_star": q_search_star,
         "search_dorking": q_search_dorking,
+        "search_webobjects": q_search_webobjects,
         "correlation_union": q_correlation_union,
         "attr_selfjoin": q_attr_selfjoin,
         "upsert_coalesce": q_upsert_coalesce,
@@ -1330,6 +1385,48 @@ def oracle_sql() -> dict[str, str]:
             WHERE (lower(text) LIKE '%data%' AND lower(text) LIKE '%spark%')
                OR (lower(lang) LIKE '%en%' AND lower(text) LIKE '%window%')
             ORDER BY doc_id DESC LIMIT 120
+        """,
+        "search_webobjects": """
+            WITH si AS (
+              SELECT sha256(CAST(o_orderkey AS VARCHAR)) AS index_id,
+                     o_orderpriority AS title,
+                     concat('order status ', lower(o_orderstatus)) AS summary
+              FROM orders WHERE o_orderkey < 5000
+            ),
+            wo AS (
+              SELECT DISTINCT sha256(o_orderpriority) AS object_hash,
+                     concat('https://cdn.example.com/obj/', substr(sha256(o_orderpriority), 1, 8)) AS object_link
+              FROM orders WHERE o_orderkey < 5000
+            ),
+            woi AS (
+              SELECT sha256(CAST(o_orderkey AS VARCHAR)) AS index_id,
+                     sha256(o_orderpriority) AS object_hash
+              FROM orders WHERE o_orderkey < 5000
+            ),
+            ssi AS (
+              SELECT o_custkey AS source_id, sha256(CAST(o_orderkey AS VARCHAR)) AS index_id
+              FROM orders WHERE o_orderkey < 5000
+            ),
+            srcs AS (
+              SELECT c_custkey AS source_id, concat('uid-', CAST(c_custkey AS VARCHAR)) AS source_uid
+              FROM customer
+            ),
+            ki AS (
+              SELECT sha256(CAST(o_orderkey AS VARCHAR)) AS index_id, lower(o_orderstatus) AS keyword
+              FROM orders WHERE o_orderkey < 5000
+            )
+            SELECT DISTINCT coalesce(s.source_uid, '') AS source_uid,
+                            wo.object_hash, wo.object_link
+            FROM wo
+            JOIN woi ON wo.object_hash = woi.object_hash
+            JOIN si ON woi.index_id = si.index_id
+            LEFT JOIN ki ON si.index_id = ki.index_id
+            LEFT JOIN ssi ON si.index_id = ssi.index_id
+            LEFT JOIN srcs s ON ssi.source_id = s.source_id
+            WHERE wo.object_link IS NOT NULL AND wo.object_link <> ''
+              AND (lower(si.title) LIKE '%urgent%'
+                   OR (lower(si.title) LIKE '%f%' OR lower(si.summary) LIKE '%f%')
+                   OR ki.keyword = 'f')
         """,
         "correlation_union": """
             WITH probes AS (

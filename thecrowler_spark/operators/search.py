@@ -118,7 +118,7 @@ JSON_DETAILS_COL = "details"
 _SEP_RE = re.compile(r"^([^:=]*)([:=])(.*)$", re.DOTALL)
 
 
-def _term_predicate(term: str) -> Column:
+def _term_predicate(term: str, default_fields: tuple[str, ...] = DEFAULT_FIELDS) -> Column:
     field = None
     json_path = None
     details_probe = False
@@ -147,12 +147,14 @@ def _term_predicate(term: str) -> Column:
     if field:
         return F.lower(F.col(field)).like(like)
     pred = F.lit(False)
-    for f_ in DEFAULT_FIELDS:
+    for f_ in default_fields:
         pred = pred | F.lower(F.col(f_)).like(like)
     return pred
 
 
-def _compile_tokens(tokens: list[str]) -> Column:
+def _compile_tokens(
+    tokens: list[str], default_fields: tuple[str, ...] = DEFAULT_FIELDS
+) -> Column:
     or_groups: list[list[str]] = [[]]
     for t in tokens:
         if t == "|":
@@ -167,7 +169,7 @@ def _compile_tokens(tokens: list[str]) -> Column:
             continue
         g = F.lit(True)
         for term in group:
-            g = g & _term_predicate(term)
+            g = g & _term_predicate(term, default_fields)
         result = result | g
     return result
 
@@ -194,3 +196,74 @@ def search(pages: DataFrame, query: str, limit: int = 10, offset: int = 0) -> Da
     if offset:
         out = out.offset(offset)
     return out.limit(limit)
+
+
+def bare_terms(tokens: list[str]) -> list[str]:
+    """Terms that hit the DEFAULT fields (no valid specifier) — these
+    also join the appended keyword-equality group
+    (buildCombinedQuery keyword group, tokenizer.go:520-531)."""
+    out = []
+    for t in tokens:
+        if t in ("|", "&", "&&"):
+            continue
+        m = _SEP_RE.match(t)
+        if m and m.group(3) and is_valid_specifier(m.group(1)):
+            continue
+        if t.startswith('"') and t.endswith('"') and len(t) >= 2:
+            t = t[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+        out.append(t.lower())
+    return out
+
+
+def search_entity_star(
+    entity: DataFrame,
+    bridge: DataFrame,
+    search_index: DataFrame,
+    query: str,
+    entity_cols: tuple[str, ...],
+    link_col: str,
+    keyword_index: DataFrame | None = None,
+    source_search_index: DataFrame | None = None,
+    sources: DataFrame | None = None,
+    si_fields: tuple[str, ...] = ("title", "summary"),
+) -> DataFrame:
+    """Per-entity search template family (sql_templates.go:58-287:
+    Screenshots / WebObjects / ScrapedData / NetInfo / HTTPInfo bodies).
+
+    Shape, faithful to every template: entity JOIN bridge JOIN
+    SearchIndex, LEFT JOIN the keyword chain, LEFT JOIN the source
+    chain; WHERE = non-empty ``link_col`` guard AND (the compiled
+    dorking predicate over the SearchIndex text fields OR exact keyword
+    equality for the query's bare terms — buildCombinedQuery's appended
+    keyword group); DISTINCT projection with ``COALESCE(source_uid,
+    '')``.
+
+    Plan shape: every join is an equi-join (bridge/index_id/keyword/
+    source_id); sources is a broadcast dimension; DISTINCT is one
+    shuffle on the (small) projection.
+    """
+    tokens, _, _ = parse_query(query)
+    pred = _compile_tokens(tokens, default_fields=si_fields)
+
+    ent_keys = [c for c in bridge.columns if c in entity.columns]
+    df = entity.join(bridge, ent_keys)
+    df = df.join(search_index.select("index_id", *si_fields), "index_id")
+
+    kw_pred = F.lit(False)
+    if keyword_index is not None:
+        bares = bare_terms(tokens)
+        df = df.join(keyword_index.select("index_id", "keyword"), "index_id", "left")
+        if bares:
+            kw_pred = F.col("keyword").isin(*bares)
+
+    proj: list[Column] = []
+    if source_search_index is not None and sources is not None:
+        df = df.join(source_search_index.select("index_id", "source_id"), "index_id", "left")
+        df = df.join(
+            F.broadcast(sources.select("source_id", "source_uid")), "source_id", "left"
+        )
+        proj.append(F.coalesce(F.col("source_uid"), F.lit("")).alias("source_uid"))
+    proj.extend(F.col(c) for c in entity_cols)
+
+    guard = F.col(link_col).isNotNull() & (F.col(link_col) != "")
+    return df.filter(guard & (pred | kw_pred)).select(*proj).distinct()
