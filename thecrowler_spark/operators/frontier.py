@@ -15,6 +15,16 @@ rounds:
   repartitioned on a salted host key so one mega-host cannot pin a
   single reducer (SURVEY.md §4 "Skew handling").
 
+Known scale limit (deliberate): the per-SOURCE sequencing windows
+(``Window.partitionBy("source_id")``) are the price of reproducing the
+reference's workers=1 per-source total order — they parallelize across
+sources but serialize within one, so a single source whose one level
+emits ~10^8+ links pins one task for that window. Host-budget ranking
+is already two-phase (salt-parallel); if a deployment has mega-sources
+and does not need intra-source ordering parity, split the source into
+several seed rows (e.g. one per URL prefix) — each shard keeps exact
+per-shard ordering and the union is the same page set.
+
 Fetching over the closed-world corpus is an equi-join
 ``frontier.link == documents.doc_id`` (SURVEY.md S3: no live HTTP in
 scope — the synthetic corpus IS the web).
