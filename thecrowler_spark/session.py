@@ -31,12 +31,16 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(2 * cores, 32)
+    # AQE stays ON by default (skew safety at scale); SPARK_GRAFT_AQE=0
+    # turns it off for fixed-shape rounds where the per-stage driver
+    # replanning pause is measurable against the round length.
+    aqe = os.environ.get("SPARK_GRAFT_AQE", "1") != "0"
 
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", str(aqe).lower())
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
