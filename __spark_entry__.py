@@ -878,7 +878,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0, 4) AS sum_qty,
                round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 4) AS sum_base_price,
                round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS sum_disc_price,
-               round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100.0, 6) AS avg_qty,
+               CAST((sum(CAST(round(l_quantity * 100) AS BIGINT)) * 20000 + count(*)) DIV (count(*) * 2) AS DOUBLE) / 1000000.0 AS avg_qty,
                count(*) AS count_order
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
@@ -1361,7 +1361,7 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 4) AS value_sum,
                    round(min(value), 4) AS value_min,
                    round(max(value), 4) AS value_max,
-                   round((CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / count(*)) / 100.0, 4) AS value_avg,
+                   CAST((sum(CAST(round(value * 100) AS BIGINT)) * 200 + count(*)) // (count(*) * 2) AS DOUBLE) / 10000.0 AS value_avg,
                    round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS p50,
                    round(CAST(quantile_cont(value, 0.75) AS DOUBLE), 4) AS p75,
                    round(CAST(quantile_cont(value, 0.9) AS DOUBLE), 4) AS p90,
@@ -1769,7 +1769,7 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0, 4) AS sum_qty,
                    round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 4) AS sum_base_price,
                    round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS sum_disc_price,
-                   round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100.0, 6) AS avg_qty,
+                   CAST((sum(CAST(round(l_quantity * 100) AS BIGINT)) * 20000 + count(*)) // (count(*) * 2) AS DOUBLE) / 1000000.0 AS avg_qty,
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,

@@ -56,11 +56,19 @@ def bucket_aggregates(
         mult = float(10**decimal_scale)
         cents = F.round(F.col(value_col) * mult).cast("long")
         sum_expr = F.round(F.sum(cents).cast("double") / mult, 4)
-        avg_expr = F.round((F.sum(cents).cast("double") / F.count("*")) / mult, 4)
+        # the 4-decimal MEAN is rounded in EXACT INTEGER arithmetic:
+        # round-half-up(a/b) = (2a + b) DIV (2b), all in int64 — dividing
+        # the scaled-int sum as a double first puts results on .00005
+        # boundaries where Spark (HALF_UP) and other engines (HALF_EVEN)
+        # disagree in the last digit (hit at sf0.1; non-negative sums
+        # assumed). The DIV lands in a post-agg select so it runs as true
+        # integer division (no double round-trip past 2^53).
+        up = 10 ** (4 - decimal_scale)
+        avg_expr = F.sum(cents) * (2 * up) + F.count("*")  # numerator; ÷(2n) below
     else:
         sum_expr = F.round(F.sum(value_col), 4)
         avg_expr = F.round(F.avg(value_col), 4)
-    return (
+    agged = (
         events.groupBy(F.col(metric_col).alias("metric"), w.alias("w"))
         .agg(
             F.count("*").alias("value_count"),
@@ -83,6 +91,14 @@ def bucket_aggregates(
             F.count_distinct(F.col(value_col)).alias("distinct_values"),
             F.coalesce(F.sum("_changed"), F.lit(0)).cast("long").alias("change_count"),
         )
+    )
+    if decimal_scale is not None:
+        agged = agged.withColumn(
+            "value_avg",
+            F.expr("CAST(value_avg DIV (value_count * 2) AS DOUBLE) / 10000.0"),
+        )
+    return (
+        agged
         .select(
             "metric",
             F.col("w.start").alias("bucket_start"),
