@@ -78,7 +78,11 @@ def build_inputs(spark, args):
         F.lit("{}").alias("config"),
         F.current_timestamp().alias("created_at"),
     )
-    seeds = spark.createDataFrame(seeds.collect(), SEEDS_SCHEMA)  # tiny (N seeds), pin schema
+    # pin column types to SEEDS_SCHEMA with casts — never a
+    # collect()+createDataFrame round-trip, which would pull the whole
+    # seed list through the driver (fine at N=16, fatal at a 10^6-seed
+    # fleet claim)
+    seeds = seeds.select(*[F.col(f.name).cast(f.dataType) for f in SEEDS_SCHEMA.fields])
 
     hosts = spark.range(args.hosts).select(
         F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".example.com")).alias("host")
