@@ -164,7 +164,13 @@ def claim_sources(
         from ..functions.intervals import parse_interval_seconds_py
 
         now_ts = F.lit(now).cast("timestamp")
-        lu = F.col("last_updated_at")
+        # Sources.last_updated_at is nullable in the proc; a seeds table
+        # without the column behaves as all-NULL (never-updated sources)
+        lu = (
+            F.col("last_updated_at")
+            if "last_updated_at" in seeds.columns
+            else F.lit(None).cast("timestamp")
+        )
         st = F.lower(F.trim(F.col("status")))
 
         def cutoff(interval_str: str):
@@ -207,10 +213,15 @@ def mark_processing(
     hit = F.coalesce(F.col("_claimed"), F.lit(False))
     now_ts = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
     prev_engine = F.col("engine") if "engine" in seeds.columns else F.lit(None).cast("string")
+    prev_lu = (
+        F.col("last_updated_at")
+        if "last_updated_at" in seeds.columns
+        else F.lit(None).cast("timestamp")
+    )
     return (
         out.withColumn("status", F.when(hit, F.lit("processing")).otherwise(F.col("status")))
         .withColumn("engine", F.when(hit, F.lit(engine_id)).otherwise(prev_engine))
-        .withColumn("last_updated_at", F.when(hit, now_ts).otherwise(F.col("last_updated_at")))
+        .withColumn("last_updated_at", F.when(hit, now_ts).otherwise(prev_lu))
         .drop("_cid", "_claimed")
     )
 
