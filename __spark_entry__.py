@@ -473,6 +473,52 @@ def q_search_webobjects(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_search_screenshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Screenshots search template (sqlScreenshotBody,
+    sql_templates.go:58-84): the entity carries index_id directly (no
+    bridge); bare term 'thumbnail' only matches via the keyword-equality
+    group, proving the appended keyword group is live."""
+    from thecrowler_spark.operators.search import search_entity_star
+
+    _load(spark, sf_dir, "part", "supplier")
+    si = spark.sql(
+        """
+        SELECT sha2(CAST(p_partkey AS STRING), 256) AS index_id,
+               p_name AS title, concat('brand ', lower(p_brand)) AS summary
+        FROM part
+        """
+    )
+    shots = spark.sql(
+        """
+        SELECT sha2(CAST(p_partkey AS STRING), 256) AS index_id,
+               concat('https://shots.example.com/', substring(sha2(CAST(p_partkey AS STRING), 256), 1, 8), '.png') AS screenshot_link,
+               CASE WHEN p_partkey % 3 = 0 THEN 'thumbnail' ELSE 'full_page' END AS type,
+               CAST(p_partkey % 1920 AS INT) AS width,
+               CAST(p_partkey % 1080 AS INT) AS height
+        FROM part
+        """
+    )
+    ki = shots.select("index_id", F.col("type").alias("keyword"))
+    ssi = spark.sql(
+        "SELECT CAST(p_partkey % 500 AS BIGINT) AS source_id,"
+        " sha2(CAST(p_partkey AS STRING), 256) AS index_id FROM part"
+    )
+    srcs = spark.sql(
+        "SELECT s_suppkey AS source_id, concat('uid-', CAST(s_suppkey AS STRING)) AS source_uid FROM supplier"
+    )
+    return search_entity_star(
+        shots,
+        None,
+        si,
+        "title:steel | thumbnail",
+        entity_cols=("screenshot_link", "type", "width", "height"),
+        link_col="screenshot_link",
+        keyword_index=ki,
+        source_search_index=ssi,
+        sources=srcs,
+    )
+
+
 def q_correlation_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4: UNION-distinct of probes joined back to a dimension."""
     _load(spark, sf_dir, "events", "customer")
@@ -930,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_star": q_search_star,
         "search_dorking": q_search_dorking,
         "search_webobjects": q_search_webobjects,
+        "search_screenshots": q_search_screenshots,
         "correlation_union": q_correlation_union,
         "attr_selfjoin": q_attr_selfjoin,
         "upsert_coalesce": q_upsert_coalesce,
@@ -1427,6 +1474,42 @@ def oracle_sql() -> dict[str, str]:
               AND (lower(si.title) LIKE '%urgent%'
                    OR (lower(si.title) LIKE '%f%' OR lower(si.summary) LIKE '%f%')
                    OR ki.keyword = 'f')
+        """,
+        "search_screenshots": """
+            WITH si AS (
+              SELECT sha256(CAST(p_partkey AS VARCHAR)) AS index_id,
+                     p_name AS title, concat('brand ', lower(p_brand)) AS summary
+              FROM part
+            ),
+            shots AS (
+              SELECT sha256(CAST(p_partkey AS VARCHAR)) AS index_id,
+                     concat('https://shots.example.com/', substr(sha256(CAST(p_partkey AS VARCHAR)), 1, 8), '.png') AS screenshot_link,
+                     CASE WHEN p_partkey % 3 = 0 THEN 'thumbnail' ELSE 'full_page' END AS type,
+                     CAST(p_partkey % 1920 AS INT) AS width,
+                     CAST(p_partkey % 1080 AS INT) AS height
+              FROM part
+            ),
+            ki AS (SELECT index_id, type AS keyword FROM shots),
+            ssi AS (
+              SELECT CAST(p_partkey % 500 AS BIGINT) AS source_id,
+                     sha256(CAST(p_partkey AS VARCHAR)) AS index_id
+              FROM part
+            ),
+            srcs AS (
+              SELECT s_suppkey AS source_id, concat('uid-', CAST(s_suppkey AS VARCHAR)) AS source_uid
+              FROM supplier
+            )
+            SELECT DISTINCT coalesce(s.source_uid, '') AS source_uid,
+                            sh.screenshot_link, sh.type, sh.width, sh.height
+            FROM shots sh
+            JOIN si ON sh.index_id = si.index_id
+            LEFT JOIN ki ON si.index_id = ki.index_id
+            LEFT JOIN ssi ON si.index_id = ssi.index_id
+            LEFT JOIN srcs s ON ssi.source_id = s.source_id
+            WHERE sh.screenshot_link IS NOT NULL AND sh.screenshot_link <> ''
+              AND (lower(si.title) LIKE '%steel%'
+                   OR (lower(si.title) LIKE '%thumbnail%' OR lower(si.summary) LIKE '%thumbnail%')
+                   OR ki.keyword = 'thumbnail')
         """,
         "correlation_union": """
             WITH probes AS (

@@ -217,7 +217,7 @@ def bare_terms(tokens: list[str]) -> list[str]:
 
 def search_entity_star(
     entity: DataFrame,
-    bridge: DataFrame,
+    bridge: DataFrame | None,
     search_index: DataFrame,
     query: str,
     entity_cols: tuple[str, ...],
@@ -245,8 +245,13 @@ def search_entity_star(
     tokens, _, _ = parse_query(query)
     pred = _compile_tokens(tokens, default_fields=si_fields)
 
-    ent_keys = [c for c in bridge.columns if c in entity.columns]
-    df = entity.join(bridge, ent_keys)
+    if bridge is not None:
+        ent_keys = [c for c in bridge.columns if c in entity.columns]
+        df = entity.join(bridge, ent_keys)
+    else:
+        # Screenshots-shaped entities carry index_id directly
+        # (sqlScreenshotBody: `s.index_id = si.index_id`, no bridge table)
+        df = entity
     df = df.join(search_index.select("index_id", *si_fields), "index_id")
 
     kw_pred = F.lit(False)
