@@ -535,6 +535,62 @@ def q_correlation_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_correlated_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """find_correlated_sources_by_domain + sqlCorrelatedSitesBody
+    (pgsql:2907-2947 + sql_templates.go:203-242): detail-blob domain
+    probes UNION-distinct → Sources join → whois/ssl report."""
+    from thecrowler_spark.operators.netinfo import (
+        correlated_sites_report,
+        correlated_sources_by_domain,
+    )
+
+    _load(spark, sf_dir, "orders", "customer")
+    ssi = spark.sql(
+        "SELECT o_custkey AS source_id, sha2(CAST(o_orderkey AS STRING), 256) AS index_id"
+        " FROM orders WHERE o_orderkey < 3000"
+    )
+    srcs = spark.sql(
+        """
+        SELECT c_custkey AS source_id, concat('uid-', CAST(c_custkey AS STRING)) AS source_uid,
+               concat('https://h', CAST(c_custkey % 50 AS STRING), '.example.com') AS url
+        FROM customer
+        """
+    )
+    ni = spark.sql(
+        """
+        SELECT sha2(concat('ni', CAST(o_orderkey AS STRING)), 256) AS netinfo_id,
+               concat('{"whois":{"registrant":"org-', CAST(o_orderkey % 40 AS STRING),
+                      '","domain":"h', CAST(o_orderkey % 25 AS STRING), '.example.com"}}') AS details
+        FROM orders WHERE o_orderkey < 3000 AND o_orderkey % 2 = 0
+        """
+    )
+    nii = spark.sql(
+        "SELECT sha2(concat('ni', CAST(o_orderkey AS STRING)), 256) AS netinfo_id,"
+        " sha2(CAST(o_orderkey AS STRING), 256) AS index_id"
+        " FROM orders WHERE o_orderkey < 3000 AND o_orderkey % 2 = 0"
+    )
+    hi = spark.sql(
+        """
+        SELECT sha2(concat('hi', CAST(o_orderkey AS STRING)), 256) AS httpinfo_id,
+               concat('{"ssl_info":{"issuer":"ca-', CAST(o_orderkey % 10 AS STRING),
+                      '","cn":"h', CAST(o_orderkey % 25 AS STRING), '.example.com"}}') AS details
+        FROM orders WHERE o_orderkey < 3000 AND o_orderkey % 3 = 0
+        """
+    )
+    hii = spark.sql(
+        "SELECT sha2(concat('hi', CAST(o_orderkey AS STRING)), 256) AS httpinfo_id,"
+        " sha2(CAST(o_orderkey AS STRING), 256) AS index_id"
+        " FROM orders WHERE o_orderkey < 3000 AND o_orderkey % 3 = 0"
+    )
+    partners = correlated_sources_by_domain(
+        "h7.example.com", ssi, srcs,
+        netinfo=ni, netinfo_index=nii, httpinfo=hi, httpinfo_index=hii,
+    )
+    return correlated_sites_report(
+        partners, ssi, netinfo=ni, netinfo_index=nii, httpinfo=hi, httpinfo_index=hii
+    )
+
+
 def q_attr_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: ObjectAttributes-style self equi-join on a value key."""
     _load(spark, sf_dir, "part")
@@ -978,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_webobjects": q_search_webobjects,
         "search_screenshots": q_search_screenshots,
         "correlation_union": q_correlation_union,
+        "correlated_sites": q_correlated_sites,
         "attr_selfjoin": q_attr_selfjoin,
         "upsert_coalesce": q_upsert_coalesce,
         "webobjects_dedup": q_webobjects_dedup,
@@ -1519,6 +1576,67 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT c.c_custkey AS custkey, c.c_name AS cust_name
             FROM probes p JOIN customer c ON c.c_custkey = p.user_id
+        """,
+        "correlated_sites": """
+            WITH ssi AS (
+              SELECT o_custkey AS source_id, sha256(CAST(o_orderkey AS VARCHAR)) AS index_id
+              FROM orders WHERE o_orderkey < 3000
+            ),
+            srcs AS (
+              SELECT c_custkey AS source_id, concat('uid-', CAST(c_custkey AS VARCHAR)) AS source_uid,
+                     concat('https://h', CAST(c_custkey % 50 AS VARCHAR), '.example.com') AS url
+              FROM customer
+            ),
+            ni AS (
+              SELECT sha256(concat('ni', CAST(o_orderkey AS VARCHAR))) AS netinfo_id,
+                     concat('{"whois":{"registrant":"org-', CAST(o_orderkey % 40 AS VARCHAR),
+                            '","domain":"h', CAST(o_orderkey % 25 AS VARCHAR), '.example.com"}}') AS details
+              FROM orders WHERE o_orderkey < 3000 AND o_orderkey % 2 = 0
+            ),
+            nii AS (
+              SELECT sha256(concat('ni', CAST(o_orderkey AS VARCHAR))) AS netinfo_id,
+                     sha256(CAST(o_orderkey AS VARCHAR)) AS index_id
+              FROM orders WHERE o_orderkey < 3000 AND o_orderkey % 2 = 0
+            ),
+            hi AS (
+              SELECT sha256(concat('hi', CAST(o_orderkey AS VARCHAR))) AS httpinfo_id,
+                     concat('{"ssl_info":{"issuer":"ca-', CAST(o_orderkey % 10 AS VARCHAR),
+                            '","cn":"h', CAST(o_orderkey % 25 AS VARCHAR), '.example.com"}}') AS details
+              FROM orders WHERE o_orderkey < 3000 AND o_orderkey % 3 = 0
+            ),
+            hii AS (
+              SELECT sha256(concat('hi', CAST(o_orderkey AS VARCHAR))) AS httpinfo_id,
+                     sha256(CAST(o_orderkey AS VARCHAR)) AS index_id
+              FROM orders WHERE o_orderkey < 3000 AND o_orderkey % 3 = 0
+            ),
+            p_ni AS (
+              SELECT DISTINCT ssi.source_id FROM ni
+              JOIN nii ON ni.netinfo_id = nii.netinfo_id
+              JOIN ssi ON nii.index_id = ssi.index_id
+              WHERE ni.details LIKE '%h7.example.com%'
+            ),
+            p_hi AS (
+              SELECT DISTINCT ssi.source_id FROM hi
+              JOIN hii ON hi.httpinfo_id = hii.httpinfo_id
+              JOIN ssi ON hii.index_id = ssi.index_id
+              WHERE hi.details LIKE '%h7.example.com%'
+            ),
+            partners AS (
+              SELECT DISTINCT s.source_id, coalesce(s.source_uid, '') AS source_uid, s.url
+              FROM srcs s JOIN (SELECT source_id FROM p_ni UNION SELECT source_id FROM p_hi) aps
+                ON s.source_id = aps.source_id
+            )
+            SELECT DISTINCT p.source_id, p.source_uid, p.url,
+                   json_extract_string(ni.details, '$.whois.registrant') AS whois_registrant,
+                   json_extract_string(hi.details, '$.ssl_info.issuer') AS ssl_issuer
+            FROM partners p
+            JOIN ssi ON p.source_id = ssi.source_id
+            LEFT JOIN nii ON ssi.index_id = nii.index_id
+            LEFT JOIN ni ON nii.netinfo_id = ni.netinfo_id
+            LEFT JOIN hii ON ssi.index_id = hii.index_id
+            LEFT JOIN hi ON hii.httpinfo_id = hi.httpinfo_id
+            WHERE json_extract_string(ni.details, '$.whois.registrant') IS NOT NULL
+               OR json_extract_string(hi.details, '$.ssl_info.issuer') IS NOT NULL
         """,
         "attr_selfjoin": """
             SELECT a.p_brand AS brand, count(*) AS correlated_pairs

@@ -64,3 +64,99 @@ def write_netinfo(spark, lake_dir: str, rows: DataFrame) -> int:
 def write_screenshots(spark, lake_dir: str, rows: DataFrame) -> int:
     lake = LakeTable(spark, f"{lake_dir}/screenshots")
     return lake.merge(rows, ["index_id", "content_hash"])
+
+
+def correlated_sources_by_domain(
+    domain: str,
+    source_search_index: DataFrame,
+    sources: DataFrame,
+    netinfo: DataFrame | None = None,
+    netinfo_index: DataFrame | None = None,
+    httpinfo: DataFrame | None = None,
+    httpinfo_index: DataFrame | None = None,
+    web_objects: DataFrame | None = None,
+    web_objects_index: DataFrame | None = None,
+) -> DataFrame:
+    """``find_correlated_sources_by_domain``
+    (/root/reference/pkg/database/postgresql-setup.pgsql:2907-2947):
+    sources whose NetInfo / HTTPInfo / WebObjects ``details`` blobs
+    mention the domain — three probe CTEs UNION-distinct, joined back
+    to Sources; output (source_id, source_uid, url), COALESCE'd uid.
+
+    Scale shape: each probe is a pushed-down LIKE filter + two
+    equi-joins; the union dedups on source_id (one shuffle); the final
+    Sources join is an equi-join. Nothing is quadratic in sources.
+    """
+    like = f"%{domain}%"
+
+    def probe(detail_df, bridge, key):
+        hits = detail_df.filter(F.col("details").cast("string").like(like)).select(key)
+        return hits.join(bridge, key).join(
+            source_search_index.select("index_id", "source_id"), "index_id"
+        ).select("source_id")
+
+    probes = []
+    if netinfo is not None and netinfo_index is not None:
+        probes.append(probe(netinfo, netinfo_index, "netinfo_id"))
+    if httpinfo is not None and httpinfo_index is not None:
+        probes.append(probe(httpinfo, httpinfo_index, "httpinfo_id"))
+    if web_objects is not None and web_objects_index is not None:
+        probes.append(probe(web_objects, web_objects_index, "object_id"))
+    if not probes:
+        raise ValueError("at least one (details, bridge) pair required")
+    all_partners = probes[0]
+    for p in probes[1:]:
+        all_partners = all_partners.unionByName(p)
+    all_partners = all_partners.distinct()
+    return (
+        sources.join(all_partners, "source_id")
+        .select(
+            "source_id",
+            F.coalesce(F.col("source_uid"), F.lit("")).alias("source_uid"),
+            "url",
+        )
+        .distinct()
+    )
+
+
+def correlated_sites_report(
+    partners: DataFrame,
+    source_search_index: DataFrame,
+    netinfo: DataFrame | None = None,
+    netinfo_index: DataFrame | None = None,
+    httpinfo: DataFrame | None = None,
+    httpinfo_index: DataFrame | None = None,
+) -> DataFrame:
+    """``sqlCorrelatedSitesBody`` (sql_templates.go:203-242): partner
+    sources joined to their whois (NetInfo) and ssl (HTTPInfo) details,
+    keeping rows where either exists. Documented divergence: scalar
+    leaves (``whois_registrant``, ``ssl_issuer``) instead of raw JSON
+    sub-objects — JSON re-serialization (spacing/key order) differs
+    across engines, scalars don't.
+    """
+    df = partners.join(source_search_index.select("index_id", "source_id"), "source_id")
+    whois = F.lit(None).cast("string")
+    ssl = F.lit(None).cast("string")
+    if netinfo is not None and netinfo_index is not None:
+        ni = netinfo_index.join(netinfo, "netinfo_id").select(
+            "index_id", F.get_json_object("details", "$.whois.registrant").alias("_whois")
+        )
+        df = df.join(ni, "index_id", "left")
+        whois = F.col("_whois")
+    if httpinfo is not None and httpinfo_index is not None:
+        hi = httpinfo_index.join(httpinfo, "httpinfo_id").select(
+            "index_id", F.get_json_object("details", "$.ssl_info.issuer").alias("_ssl")
+        )
+        df = df.join(hi, "index_id", "left")
+        ssl = F.col("_ssl")
+    return (
+        df.filter(whois.isNotNull() | ssl.isNotNull())
+        .select(
+            "source_id",
+            F.coalesce(F.col("source_uid"), F.lit("")).alias("source_uid"),
+            "url",
+            whois.alias("whois_registrant"),
+            ssl.alias("ssl_issuer"),
+        )
+        .distinct()
+    )
