@@ -684,6 +684,19 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_near_dups(docs, text_col="text", id_col="doc_id", max_hamming=10)
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup canonical groups: connected components over the
+    MinHash-LSH candidate pairs (min-label propagation; component id =
+    kept canonical doc id)."""
+    docs = (
+        _load(spark, sf_dir, "documents")["documents"]
+        .filter(F.col("doc_id") < 300)
+        .filter(F.size(TX.tokens(F.col("text"))) >= 3)
+    )
+    pairs = DD.minhash_lsh_candidates(docs, text_col="text", id_col="doc_id", n_hashes=8, bands=4, k=3)
+    return DD.connected_components(pairs)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs."""
     emb = _load(spark, sf_dir, "embeddings")["embeddings"].filter(F.col("vec_id") < 300)
@@ -1044,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_components": q_dedup_components,
         "embedding_neardup": q_embedding_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh": q_ann_lsh,
@@ -1722,6 +1736,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.id AS id_a, b.id AS id_b
             FROM banded a JOIN banded b
               ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id
+        """,
+        # components via recursive min-label closure over the SAME LSH
+        # candidate pairs as dedup_minhash_lsh (md5 permutations portable)
+        "dedup_components": f"""
+            WITH RECURSIVE sh AS (
+              SELECT id, unnest(list_distinct(
+                       list_transform(generate_series(1, len(l) - 2),
+                                      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS shingle
+              FROM (SELECT doc_id AS id, {sw_filter} AS l FROM documents WHERE doc_id < 300)
+              WHERE len(l) >= 3
+            ),
+            sig AS (
+              SELECT id,
+                     min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
+                     min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3,
+                     min(md5('4:' || shingle)) AS mh4, min(md5('5:' || shingle)) AS mh5,
+                     min(md5('6:' || shingle)) AS mh6, min(md5('7:' || shingle)) AS mh7
+              FROM sh GROUP BY id
+            ),
+            banded AS (
+              SELECT id, 0 AS band_idx, md5(mh0 || '|' || mh1) AS band_key FROM sig
+              UNION ALL SELECT id, 1, md5(mh2 || '|' || mh3) FROM sig
+              UNION ALL SELECT id, 2, md5(mh4 || '|' || mh5) FROM sig
+              UNION ALL SELECT id, 3, md5(mh6 || '|' || mh7) FROM sig
+            ),
+            pairs AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM banded a JOIN banded b
+                ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id
+            ),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT u AS id FROM edges),
+            walk(id, comp) AS (
+              SELECT id, id AS comp FROM nodes
+              UNION
+              SELECT e.u, w.comp FROM walk w JOIN edges e ON e.v = w.id
+            )
+            SELECT id, min(comp) AS component FROM walk GROUP BY id
         """,
         "embedding_neardup": """
             WITH e AS (

@@ -62,3 +62,20 @@ def test_embedding_neardup_guard(spark):
         embedding_near_dups(emb, max_rows=10)
     # under the cap (or opted out) it runs
     assert embedding_near_dups(emb.limit(5), threshold=0.99).count() >= 0
+
+
+def test_connected_components_goldens(spark):
+    """Min-label components: a 4-chain (diameter > 1 round), a triangle,
+    and an isolated pair — component id = min member."""
+    from thecrowler_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13),   # chain 10-11-12-13
+         (20, 21), (21, 22), (20, 22),   # triangle
+         (30, 31)],                      # pair
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10,
+                   20: 20, 21: 20, 22: 20,
+                   30: 30, 31: 30}

@@ -365,3 +365,56 @@ def embedding_near_dups_lsh(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup pairs → (id, component): the canonical-group step of
+    fuzzy dedup (MinHash/SimHash candidate pairs become duplicate
+    GROUPS; keep min-id per group, drop the rest).
+
+    Min-label propagation: every node starts as its own label; each
+    round joins labels across edges and keeps the per-node minimum —
+    converges in O(graph diameter) rounds (near-dup clusters are
+    shallow stars/cliques, so typically 2-4). Each round is one
+    equi-join + one groupBy; the label table (one row per node in any
+    pair) is localCheckpointed per round to cut lineage. For
+    pathological long-chain graphs swap in alternating large-star /
+    small-star (O(log n) rounds) — same interface.
+
+    Component id = the MINIMUM doc id in the component (the kept
+    canonical document).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+    )
+    labels = edges.select(F.col("u").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels.withColumnRenamed("id", "v"), "v")
+            .select(F.col("u").alias("id"), "component")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
