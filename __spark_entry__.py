@@ -733,6 +733,21 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_ann(corpus, queries_df, n_cells=16, n_probe=4, k=5, iters=1)
 
 
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split + stratified sample flag over documents
+    (training-pipeline staple: membership is a pure function of doc_id,
+    stable under reruns/cluster size/dataset growth)."""
+    from thecrowler_spark.operators.sampling import assign_split, sample_flag
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return docs.select(
+        "doc_id",
+        "lang",
+        assign_split(F.col("doc_id"), {"train": 0.9, "val": 0.05, "test": 0.05}).alias("split"),
+        sample_flag(F.col("doc_id"), 0.1).alias("in_10pct_sample"),
+    )
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (marker-token argmax over 8 languages)."""
     docs = _load(spark, sf_dir, "documents")["documents"]
@@ -1062,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "dataset_split": q_dataset_split,
         "text_langid": q_text_langid,
         "text_langmap": q_text_langmap,
         "text_quality": q_text_quality,
@@ -1801,6 +1817,19 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
               FROM scored
             ) WHERE rank <= 5
+        """,
+        "dataset_split": """
+            WITH b AS (
+              SELECT doc_id, lang,
+                     ('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), '#42')), 1, 8))::BIGINT % 1000000 AS bucket
+              FROM documents
+            )
+            SELECT doc_id, lang,
+                   CASE WHEN bucket < 900000 THEN 'train'
+                        WHEN bucket < 950000 THEN 'val'
+                        ELSE 'test' END AS split,
+                   bucket < 100000 AS in_10pct_sample
+            FROM b
         """,
         "text_langid": _langid_oracle_sql(),
         "text_langmap": _langmap_oracle_sql(),

@@ -153,3 +153,36 @@ def test_search_json_path_field(spark):
     # OR composition with a default-field term still works
     hits2 = {r["doc_id"] for r in df.filter(compile_search("@tech.server:nginx | nginx")).collect()}
     assert hits2 == {1, 3}
+
+
+def test_hash_split_stability_and_proportions(spark):
+    """Split membership is a pure function of the key: growing the
+    dataset must not move any existing row between splits, and the
+    proportions approach the weights."""
+    from pyspark.sql import functions as F
+
+    from thecrowler_spark.operators.sampling import assign_split, sample_flag
+
+    small = spark.range(5_000)
+    big = spark.range(50_000)
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+    def splits(df):
+        return {
+            r["id"]: r["s"]
+            for r in df.select("id", assign_split(F.col("id"), w).alias("s")).collect()
+        }
+
+    s_small, s_big = splits(small), splits(big)
+    assert all(s_big[k] == v for k, v in s_small.items())  # growth never reshuffles
+    from collections import Counter
+
+    frac = {k: v / 50_000 for k, v in Counter(s_big.values()).items()}
+    assert abs(frac["train"] - 0.8) < 0.01 and abs(frac["val"] - 0.1) < 0.005
+    # sample is uniform within strata: per-bucket-of-id rate ≈ fraction
+    flagged = big.select((F.col("id") % 5).alias("stratum"), sample_flag(F.col("id"), 0.2).alias("f"))
+    rates = {
+        r["stratum"]: r["rate"]
+        for r in flagged.groupBy("stratum").agg(F.avg(F.col("f").cast("double")).alias("rate")).collect()
+    }
+    assert all(abs(v - 0.2) < 0.02 for v in rates.values())

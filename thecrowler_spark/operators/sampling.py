@@ -1,0 +1,57 @@
+"""Deterministic dataset splitting / sampling for training pipelines.
+
+Hash-based assignment (md5 of key + seed → bucket in [0, 10^6)): a
+row's split membership is a pure function of its key, so it is stable
+across runs, cluster sizes, partitionings, and dataset growth — new
+documents never reshuffle old ones between train and eval (the property
+``randomSplit`` does NOT have: it re-draws per run/partitioning).
+
+md5 is computed identically by DuckDB, so both operators carry exact
+SQL oracles. All JVM expressions — no shuffle at all: split/sample are
+narrow transformations that fuse into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: bucket space — 10^6 gives 4-decimal-precision fractions
+BUCKETS = 1_000_000
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def hash_bucket(key: Column | str, seed: int = 42) -> Column:
+    """Uniform bucket in [0, BUCKETS) from md5(key#seed) — the first 8
+    hex chars parsed as an integer (portable to the DuckDB oracle)."""
+    h = F.md5(F.concat(_col(key).cast("string"), F.lit(f"#{seed}")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % BUCKETS
+
+
+def assign_split(
+    key: Column | str,
+    weights: dict[str, float] | None = None,
+    seed: int = 42,
+) -> Column:
+    """Deterministic train/val/test label from cumulative weight
+    thresholds over the hash bucket. Weights must sum to ≤ 1; any
+    remainder falls into the LAST split."""
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    b = hash_bucket(key, seed)
+    out = F.when(F.lit(False), F.lit(""))
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        out = out.when(b < int(round(cum * BUCKETS)), F.lit(name))
+    return out.otherwise(F.lit(names[-1]))
+
+
+def sample_flag(key: Column | str, fraction: float, seed: int = 42) -> Column:
+    """Deterministic Bernoulli(fraction) sample membership. Uniform
+    within any stratum (the hash ignores strata), so grouping by a
+    stratum column yields a proportional stratified sample for free."""
+    return hash_bucket(key, seed) < int(round(fraction * BUCKETS))
