@@ -748,6 +748,18 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dataset_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: documents → fixed-token-budget packs (hash-
+    bucketed streams, running-sum binning — no global window)."""
+    from thecrowler_spark.operators.sampling import pack_documents
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    sized = docs.select("doc_id", TX.token_count(F.col("text")).alias("n_tokens"))
+    return pack_documents(sized, budget=256, buckets=8).select(
+        "doc_id", "n_tokens", "bucket", "pack_id"
+    )
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (marker-token argmax over 8 languages)."""
     docs = _load(spark, sf_dir, "documents")["documents"]
@@ -1078,6 +1090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "dataset_split": q_dataset_split,
+        "dataset_pack": q_dataset_pack,
         "text_langid": q_text_langid,
         "text_langmap": q_text_langmap,
         "text_quality": q_text_quality,
@@ -1830,6 +1843,27 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split,
                    bucket < 100000 AS in_10pct_sample
             FROM b
+        """,
+        "dataset_pack": f"""
+            WITH sized AS (
+              SELECT doc_id, CAST(len({sw_filter}) AS INT) AS n_tokens FROM documents
+            ),
+            keyed AS (
+              SELECT doc_id, n_tokens,
+                     (('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), '#42')), 1, 8))::BIGINT % 1000000) % 8 AS bucket,
+                     md5(concat(CAST(doc_id AS VARCHAR), '@42')) AS ok
+              FROM sized
+            ),
+            cum AS (
+              SELECT doc_id, n_tokens, bucket,
+                     sum(n_tokens) OVER (PARTITION BY bucket ORDER BY ok, doc_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+              FROM keyed
+            )
+            SELECT doc_id, n_tokens, bucket,
+                   concat(CAST(bucket AS VARCHAR), '_',
+                          CAST(CAST(floor((c - n_tokens) / 256.0) AS BIGINT) AS VARCHAR)) AS pack_id
+            FROM cum
         """,
         "text_langid": _langid_oracle_sql(),
         "text_langmap": _langmap_oracle_sql(),

@@ -186,3 +186,39 @@ def test_hash_split_stability_and_proportions(spark):
         for r in flagged.groupBy("stratum").agg(F.avg(F.col("f").cast("double")).alias("rate")).collect()
     }
     assert all(abs(v - 0.2) < 0.02 for v in rates.values())
+
+
+def test_pack_documents_budget_bounds(spark):
+    """Every pack's token total is within one max-doc of the budget, and
+    packing is deterministic under repartitioning."""
+    from pyspark.sql import functions as F
+
+    from thecrowler_spark.operators.sampling import pack_documents
+
+    docs = spark.range(2_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97 + 5).cast("int").alias("n_tokens")
+    )
+    budget, max_doc = 512, 101
+    packed = pack_documents(docs, budget=budget, buckets=8)
+    sums = packed.groupBy("bucket", "pack_id").agg(
+        F.sum("n_tokens").alias("tot"), F.count("*").alias("n")
+    )
+    rows = sums.collect()
+    # all but the LAST (partial) pack of each bucket stream fill the
+    # budget — last = numerically largest pack index (pack_id is a string)
+    def pidx(pack_id: str) -> int:
+        return int(pack_id.split("_")[1])
+
+    per_bucket_max = {}
+    for r in rows:
+        per_bucket_max[r["bucket"]] = max(per_bucket_max.get(r["bucket"], -1), pidx(r["pack_id"]))
+    for r in rows:
+        assert r["tot"] < budget + max_doc
+        if pidx(r["pack_id"]) != per_bucket_max[r["bucket"]]:
+            assert r["tot"] >= budget - max_doc
+    # determinism: a different physical partitioning yields identical packs
+    again = {
+        (r["doc_id"], r["pack_id"])
+        for r in pack_documents(docs.repartition(13), budget=budget, buckets=8).collect()
+    }
+    assert again == {(r["doc_id"], r["pack_id"]) for r in packed.collect()}

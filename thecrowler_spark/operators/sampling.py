@@ -55,3 +55,46 @@ def sample_flag(key: Column | str, fraction: float, seed: int = 42) -> Column:
     within any stratum (the hash ignores strata), so grouping by a
     stratum column yields a proportional stratified sample for free."""
     return hash_bucket(key, seed) < int(round(fraction * BUCKETS))
+
+
+def pack_documents(
+    docs,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    budget: int = 2048,
+    buckets: int = 64,
+    seed: int = 42,
+):
+    """Sequence packing: assign documents to fixed-token-budget packs
+    (the pretraining batch-prep step that turns ragged documents into
+    ~budget-token training sequences).
+
+    Scale shape: docs are hash-spread over ``buckets`` independent
+    streams (parallelism = buckets, no global window), packed within
+    each stream by a running token sum in deterministic hash order:
+    ``pack = floor((cumsum − n_tokens) / budget)``. Each pack's total
+    lands in [budget − max_doc_tokens, budget + max_doc_tokens) — the
+    streaming approximation of first-fit (exact bin packing is
+    inherently sequential; this is the standard distributed rendering).
+    Documents longer than the budget get a pack of their own.
+
+    Output: input + (bucket, pack_id). Deterministic in (key, seed) —
+    repacking a grown corpus only appends new packs within each bucket
+    stream tail, and the md5 ordering is oracle-portable.
+    """
+    from pyspark.sql import Window
+
+    b = hash_bucket(_col(id_col), seed) % buckets
+    order_key = F.md5(F.concat(_col(id_col).cast("string"), F.lit(f"@{seed}")))
+    df = docs.withColumn("bucket", b).withColumn("_ok", order_key)
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("_ok", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(_col(token_col)).over(w)
+    pack = F.floor((cum - _col(token_col)) / F.lit(budget)).cast("long")
+    return (
+        df.withColumn("pack_id", F.concat_ws("_", F.col("bucket"), pack))
+        .drop("_ok")
+    )
