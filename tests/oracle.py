@@ -139,6 +139,7 @@ def crawl_source(
     cfg: OracleConfig,
     robots: list[dict] | None = None,
     global_known: set[str] | None = None,
+    alternative_links: list[str] | None = None,
 ) -> OracleResult:
     """One source's crawl at workers=1 — CrawlWebsite crawler.go:81-539."""
     res = OracleResult()
@@ -186,6 +187,12 @@ def crawl_source(
     visited.add(normalize_url_seen(source_url))
     c["pages"] += 1
     all_links = extract_links(docs[source_url])
+    # alternative_links from source config appended if not already
+    # present (exact string match, config order) — crawler.go:318-353;
+    # TotalLinks counts AFTER the append (crawler.go:412)
+    for alt in alternative_links or []:
+        if alt not in all_links:
+            all_links.append(alt)
     c["links"] += len(all_links)
 
     if restricted == 0:
@@ -254,11 +261,23 @@ def crawl_all(
     cfg: OracleConfig,
     robots: list[dict] | None = None,
 ) -> OracleResult:
+    import json as _json
+
     docs = {d["doc_id"]: d["spans"] for d in docs_list}
     merged = OracleResult()
     for s in seeds:
+        # alternative_links ride in Sources.config JSON
+        # (srcCfg["crawling_config"]["alternative_links"], crawler.go:318-326)
+        alts: list[str] | None = None
+        try:
+            alts = _json.loads(s.get("config") or "{}").get("crawling_config", {}).get(
+                "alternative_links"
+            )
+        except (ValueError, AttributeError):
+            alts = None
         r = crawl_source(
-            docs, s["source_id"], s["url"], s["restricted"], cfg, robots=robots
+            docs, s["source_id"], s["url"], s["restricted"], cfg, robots=robots,
+            alternative_links=alts,
         )
         merged.crawl_order.extend(r.crawl_order)
         merged.visited |= r.visited

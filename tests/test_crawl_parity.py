@@ -188,3 +188,31 @@ def test_many_sources_no_plan_blowup(spark):
     assert int(tot["p"]) == n_pages
     assert n_pages >= n_src  # every seed fetched (+ depth-1 fetches)
     assert int(tot["l"]) >= n_src  # 2 links per fetched seed page
+
+
+def test_crawl_parity_alternative_links(spark):
+    """alternative_links from Sources.config (crawler.go:318-353): appended
+    to the initial links when absent, deduped against extracted links,
+    crawled in config order — engine vs independent oracle."""
+    import json
+
+    corpus = small_corpus(CorpusSpec(n_hosts=2, pages_per_host=10))
+    from thecrowler_spark.sources.corpus import page_url
+
+    for s in corpus["seeds"]:
+        h = s["source_id"] - 1
+        s["config"] = json.dumps(
+            {
+                "crawling_config": {
+                    "alternative_links": [
+                        page_url(h, 7),          # real page, may also be extracted
+                        page_url(h, 9),          # real page
+                        page_url(h, 9),          # duplicate within the list → once
+                        "https://other0.example.org/alt",  # external → skip rules
+                    ]
+                }
+            }
+        )
+    cfg = CrawlConfig(max_depth=2, max_rounds=6)
+    ocfg = O.OracleConfig(max_depth=2, max_rounds=6)
+    _compare(_spark_result(spark, corpus, cfg), _oracle_result(corpus, ocfg))

@@ -52,3 +52,26 @@ def test_kill_and_resume_matches_uninterrupted(spark, tmp_path):
     for sid, c in res_full.counters.items():
         # links counter counts enqueued-per-level; identical across paths
         assert res_resume.counters[sid] == c, (sid, res_resume.counters[sid], c)
+
+
+def test_lake_compact_preserves_data(spark, tmp_path):
+    """compact() = rewrite_data_files analog: fewer files, same rows,
+    history still time-travelable until expired."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from thecrowler_spark.sources.lake import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    for i in range(4):
+        t.append(spark.range(i * 10, (i + 1) * 10).repartition(4))
+    before = sorted(r["id"] for r in t.read().collect())
+    sid = t.compact(target_files=1)
+    files = glob.glob(t._snap_dir(sid) + "/part-*.parquet")
+    assert len(files) == 1
+    assert sorted(r["id"] for r in t.read().collect()) == before == list(range(40))
+    # pre-compaction snapshot still readable (time travel), then expirable
+    assert t.read(sid - 1).count() == 40
+    dropped = t.expire_snapshots(keep_last=1)
+    assert sid not in dropped

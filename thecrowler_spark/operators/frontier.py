@@ -377,6 +377,38 @@ class CrawlEngine:
             .filter(F.col("link").isNotNull())
             .withColumn("page_url", F.col("source_url"))
         )
+        # alternative_links from Sources.config JSON appended to the
+        # initial links if not already present — exact string match,
+        # config order, AFTER the extracted links (crawler.go:318-353;
+        # array_distinct keeps first occurrence like the growing
+        # initialLinks check). All Spark-side: from_json + anti-join.
+        if "config" in seeds.columns:
+            alt_arr = F.from_json(
+                F.col("config"),
+                "struct<crawling_config:struct<alternative_links:array<string>>>",
+            )["crawling_config"]["alternative_links"]
+            alt = (
+                seed_ok.join(
+                    seeds.select("source_id", F.array_distinct(alt_arr).alias("_alts")),
+                    "source_id",
+                )
+                .select(
+                    "source_id",
+                    "source_url",
+                    "restricted",
+                    "priority",
+                    F.posexplode("_alts").alias("_apos", "link"),
+                )
+                .withColumn("page_url", F.col("source_url"))
+                .join(frontier.select("source_id", "link"), ["source_id", "link"], "left_anti")
+            )
+            base_counts = frontier.groupBy("source_id").agg(F.count("*").alias("_n"))
+            alt = (
+                alt.join(base_counts, "source_id", "left")
+                .withColumn("seq", F.coalesce(F.col("_n"), F.lit(0)).cast("int") + F.col("_apos"))
+                .drop("_n", "_apos")
+            )
+            frontier = frontier.unionByName(alt.select(*frontier.columns))
         # TotalLinks stores the initial count BEFORE the restricted gate
         # (crawler.go:412), so aggregate first …
         initial_links = frontier.groupBy("source_id").agg(F.count("*").alias("links"))

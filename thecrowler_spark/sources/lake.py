@@ -103,6 +103,14 @@ class LakeTable:
             raise FileNotFoundError(f"no snapshot in {self.path}")
         return self.spark.read.parquet(self._snap_dir(sid))
 
+    def compact(self, target_files: int = 1) -> int:
+        """Rewrite the current snapshot into ``target_files`` files —
+        the Iceberg ``rewrite_data_files`` analog for the reference's
+        idle-time maintenance slot (VACUUM/REINDEX between polls,
+        cmd/thecrowler/main.go checkSources maintenance). Data is
+        unchanged; small append deltas stop multiplying scan tasks."""
+        return self.write(self.read().coalesce(target_files))
+
     def expire_snapshots(self, keep_last: int = 2) -> list[int]:
         """Drop all but the newest ``keep_last`` snapshots (never the
         current pointer's target)."""
