@@ -989,8 +989,10 @@ def q_email_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """robots.txt → rule rows (RFC 9309 groups; rows-only — group
-    semantics goldens are in tests/test_robots_parse.py)."""
+    """robots.txt → rule rows (RFC 9309 groups). The synthesized input
+    follows a fixed template, so the oracle CONSTRUCTS the expected rule
+    rows directly (a golden in SQL form); the parser's group-selection
+    semantics have their own goldens in tests/test_robots_parse.py."""
     from thecrowler_spark.operators.robots import parse_robots_txt
 
     _load(spark, sf_dir, "nation")
@@ -2099,8 +2101,20 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type, date_trunc('hour', ts)
         """,
         "dedup_simhash": _simhash_oracle_sql(max_id=300, max_hamming=10),
-        # ann_lsh, crawl_bfs: non-SQL-expressible (hyperplane-LSH recall
-        # contract / iterative BFS) → rows-only with pytest invariants.
+        "robots_parse": """
+            SELECT concat('h', CAST(n_nationkey AS VARCHAR), '.example.com') AS host,
+                   r.rule_type,
+                   CASE r.rule_type
+                     WHEN 'disallow' THEN concat('/private', CAST(n_nationkey % 3 AS VARCHAR))
+                     WHEN 'allow' THEN concat('/private', CAST(n_nationkey % 3 AS VARCHAR), '/ok')
+                     ELSE '' END AS path_prefix,
+                   CASE r.rule_type WHEN 'crawl_delay'
+                        THEN CAST(n_nationkey % 5 + 1 AS DOUBLE) ELSE 0.0 END AS crawl_delay
+            FROM nation, (VALUES ('disallow'), ('allow'), ('crawl_delay')) AS r(rule_type)
+        """,
+        # ann_lsh, ann_ivf, crawl_bfs: non-SQL-expressible (hyperplane/
+        # centroid float kernels, iterative BFS) → rows-only with pytest
+        # invariants (recall bounds, full-probe ≡ exact, crawl parity).
     }
 
 
