@@ -22,6 +22,7 @@ from thecrowler_spark.operators import dedup as DD
 from thecrowler_spark.operators import multimodal as MM
 from thecrowler_spark.operators import search as SE
 from thecrowler_spark.operators import similarity as SIM
+from thecrowler_spark.operators import terms as TM
 from thecrowler_spark.operators import timeseries as TS
 
 TABLES = (
@@ -809,6 +810,90 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", TX.fingerprint_md5(F.col("text")).alias("fingerprint"))
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (2-gram totals/distinct/top) as
+    exact integers."""
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return TM.repetition_profile(docs, n=2)
+
+
+def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style accept/reject verdict (integer cross-multiplied
+    thresholds — exact)."""
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return TM.quality_filter_verdict(docs)
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinctive terms per doc by (tf DESC, df ASC, term ASC) —
+    the TF-IDF ordering over exact integers."""
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return TM.tfidf_top_terms(docs, k=3)
+
+
+#: PII-laden synthetic text from orders — same construction both sides.
+_SPARK_PII = """
+SELECT o_orderkey AS id,
+       concat('Order ', CAST(o_orderkey AS STRING), ': contact user',
+              CAST(o_orderkey % 97 AS STRING), '@example.com',
+              CASE WHEN o_orderkey % 3 = 0
+                   THEN concat(' or backup-', CAST(o_orderkey AS STRING), '@mail.example.org;')
+                   ELSE ';' END,
+              ' node 10.', CAST(o_orderkey % 256 AS STRING), '.0.',
+              CAST(o_orderkey % 100 AS STRING),
+              CASE WHEN o_orderkey % 4 = 0
+                   THEN concat(' dialed +1 (555) 01', CAST(o_orderkey % 10 AS STRING),
+                               '-', CAST(o_orderkey % 9000 + 1000 AS STRING))
+                   ELSE ' dialed none' END,
+              ' at noon.') AS txt
+FROM orders WHERE o_orderkey < 6000
+"""
+
+_DUCK_PII = """
+SELECT o_orderkey AS id,
+       concat('Order ', CAST(o_orderkey AS VARCHAR), ': contact user',
+              CAST(o_orderkey % 97 AS VARCHAR), '@example.com',
+              CASE WHEN o_orderkey % 3 = 0
+                   THEN concat(' or backup-', CAST(o_orderkey AS VARCHAR), '@mail.example.org;')
+                   ELSE ';' END,
+              ' node 10.', CAST(o_orderkey % 256 AS VARCHAR), '.0.',
+              CAST(o_orderkey % 100 AS VARCHAR),
+              CASE WHEN o_orderkey % 4 = 0
+                   THEN concat(' dialed +1 (555) 01', CAST(o_orderkey % 10 AS VARCHAR),
+                               '-', CAST(o_orderkey % 9000 + 1000 AS VARCHAR))
+                   ELSE ' dialed none' END,
+              ' at noon.') AS txt
+FROM orders WHERE o_orderkey < 6000
+"""
+
+
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: email/IPv4/phone → typed placeholders + per-class
+    counts, on deterministic synthetic text."""
+    _load(spark, sf_dir, "orders")
+    base = spark.sql(_SPARK_PII)
+    counts = TX.pii_counts(F.col("txt"))
+    return base.select(
+        "id",
+        TX.redact_pii(F.col("txt")).alias("redacted"),
+        *[c.alias(f"n_{name}") for name, c in counts.items()],
+    )
+
+
+def _pii_oracle_sql() -> str:
+    """Oracle generated from the SAME PII_PATTERNS tuple the Spark
+    expression uses — engines cannot drift."""
+    counts = []
+    cur = "txt"
+    for name, pat, repl in TX.PII_PATTERNS:
+        counts.append(f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS INT) AS n_{name}")
+        cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
+    return f"""
+        WITH base AS ({_DUCK_PII})
+        SELECT id, {cur} AS redacted, {', '.join(counts)} FROM base
+    """
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media plumbing: payload synth + mapInPandas decode stub."""
     _load(spark, sf_dir, "part")
@@ -1096,6 +1181,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_langmap": q_text_langmap,
         "text_quality": q_text_quality,
+        "text_repetition": q_text_repetition,
+        "text_quality_filter": q_text_quality_filter,
+        "text_tfidf": q_text_tfidf,
+        "text_pii_redact": q_text_pii_redact,
         "text_tokens": q_text_tokens,
         "text_tokens_bpe": q_text_tokens_bpe,
         "text_fingerprint": q_text_fingerprint,
@@ -1884,6 +1973,71 @@ def oracle_sql() -> dict[str, str]:
                           + least(CASE WHEN n_tok > 0 THEN n_sw / n_tok ELSE 0.0 END * 4.0, 1.0)) / 3.0, 6) AS quality
             FROM s
         """,
+        "text_repetition": f"""
+            WITH t AS (
+              SELECT doc_id, {sw_filter} AS toks FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 2
+                          THEN list_transform(range(1, len(toks)), i -> concat(toks[i], ' ', toks[i+1]))
+                          WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                          ELSE CAST([] AS VARCHAR[]) END AS grams
+              FROM t
+            )
+            SELECT doc_id,
+                   CAST(len(grams) AS INT) AS n_ngrams,
+                   CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
+                   CAST(CASE WHEN len(grams) > 0
+                        THEN list_max(list_transform(list_distinct(grams),
+                                                     d -> len(list_filter(grams, x -> x = d))))
+                        ELSE 0 END AS INT) AS top_count
+            FROM g
+        """,
+        "text_quality_filter": f"""
+            WITH t AS (
+              SELECT doc_id, {sw_filter} AS toks FROM documents
+            ), g AS (
+              SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+                     CASE WHEN len(toks) >= 2
+                          THEN list_transform(range(1, len(toks)), i -> concat(toks[i], ' ', toks[i+1]))
+                          WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                          ELSE CAST([] AS VARCHAR[]) END AS grams
+              FROM t
+            ), s AS (
+              SELECT doc_id, n_tokens,
+                     CAST(len(grams) AS INT) AS n_ngrams,
+                     CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
+                     CAST(CASE WHEN len(grams) > 0
+                          THEN list_max(list_transform(list_distinct(grams),
+                                                       d -> len(list_filter(grams, x -> x = d))))
+                          ELSE 0 END AS INT) AS top_count
+              FROM g
+            )
+            SELECT doc_id, n_tokens, n_ngrams, n_distinct, top_count,
+                   (n_tokens >= 20 AND n_tokens <= 100000 AND n_ngrams > 0
+                    AND 100 * n_distinct >= 30 * n_ngrams
+                    AND 100 * top_count <= 20 * n_ngrams) AS keep
+            FROM s
+        """,
+        "text_tfidf": f"""
+            WITH kw AS (
+              SELECT doc_id,
+                     unnest(list_filter({sw_filter},
+                            x -> len(x) >= 3 AND len(x) <= 45 AND x NOT IN ({_SW_SQL}))) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM kw GROUP BY doc_id, term
+            ), dft AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), r AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+                     CAST(row_number() OVER (PARTITION BY tf.doc_id
+                          ORDER BY tf.tf DESC, dft.df ASC, tf.term ASC) AS INT) AS rank
+              FROM tf JOIN dft USING (term)
+            )
+            SELECT doc_id, term, tf, df, rank FROM r WHERE rank <= 3
+        """,
+        "text_pii_redact": _pii_oracle_sql(),
         "text_tokens_bpe": """
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS INT) AS n_bpe_tokens

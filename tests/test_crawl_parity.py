@@ -216,3 +216,74 @@ def test_crawl_parity_alternative_links(spark):
     cfg = CrawlConfig(max_depth=2, max_rounds=6)
     ocfg = O.OracleConfig(max_depth=2, max_rounds=6)
     _compare(_spark_result(spark, corpus, cfg), _oracle_result(corpus, ocfg))
+
+
+def test_ordering_shards_same_sets(spark):
+    """Mega-source escape hatch (ordering_shards > 1): on a corpus with
+    canonical link forms and no skip rules, the fetched page set,
+    visited set, and per-source counters must be IDENTICAL to parity
+    mode; only intra-source ORDER may differ. seq/fetch_seq stay unique
+    per source. (With skips or URL-form variants the contract is
+    documented as sets-modulo-representative — exercised above by the
+    small_corpus suites in parity mode only.)"""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    def doc(url, links):
+        spans = [("title", f"t {url}", "", 0)] + [
+            ("link", f"l{i}", l, i + 1) for i, l in enumerate(links)
+        ]
+        return (url, spans)
+
+    host = "https://m.example.com"
+    seed_url = f"{host}/seed"
+    ps = [f"{host}/p{i}" for i in range(40)]
+    docs_rows = [doc(seed_url, ps)]
+    for i, p in enumerate(ps):
+        # q-links overlap across pages (exercises within-level dedup),
+        # 'missing' targets exercise fetch_err — all order-independent
+        docs_rows.append(
+            doc(p, [f"{host}/q{i}", f"{host}/q{(i + 7) % 40}", f"{host}/missing{i % 5}"])
+        )
+    docs_rows += [doc(f"{host}/q{i}", []) for i in range(40)]
+    docs = spark.createDataFrame(
+        docs_rows,
+        "doc_id string, spans array<struct<kind string, text string, media_ref string, offset int>>",
+    )
+    seeds = spark.createDataFrame(
+        [(1, seed_url, 4, "high", "new", False, "2026-01-01 00:00:00")],
+        "source_id long, url string, restricted int, priority string, status string,"
+        " disabled boolean, created_at string",
+    ).withColumn("created_at", F.col("created_at").cast("timestamp"))
+
+    def run(shards):
+        cfg = CrawlConfig(max_depth=3, max_links=0, max_rounds=8, ordering_shards=shards)
+        eng = CrawlEngine(spark, docs, cfg=cfg)
+        return eng.run(seeds, run_id=f"shards{shards}")
+
+    parity, sharded = run(1), run(4)
+
+    def page_set(res):
+        return {
+            (r["source_id"], r["depth"], r["url"]) for r in res.pages.collect()
+        }
+
+    assert page_set(sharded) == page_set(parity)
+    seen_p = {(r["source_id"], r["norm_url"]) for r in parity.visited.collect()}
+    seen_s = {(r["source_id"], r["norm_url"]) for r in sharded.visited.collect()}
+    assert seen_s == seen_p
+    assert sharded.counters == parity.counters
+    # sanity: the corpus really has no skips and does have errors/dups
+    c = parity.counters[1]
+    assert c["skipped"] == 0 and c["errors"] > 0 and c["duplicates"] > 0
+    # fetch_seq unique per source in sharded mode
+    dup = (
+        sharded.pages.groupBy("source_id", "fetch_seq")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
+    # guard: the cumulative max_links cutoff needs total order
+    with _pytest.raises(ValueError):
+        CrawlEngine(spark, docs, cfg=CrawlConfig(max_links=5, ordering_shards=2))

@@ -1,0 +1,87 @@
+"""Term-statistics operators: TF-IDF ordering, repetition signals,
+Gopher-style quality verdict, PII redaction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from thecrowler_spark.functions import text as TX
+from thecrowler_spark.operators import terms as TM
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+    )
+
+
+def test_repetition_signals_exact(spark):
+    docs = _docs(
+        spark,
+        [
+            "spam spam spam spam",          # 3 bigrams, all "spam spam"
+            "one two three four",           # 3 bigrams, all distinct
+            "word",                          # 1 token -> single whole-doc gram
+            "",                              # empty -> zeros
+        ],
+    )
+    rows = {r.doc_id: r for r in TM.repetition_profile(docs).collect()}
+    assert (rows[0].n_ngrams, rows[0].n_distinct, rows[0].top_count) == (3, 1, 3)
+    assert (rows[1].n_ngrams, rows[1].n_distinct, rows[1].top_count) == (3, 3, 1)
+    assert (rows[2].n_ngrams, rows[2].n_distinct, rows[2].top_count) == (1, 1, 1)
+    assert (rows[3].n_ngrams, rows[3].n_distinct, rows[3].top_count) == (0, 0, 0)
+
+
+def test_quality_filter_rules(spark):
+    long_ok = " ".join(f"tok{i}" for i in range(50))
+    too_short = "just a few words here"
+    repetitive = " ".join(["buy now"] * 40)  # top bigram dominates
+    docs = _docs(spark, [long_ok, too_short, repetitive])
+    got = {r.doc_id: r.keep for r in TM.quality_filter_verdict(docs).collect()}
+    assert got[0] is True
+    assert got[1] is False  # below min_tokens
+    assert got[2] is False  # top-gram fraction too high
+
+
+def test_tfidf_ordering_prefers_rare_terms(spark):
+    # 'rare' appears twice in doc 0 only; 'common' appears in every doc.
+    docs = _docs(
+        spark,
+        [
+            "rare rare common word alpha",
+            "common word beta gamma",
+            "common word delta epsilon",
+        ],
+    )
+    top = TM.tfidf_top_terms(docs, k=2)
+    d0 = {r.rank: r for r in top.filter(F.col("doc_id") == 0).collect()}
+    assert d0[1].term == "rare" and d0[1].tf == 2 and d0[1].df == 1
+    # rank 2: tf=1 tie -> lowest df wins, then term asc; 'alpha' (df=1)
+    assert d0[2].term == "alpha"
+    # every doc gets exactly k ranks (enough distinct terms present)
+    counts = top.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 2 for r in counts)
+
+
+def test_pii_redaction_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@sub.example.com or 192.168.0.1 call +1 (555) 010-9999 ok"),
+            (2, "no pii here, just 1.2 numbers and an at sign @ alone"),
+        ],
+        "id long, txt string",
+    )
+    counts = TX.pii_counts(F.col("txt"))
+    out = {
+        r.id: r
+        for r in df.select(
+            "id",
+            TX.redact_pii(F.col("txt")).alias("red"),
+            *[c.alias(f"n_{k}") for k, c in counts.items()],
+        ).collect()
+    }
+    assert out[1].red == "mail <EMAIL> or <IP> call <PHONE> ok"
+    assert (out[1].n_email, out[1].n_ipv4, out[1].n_phone) == (1, 1, 1)
+    assert out[2].red == out[2].red and (out[2].n_email, out[2].n_ipv4, out[2].n_phone) == (0, 0, 0)
+    # '1.2' must not be eaten by the IPv4 rule
+    assert "1.2 numbers" in out[2].red

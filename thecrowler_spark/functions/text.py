@@ -204,6 +204,80 @@ def shingles(c: Column | str, k: int = 3) -> Column:
     ).otherwise(F.when(n > 0, F.array(F.array_join(toks, " "))).otherwise(F.array()))
 
 
+def ngrams(c: Column | str, n: int = 2) -> Column:
+    """n-token n-grams as array<string> (alias of :func:`shingles` with
+    the training-data-quality naming)."""
+    return shingles(c, k=n)
+
+
+def repetition_signals(c: Column | str, n: int = 2) -> tuple[Column, Column, Column]:
+    """Gopher-style repetition signals over the token n-grams of a doc.
+
+    Returns integer Columns ``(n_ngrams, n_distinct, top_count)``:
+    total n-gram occurrences, distinct n-grams, and the count of the
+    most frequent n-gram. Downstream filters derive the Gopher rules
+    ("fraction of duplicate n-grams" = 1 - distinct/total; "top n-gram
+    fraction" = top/total) — kept as exact integers here so the
+    DuckDB-oracle hash comparison never hits a float boundary.
+
+    Divergence note: Gopher measures the fraction of *characters* inside
+    duplicate n-grams; we use occurrence fractions (same signal, exact
+    arithmetic). Pure JVM array expressions — per-row cost O(distinct ×
+    total) on bounded doc length, no shuffle, no Python.
+    """
+    grams = ngrams(c, n)
+    total = F.size(grams)
+    distinct = F.array_distinct(grams)
+    top = F.when(
+        total > 0,
+        F.array_max(F.transform(distinct, lambda d: F.size(F.filter(grams, lambda x: x == d)))),
+    ).otherwise(F.lit(0))
+    return (
+        total.cast("int"),
+        F.size(distinct).cast("int"),
+        top.cast("int"),
+    )
+
+
+#: PII patterns applied in ORDER (email before phone so the digits in a
+#: mailbox never half-match a phone). RE2/Java-compatible subset: no
+#: backrefs, no lookaround, ASCII \b only.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9][0-9 ().-]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(c: Column | str) -> Column:
+    """Scrub emails / IPv4s / intl phone numbers to typed placeholders.
+
+    Standard training-data sanitization pass (the reference's scope
+    stops at UTF-8/DB sanitization — this extends the same family for
+    LLM pipelines). Patterns are a deliberately portable regex subset so
+    Spark (Java regex) and DuckDB (RE2) rewrite byte-identically; the
+    application ORDER is part of the contract.
+    """
+    out = _col(c)
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(c: Column | str) -> dict[str, Column]:
+    """Match counts per PII class (email/ipv4/phone) as int Columns.
+
+    Counted on the PROGRESSIVELY REDACTED text exactly like
+    :func:`redact_pii` applies its rewrites, so a mailbox's digits are
+    never double-counted as a phone."""
+    out: dict[str, Column] = {}
+    cur = _col(c)
+    for name, pat, repl in PII_PATTERNS:
+        out[name] = F.regexp_count(cur, F.lit(pat)).cast("int")
+        cur = F.regexp_replace(cur, pat, repl)
+    return out
+
+
 def token_count_bpe(c: Column | str) -> Column:
     """BPE-ish subword count: letter runs, digit runs, and punctuation
     runs count as separate tokens (the GPT-2 pretokenizer's coarse

@@ -15,15 +15,18 @@ rounds:
   repartitioned on a salted host key so one mega-host cannot pin a
   single reducer (SURVEY.md §4 "Skew handling").
 
-Known scale limit (deliberate): the per-SOURCE sequencing windows
-(``Window.partitionBy("source_id")``) are the price of reproducing the
-reference's workers=1 per-source total order — they parallelize across
-sources but serialize within one, so a single source whose one level
-emits ~10^8+ links pins one task for that window. Host-budget ranking
-is already two-phase (salt-parallel); if a deployment has mega-sources
-and does not need intra-source ordering parity, split the source into
-several seed rows (e.g. one per URL prefix) — each shard keeps exact
-per-shard ordering and the union is the same page set.
+Known scale limit (deliberate) + escape hatch: the per-SOURCE
+sequencing windows (``Window.partitionBy("source_id")``) are the price
+of reproducing the reference's workers=1 per-source total order — they
+parallelize across sources but serialize within one, so a single source
+whose one level emits ~10^8+ links pins one task for that window.
+Host-budget ranking is already two-phase (salt-parallel). For
+deployments with mega-sources that do not need intra-source ordering
+parity, set ``CrawlConfig.ordering_shards > 1``: every sequencing
+window then partitions on (source_id, xxhash64(link) % shards) — same
+page/visited sets and counters, shard-local instead of total
+intra-source order (see the config field docstring for the exact
+contract; requires max_links == 0).
 
 Fetching over the closed-world corpus is an equi-join
 ``frontier.link == documents.doc_id`` (SURVEY.md S3: no live HTTP in
@@ -80,6 +83,19 @@ class CrawlConfig:
     salt_buckets: int = 16
     bloom_prefilter: bool = False
     shuffle_partitions: int | None = None
+    #: mega-source escape hatch. 1 (default) = exact reference ordering
+    #: parity: per-source sequencing windows serialize each source onto
+    #: one task (parallel across sources). >1 = drop intra-source TOTAL
+    #: order: sequencing windows partition on (source_id,
+    #: xxhash64(link) % ordering_shards) so a single source whose level
+    #: emits 10^8+ links spreads over ``ordering_shards`` tasks. The
+    #: fetched page SET, visited set, and counters are unchanged (modulo
+    #: which URL-form representative of a norm-url duplicate group is
+    #: fetched, and skip-resurrection attachment, which become
+    #: shard-local); ``seq``/``fetch_seq`` stay unique per source but
+    #: are shard-interleaved, not dense. Requires max_links == 0 (the
+    #: cumulative cutoff is inherently a total-order construct).
+    ordering_shards: int = 1
 
 
 #: per-source counter fields (TotalPages/Links/Skipped/Duplicates/Errors
@@ -319,6 +335,12 @@ class CrawlEngine:
     ) -> None:
         self.spark = spark
         self.cfg = cfg or CrawlConfig()
+        if self.cfg.ordering_shards > 1 and self.cfg.max_links > 0:
+            raise ValueError(
+                "ordering_shards > 1 drops intra-source total order, which "
+                "the max_links cumulative cutoff requires; use max_links=0 "
+                "or ordering_shards=1"
+            )
         self.robots = robots if (robots is not None and self.cfg.check_robots) else None
         self.budgets = budgets if (budgets is not None and self.cfg.use_host_budget) else None
         self.work_dir = work_dir
@@ -328,6 +350,27 @@ class CrawlEngine:
         self.fetch_side = self.parsed.select(
             F.col("doc_id"), F.col("links"), F.col("title")
         ).persist()
+
+    # ------------------------------------------------ ordering shards
+
+    def _seq_parts(self, link_col: str = "link") -> list:
+        """Partition keys for per-source sequencing windows: just
+        source_id in parity mode; (source_id, link-hash shard) when
+        ``ordering_shards > 1`` (mega-source escape hatch)."""
+        if self.cfg.ordering_shards > 1:
+            return [
+                F.col("source_id"),
+                F.pmod(F.xxhash64(F.col(link_col)), F.lit(self.cfg.ordering_shards)),
+            ]
+        return [F.col("source_id")]
+
+    def _seq_expr(self, rn: F.Column, link_col: str = "link") -> F.Column:
+        """Shard-interleaved sequence number: unique per source in both
+        modes; dense 0..n-1 only in parity mode."""
+        s = self.cfg.ordering_shards
+        if s > 1:
+            return (rn - 1) * s + F.pmod(F.xxhash64(F.col(link_col)), F.lit(s))
+        return rn - 1
 
     # ---------------------------------------------------------- rounds
 
@@ -492,8 +535,10 @@ class CrawlEngine:
                 level = deferred.select(frontier.columns).withColumn(
                     "_pri", F.lit(0)
                 ).unionByName(level)
-            w_seq = Window.partitionBy("source_id").orderBy("_pri", "seq", "link")
-            level = level.withColumn("seq", F.row_number().over(w_seq) - 1).drop("_pri")
+            w_seq = Window.partitionBy(*self._seq_parts()).orderBy("_pri", "seq", "link")
+            level = level.withColumn(
+                "seq", self._seq_expr(F.row_number().over(w_seq))
+            ).drop("_pri")
             deferred = None
 
             # explicit skew-kill: spread one host's links over salt buckets
@@ -759,11 +804,19 @@ class CrawlEngine:
         attempted = processed.filter(F.col("category").isin(CAT_FETCH_OK, CAT_FETCH_ERR))
         new_visited = attempted.select("source_id", "norm_url").dropDuplicates()
 
-        w_fetch = Window.partitionBy("source_id").orderBy("seq")
+        # fetch_seq = pages_so_far*S + shard-interleaved index: dense and
+        # equal to the reference's TotalPages order when S == 1 (parity);
+        # sparse but still unique per source across rounds when S > 1
+        # (round r+1 starts at (pages_before + n_fetched)·S, above every
+        # round-r value (pages_before·S + fidx), fidx < n_fetched·S).
+        w_fetch = Window.partitionBy(*self._seq_parts()).orderBy("seq")
         fetched = (
             processed.filter(F.col("category") == CAT_FETCH_OK)
-            .withColumn("_fidx", F.row_number().over(w_fetch) - 1)
-            .withColumn("fetch_seq", F.col("_pages_before") + F.col("_fidx"))
+            .withColumn("_fidx", self._seq_expr(F.row_number().over(w_fetch)))
+            .withColumn(
+                "fetch_seq",
+                F.col("_pages_before") * F.lit(cfg.ordering_shards) + F.col("_fidx"),
+            )
         )
         new_pages = fetched.select(
             "source_id",
@@ -776,7 +829,7 @@ class CrawlEngine:
         # each skipped row attaches to the NEXT attempted row (web.go:1864:
         # pageCache.Links += skippedURLs on success; cleared on error).
         w_next = (
-            Window.partitionBy("source_id")
+            Window.partitionBy(*self._seq_parts())
             .orderBy("seq")
             .rowsBetween(1, Window.unboundedFollowing)
         )
@@ -832,8 +885,8 @@ class CrawlEngine:
         )
 
         new_links = extracted.unionByName(resurrected)
-        w_order = Window.partitionBy("source_id").orderBy("_attach", "_res", "_pos")
-        new_links = new_links.withColumn("seq", F.row_number().over(w_order) - 1)
+        w_order = Window.partitionBy(*self._seq_parts()).orderBy("_attach", "_res", "_pos")
+        new_links = new_links.withColumn("seq", self._seq_expr(F.row_number().over(w_order)))
 
         # MaxLinks prefix truncation AFTER the level (crawler.go:475-483):
         # keep first (max_links - TotalPages_after) per source —
