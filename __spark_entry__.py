@@ -894,6 +894,38 @@ def _pii_oracle_sql() -> str:
     """
 
 
+#: multi-line documents with corpus-wide boilerplate lines — same
+#: construction both sides (cookie banner in every doc, copyright
+#: footer shared by 1/7th, share-bar by 1/3rd, body + tail unique).
+_SPARK_MULTILINE = """
+SELECT doc_id,
+       concat('cookie notice accept all', chr(10),
+              substr(text, 1, 60), chr(10),
+              'copyright footer ', CAST(doc_id % 7 AS STRING), chr(10),
+              CASE WHEN doc_id % 3 = 0 THEN concat('share this page', chr(10)) ELSE '' END,
+              'doc tail ', CAST(doc_id AS STRING)) AS text
+FROM documents
+"""
+
+_DUCK_MULTILINE = """
+SELECT doc_id,
+       concat('cookie notice accept all', chr(10),
+              substr(text, 1, 60), chr(10),
+              'copyright footer ', CAST(doc_id % 7 AS VARCHAR), chr(10),
+              CASE WHEN doc_id % 3 = 0 THEN concat('share this page', chr(10)) ELSE '' END,
+              'doc tail ', CAST(doc_id AS VARCHAR)) AS text
+FROM documents
+"""
+
+
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style duplicated-line removal: corpus-wide line counts →
+    drop boilerplate lines (count > 4) → reassemble docs in order."""
+    _load(spark, sf_dir, "documents")
+    synth = spark.sql(_SPARK_MULTILINE)
+    return DD.dedup_lines(synth, max_count=4)
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media plumbing: payload synth + mapInPandas decode stub."""
     _load(spark, sf_dir, "part")
@@ -1171,6 +1203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_lines": q_dedup_lines,
         "dedup_components": q_dedup_components,
         "embedding_neardup": q_embedding_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -2255,6 +2288,37 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type, date_trunc('hour', ts)
         """,
         "dedup_simhash": _simhash_oracle_sql(max_id=300, max_hamming=10),
+        "dedup_lines": f"""
+            WITH input AS ({_DUCK_MULTILINE}),
+            l0 AS (
+              SELECT doc_id, string_split(text, chr(10)) AS ls FROM input
+            ),
+            e0 AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(ls) + 1),
+                            i -> struct_pack(pos := i, line := trim(ls[i])))) AS s
+              FROM l0
+            ),
+            e AS (
+              SELECT doc_id, s.pos AS pos, s.line AS line FROM e0 WHERE s.line <> ''
+            ),
+            c AS (SELECT line, count(*) AS cnt FROM e GROUP BY line),
+            k AS (SELECT e.doc_id, e.pos, e.line FROM e JOIN c USING (line) WHERE c.cnt <= 4),
+            r AS (
+              SELECT doc_id,
+                     array_to_string(list_transform(
+                         list_sort(list(struct_pack(pos := pos, line := line))),
+                         s -> s.line), chr(10)) AS text_dedup,
+                     count(*) AS n_kept
+              FROM k GROUP BY doc_id
+            ),
+            t AS (SELECT doc_id, count(*) AS n_lines FROM e GROUP BY doc_id)
+            SELECT i.doc_id,
+                   coalesce(r.text_dedup, '') AS text_dedup,
+                   CAST(coalesce(t.n_lines, 0) AS INT) AS n_lines,
+                   CAST(coalesce(r.n_kept, 0) AS INT) AS n_kept
+            FROM input i LEFT JOIN t USING (doc_id) LEFT JOIN r USING (doc_id)
+        """,
         "robots_parse": """
             SELECT concat('h', CAST(n_nationkey AS VARCHAR), '.example.com') AS host,
                    r.rule_type,

@@ -85,3 +85,25 @@ def test_pii_redaction_and_counts(spark):
     assert out[2].red == out[2].red and (out[2].n_email, out[2].n_ipv4, out[2].n_phone) == (0, 0, 0)
     # '1.2' must not be eaten by the IPv4 rule
     assert "1.2 numbers" in out[2].red
+
+
+def test_dedup_lines_removes_boilerplate(spark):
+    from thecrowler_spark.operators import dedup as DD
+
+    rows = []
+    for i in range(6):
+        rows.append((i, f"COOKIE BANNER\nunique body {i}\nfooter shared"))
+    # footer appears 6x, banner 6x -> removed at max_count=4; body kept
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in DD.dedup_lines(docs, max_count=4).collect()}
+    for i in range(6):
+        assert out[i].text_dedup == f"unique body {i}"
+        assert out[i].n_lines == 3 and out[i].n_kept == 1
+    # all-boilerplate doc -> empty result, still present
+    docs2 = spark.createDataFrame(
+        [(i, "same line\nsame line two") for i in range(5)] + [(99, "keep me")],
+        "doc_id long, text string",
+    )
+    out2 = {r.doc_id: r for r in DD.dedup_lines(docs2, max_count=4).collect()}
+    assert out2[0].text_dedup == "" and out2[0].n_kept == 0
+    assert out2[99].text_dedup == "keep me"

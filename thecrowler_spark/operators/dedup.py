@@ -418,3 +418,82 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+# ------------------------------------------------- line-level (CCNet)
+
+
+def line_counts(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-wide duplicate-line counts (CCNet-style boilerplate
+    discovery): explode documents into (doc, pos, line) and count each
+    distinct trimmed line across the corpus.
+
+    One shuffle (groupBy line) with map-side partial aggregation, so a
+    boilerplate line repeated 10^9 times arrives at its reducer as one
+    partial count per map task, not 10^9 rows. Grouping is by the line
+    string itself — at 100 TB substitute ``xxhash64(line)`` as the
+    shuffle key and keep one example string per hash; semantics
+    identical modulo hash collisions.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("line", F.trim("line"))
+    return lines.filter(F.col("line") != "").groupBy("line").agg(
+        F.count("*").alias("n_docs_with_line")
+    )
+
+
+def dedup_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_count: int = 4,
+) -> DataFrame:
+    """Remove boilerplate lines that appear in ≥ ``max_count + 1``
+    places across the corpus and reassemble each document (CCNet's
+    duplicated-line filter — cookie banners, copyright footers,
+    share-bar text).
+
+    Plan: explode → global line counts (shuffle 1, partial agg) →
+    equi-join lines to counts (shuffle on line; the build side has
+    UNIQUE keys so hot boilerplate lines fan out without row
+    explosion; AQE skew-split applies) → filter → groupBy doc and
+    re-join surviving lines in original position order (shuffle 2).
+    Output: (doc_id, text_dedup, n_lines, n_kept) — docs whose every
+    line was boilerplate come back with text_dedup = ''.
+    """
+    lines = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        )
+        .withColumn("line", F.trim("line"))
+        .filter(F.col("line") != "")
+    )
+    counts = line_counts(docs, text_col, id_col)
+    kept = lines.join(counts, "line").filter(F.col("n_docs_with_line") <= max_count)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text_dedup"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
+    return (
+        docs.select(id_col)
+        .join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            F.coalesce("n_lines", F.lit(0)).cast("int").alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+        )
+    )
