@@ -894,6 +894,25 @@ def _pii_oracle_sql() -> str:
     """
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus accounting: doc counts + exact integer token
+    and char totals (the 'what is in my training set' report). One
+    groupBy with map-side partial aggregation — at 100 TB this is a
+    single shuffle of ~n_languages rows per map task."""
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(TX.token_count(F.col("text"))).alias("total_tokens"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.sum(F.when(TX.detect_lang_expr(F.col("text")) == F.col("lang"), 1).otherwise(0)).alias(
+                "langid_agree"
+            ),
+        )
+    )
+
+
 #: multi-line documents with corpus-wide boilerplate lines — same
 #: construction both sides (cookie banner in every doc, copyright
 #: footer shared by 1/7th, share-bar by 1/3rd, body + tail unique).
@@ -1204,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_lines": q_dedup_lines,
+        "corpus_stats": q_corpus_stats,
         "dedup_components": q_dedup_components,
         "embedding_neardup": q_embedding_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1319,6 +1339,36 @@ def _content_sniff_oracle_sql() -> str:
                 OR contains(lower(substr(body, 1, 512)), '<html') OR contains(lower(substr(body, 1, 512)), '<head')
                 OR contains(lower(substr(body, 1, 512)), '<body') OR contains(lower(substr(body, 1, 512)), '<meta charset')) AS is_html
         FROM t
+    """
+
+
+def _corpus_stats_oracle_sql() -> str:
+    """Per-language accounting mirror — langid CASE generated from the
+    same LANG_MARKERS dict as the Spark expression."""
+    langs = list(TX.LANG_MARKERS)
+    hits = ",\n                     ".join(
+        _MARKER.format(m=", ".join(f"'{w}'" for w in TX.LANG_MARKERS[lang])) + f" AS h_{lang}"
+        for lang in langs
+    )
+    whens = []
+    for i, lang in enumerate(langs):
+        conds = [f"h_{lang} > 0"] + [f"h_{lang} >= h_{o}" for o in langs[i + 1:]]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    sw_filter = (
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+    )
+    return f"""
+        WITH h AS (
+          SELECT doc_id, lang, text, {hits}
+          FROM documents
+        ), p AS (
+          SELECT lang, text, CASE {' '.join(whens)} ELSE 'unknown' END AS lang_pred FROM h
+        )
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(len({sw_filter})) AS BIGINT) AS total_tokens,
+               CAST(sum(length(text)) AS BIGINT) AS total_chars,
+               CAST(sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS langid_agree
+        FROM p GROUP BY lang
     """
 
 
@@ -2071,6 +2121,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, term, tf, df, rank FROM r WHERE rank <= 3
         """,
         "text_pii_redact": _pii_oracle_sql(),
+        "corpus_stats": _corpus_stats_oracle_sql(),
         "text_tokens_bpe": """
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS INT) AS n_bpe_tokens
