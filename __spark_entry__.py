@@ -19,6 +19,7 @@ from thecrowler_spark.functions import text as TX
 from thecrowler_spark.functions import urls as U
 from thecrowler_spark.operators import content_type as CT
 from thecrowler_spark.operators import dedup as DD
+from thecrowler_spark.operators import linkgraph as LG
 from thecrowler_spark.operators import multimodal as MM
 from thecrowler_spark.operators import search as SE
 from thecrowler_spark.operators import similarity as SIM
@@ -913,6 +914,63 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: synthetic link graph over documents: 3 out-edges per doc via affine
+#: maps mod N — identical SQL text on both engines (N computed in-plan).
+_EDGES_SQL = """
+SELECT doc_id AS src, (doc_id * 7 + 3) % nn.n AS dst FROM documents CROSS JOIN nn
+UNION ALL
+SELECT doc_id AS src, (doc_id * 13 + 5) % nn.n AS dst FROM documents CROSS JOIN nn
+UNION ALL
+SELECT doc_id AS src, (doc_id * 31 + 11) % nn.n AS dst FROM documents CROSS JOIN nn
+"""
+
+_EDGES_WITH = f"WITH nn AS (SELECT count(*) AS n FROM documents), e AS ({_EDGES_SQL})"
+
+
+def _spark_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _load(spark, sf_dir, "documents")
+    return spark.sql(f"{_EDGES_WITH} SELECT src, dst FROM e")
+
+
+def q_linkgraph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph in/out degrees (crawl-prioritization / spam signal)."""
+    return LG.degree_stats(_spark_edges(spark, sf_dir))
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank power iteration (5 rounds) in exact int64 fixed point —
+    bit-identical across engines, so an ITERATIVE graph algorithm gets
+    a full DuckDB oracle (unrolled per-iteration CTEs)."""
+    return LG.pagerank_fixedpoint(_spark_edges(spark, sf_dir), n_iter=5)
+
+
+def _pagerank_oracle_sql(n_iter: int = 5, scale: int = 1_000_000_000, damping: int = 85) -> str:
+    """Unrolled power iteration mirroring pagerank_fixedpoint exactly."""
+    body = f"""
+        {_EDGES_WITH},
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        nx AS (SELECT count(*) AS n FROM nodes),
+        outd AS (SELECT src AS node, count(*) AS od FROM e GROUP BY src),
+        it0 AS (SELECT node, {scale} // nx.n AS r FROM nodes CROSS JOIN nx)"""
+    prev = "it0"
+    for k in range(1, n_iter + 1):
+        body += f""",
+        c{k} AS (
+          SELECT e.dst AS node, sum((p.r * {damping}) // (100 * outd.od)) AS c
+          FROM e JOIN {prev} p ON e.src = p.node JOIN outd ON e.src = outd.node
+          GROUP BY e.dst
+        ),
+        it{k} AS (
+          SELECT nodes.node,
+                 ({scale}::BIGINT * {100 - damping}) // (100 * nx.n) + coalesce(c{k}.c, 0) AS r
+          FROM nodes CROSS JOIN nx LEFT JOIN c{k} ON nodes.node = c{k}.node
+        )"""
+        prev = f"it{k}"
+    body += f"""
+        SELECT node, CAST(r AS BIGINT) AS rank_fp FROM {prev}"""
+    return body
+
+
 #: multi-line documents with corpus-wide boilerplate lines — same
 #: construction both sides (cookie banner in every doc, copyright
 #: footer shared by 1/7th, share-bar by 1/3rd, body + tail unique).
@@ -1224,6 +1282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_lines": q_dedup_lines,
         "corpus_stats": q_corpus_stats,
+        "linkgraph_degrees": q_linkgraph_degrees,
+        "pagerank": q_pagerank,
         "dedup_components": q_dedup_components,
         "embedding_neardup": q_embedding_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -2122,6 +2182,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_pii_redact": _pii_oracle_sql(),
         "corpus_stats": _corpus_stats_oracle_sql(),
+        "linkgraph_degrees": f"""
+            {_EDGES_WITH},
+            outd AS (SELECT src AS node, count(*) AS od FROM e GROUP BY src),
+            ind AS (SELECT dst AS node, count(*) AS id_ FROM e GROUP BY dst)
+            SELECT coalesce(outd.node, ind.node) AS node,
+                   CAST(coalesce(od, 0) AS BIGINT) AS out_degree,
+                   CAST(coalesce(id_, 0) AS BIGINT) AS in_degree
+            FROM outd FULL JOIN ind ON outd.node = ind.node
+        """,
+        "pagerank": _pagerank_oracle_sql(n_iter=5),
         "text_tokens_bpe": """
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS INT) AS n_bpe_tokens

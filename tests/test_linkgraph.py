@@ -1,0 +1,53 @@
+"""Link-graph operators: degree stats and fixed-point PageRank."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from thecrowler_spark.operators import linkgraph as LG
+
+S = 1_000_000_000
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_degree_stats(spark):
+    e = _edges(spark, [(1, 2), (1, 3), (2, 1), (3, 4)])
+    got = {r.node: (r.out_degree, r.in_degree) for r in LG.degree_stats(e).collect()}
+    assert got == {1: (2, 1), 2: (1, 1), 3: (1, 1), 4: (0, 1)}
+
+
+def test_pagerank_two_node_cycle_fixed_point(spark):
+    # a<->b is PageRank's fixed point at rank 1/2 each; the integer
+    # iteration must reproduce it exactly: (5e8*85)//100 + (1e9*15)//200
+    e = _edges(spark, [(1, 2), (2, 1)])
+    got = {r.node: r.rank_fp for r in LG.pagerank_fixedpoint(e, n_iter=3).collect()}
+    assert got == {1: S // 2, 2: S // 2}
+
+
+def test_pagerank_star_one_iteration_golden(spark):
+    # a->b, a->c, b->a, c->a; hand-computed first iteration
+    e = _edges(spark, [(1, 2), (1, 3), (2, 1), (3, 1)])
+    got = {r.node: r.rank_fp for r in LG.pagerank_fixedpoint(e, n_iter=1).collect()}
+    r0 = S // 3
+    base = (S * 15) // 300
+    to_leaf = (r0 * 85) // 200
+    to_hub = (r0 * 85) // 100
+    assert got == {1: base + 2 * to_hub, 2: base + to_leaf, 3: base + to_leaf}
+
+
+def test_pagerank_mass_bounds_and_hub_ordering(spark):
+    # ring + extra edges into node 0: node 0 must out-rank the rest;
+    # total mass stays in (0.8*S, S] (only per-edge flooring is lost —
+    # no dangling nodes in this graph)
+    n = 50
+    pairs = [(i, (i + 1) % n) for i in range(n)] + [(i, 0) for i in range(1, n, 3)]
+    e = _edges(spark, pairs)
+    rank = LG.pagerank_fixedpoint(e, n_iter=5, persist_each=True)
+    rows = {r.node: r.rank_fp for r in rank.collect()}
+    total = sum(rows.values())
+    assert 0.8 * S < total <= S
+    assert rows[0] == max(rows.values())
+    assert all(v > 0 for v in rows.values())

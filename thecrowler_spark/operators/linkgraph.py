@@ -1,0 +1,112 @@
+"""Link-graph analytics: degree stats + fixed-point PageRank.
+
+The reference stores the extracted link graph inside WebObjects details
+(/root/reference/pkg/crawler/crawler.go:1394-1559 keeps ``links`` in the
+page JSON) and uses it only for navigation; at corpus scale the link
+graph is also the standard crawl-prioritization / spam-signal input, so
+this module provides the two canonical graph operators a web-scale
+pipeline needs.
+
+Determinism contract: PageRank here is computed in **fixed-point
+integer arithmetic** (rank mass scaled to ``scale``; every edge
+contribution is ``(rank * damping_pct) DIV (100 * out_degree)`` in
+int64). Integer addition is associative and commutative, so the result
+is bit-identical regardless of partitioning — and identical in DuckDB,
+which lets an iterative graph algorithm carry a full SQL oracle
+(unrolled per-iteration CTEs). Dangling mass (nodes without out-edges)
+is dropped, and per-edge flooring loses ≤1 unit per in-edge — both
+deliberate, both mirrored exactly by the oracle.
+
+Scale notes (100 TB / 10^10 nodes):
+- each iteration = one equi-join of the rank table to edges on ``src``
+  (both sides pre-partitioned on the join key reuse the exchange across
+  iterations) + one groupBy ``dst`` with map-side partial sums;
+- hot pages (huge in-degree) are pure aggregation skew — partial
+  aggregation absorbs them; no window functions anywhere;
+- the rank table is (node, int64) — tiny relative to edges; iterations
+  should persist/checkpoint it (``persist_each`` arg) so lineage does
+  not deepen linearly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degree_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node in/out degree over a (src, dst) edge list.
+
+    One aggregation per direction + a full outer join on node id;
+    nodes appearing only on one side get 0 for the other degree.
+    """
+    out_d = edges.groupBy(F.col(src).alias("node")).agg(F.count("*").alias("out_degree"))
+    in_d = edges.groupBy(F.col(dst).alias("node")).agg(F.count("*").alias("in_degree"))
+    return (
+        out_d.join(in_d, "node", "full")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+    )
+
+
+def pagerank_fixedpoint(
+    edges: DataFrame,
+    n_iter: int = 5,
+    scale: int = 1_000_000_000,
+    damping_pct: int = 85,
+    src: str = "src",
+    dst: str = "dst",
+    persist_each: bool = False,
+) -> DataFrame:
+    """PageRank power iteration in exact int64 fixed point.
+
+    rank_0(v)   = scale DIV N
+    rank_k+1(v) = (scale·(100−damping_pct)) DIV (100·N)
+                  + Σ_{(u,v)∈E} (rank_k(u)·damping_pct) DIV (100·outdeg(u))
+
+    Output: (node, rank_fp) — divide by ``scale`` for the float rank.
+    Multi-edges contribute once each (outdeg counts them too), matching
+    a repeated-link vote. ``persist_each`` persists the rank table per
+    iteration (recommended beyond ~5 iterations to truncate lineage).
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    # N enters the plan via a broadcast 1-row aggregate — no collect()
+    n_row = nodes.agg(F.count("*").alias("_n"))
+    out_d = edges.groupBy(F.col(src).alias("node")).agg(F.count("*").alias("od"))
+
+    # 'L' suffixes: Spark SQL integer literals are 32-bit and the scaled
+    # products overflow INT under ANSI constant folding otherwise
+    rank = nodes.crossJoin(F.broadcast(n_row)).select(
+        "node", F.expr(f"{scale}L DIV _n").alias("rank_fp")
+    )
+    base = F.expr(f"({scale}L * {100 - damping_pct}L) DIV (100L * _n)")
+    for _ in range(n_iter):
+        contrib = (
+            edges.select(F.col(src).alias("node"), F.col(dst).alias("_dst"))
+            .join(rank, "node")
+            .join(out_d, "node")
+            .select(
+                F.col("_dst").alias("node"),
+                F.expr(f"(rank_fp * {damping_pct}L) DIV (100L * od)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        rank = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(n_row))
+            .select(
+                "node",
+                (base + F.coalesce(F.col("c"), F.lit(0))).alias("rank_fp"),
+            )
+        )
+        if persist_each:
+            rank = rank.persist()
+    return rank
