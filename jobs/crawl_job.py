@@ -45,6 +45,10 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--budget-per-round", type=int, default=5000)
     p.add_argument("--salt-buckets", type=int, default=32)
     p.add_argument("--bloom-prefilter", action="store_true")
+    p.add_argument("--ordering-shards", type=int, default=1,
+                   help="mega-source escape hatch: >1 shards per-source "
+                        "sequencing windows (drops intra-source total order; "
+                        "requires --max-links 0)")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     p.add_argument("--output", required=True, help="output dir (pages/ visited/ lineage/ checkpoints)")
     p.add_argument("--run-id", default="run0")
@@ -121,6 +125,7 @@ def main(argv: list[str] | None = None) -> None:
         salt_buckets=args.salt_buckets,
         bloom_prefilter=args.bloom_prefilter,
         shuffle_partitions=args.shuffle_partitions,
+        ordering_shards=args.ordering_shards,
     )
     engine = CrawlEngine(
         spark, docs, cfg=cfg, robots=robots, budgets=budgets, work_dir=f"{args.output}/state"

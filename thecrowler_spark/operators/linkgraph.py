@@ -77,9 +77,14 @@ def pagerank_fixedpoint(
         .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
     )
+    out_d = edges.groupBy(F.col(src).alias("node")).agg(F.count("*").alias("od"))
+    if persist_each:
+        # nodes/out_d are referenced in every iteration's subplan —
+        # materialize once instead of k recomputes of the distinct
+        nodes = nodes.persist()
+        out_d = out_d.persist()
     # N enters the plan via a broadcast 1-row aggregate — no collect()
     n_row = nodes.agg(F.count("*").alias("_n"))
-    out_d = edges.groupBy(F.col(src).alias("node")).agg(F.count("*").alias("od"))
 
     # 'L' suffixes: Spark SQL integer literals are 32-bit and the scaled
     # products overflow INT under ANSI constant folding otherwise
