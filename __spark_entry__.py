@@ -1402,9 +1402,10 @@ def _content_sniff_oracle_sql() -> str:
     """
 
 
-def _corpus_stats_oracle_sql() -> str:
-    """Per-language accounting mirror — langid CASE generated from the
-    same LANG_MARKERS dict as the Spark expression."""
+def _langid_hits_and_case() -> tuple[str, str]:
+    """(hit-column SQL, argmax CASE SQL) generated ONCE from
+    LANG_MARKERS — shared by every oracle that mirrors
+    text.detect_lang_expr so the engines cannot drift."""
     langs = list(TX.LANG_MARKERS)
     hits = ",\n                     ".join(
         _MARKER.format(m=", ".join(f"'{w}'" for w in TX.LANG_MARKERS[lang])) + f" AS h_{lang}"
@@ -1414,6 +1415,13 @@ def _corpus_stats_oracle_sql() -> str:
     for i, lang in enumerate(langs):
         conds = [f"h_{lang} > 0"] + [f"h_{lang} >= h_{o}" for o in langs[i + 1:]]
         whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return hits, f"CASE {' '.join(whens)} ELSE 'unknown' END"
+
+
+def _corpus_stats_oracle_sql() -> str:
+    """Per-language accounting mirror — langid CASE generated from the
+    same LANG_MARKERS dict as the Spark expression."""
+    hits, case_sql = _langid_hits_and_case()
     sw_filter = (
         "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
     )
@@ -1422,7 +1430,7 @@ def _corpus_stats_oracle_sql() -> str:
           SELECT doc_id, lang, text, {hits}
           FROM documents
         ), p AS (
-          SELECT lang, text, CASE {' '.join(whens)} ELSE 'unknown' END AS lang_pred FROM h
+          SELECT lang, text, {case_sql} AS lang_pred FROM h
         )
         SELECT lang, count(*) AS n_docs,
                CAST(sum(len({sw_filter})) AS BIGINT) AS total_tokens,
@@ -1435,21 +1443,13 @@ def _corpus_stats_oracle_sql() -> str:
 def _langid_oracle_sql() -> str:
     """DuckDB mirror of text.detect_lang_expr, generated from the SAME
     LANG_MARKERS dict (argmax with dict-order tie-break)."""
-    langs = list(TX.LANG_MARKERS)
-    hits = ",\n                     ".join(
-        _MARKER.format(m=", ".join(f"'{w}'" for w in TX.LANG_MARKERS[lang])) + f" AS h_{lang}"
-        for lang in langs
-    )
-    whens = []
-    for i, lang in enumerate(langs):
-        conds = [f"h_{lang} > 0"] + [f"h_{lang} >= h_{o}" for o in langs[i + 1:]]
-        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    hits, case_sql = _langid_hits_and_case()
     return f"""
         WITH h AS (
           SELECT doc_id, {hits}
           FROM documents
         )
-        SELECT doc_id, CASE {' '.join(whens)} ELSE 'unknown' END AS lang_pred FROM h
+        SELECT doc_id, {case_sql} AS lang_pred FROM h
     """
 
 

@@ -82,7 +82,8 @@ def test_pii_redaction_and_counts(spark):
     }
     assert out[1].red == "mail <EMAIL> or <IP> call <PHONE> ok"
     assert (out[1].n_email, out[1].n_ipv4, out[1].n_phone) == (1, 1, 1)
-    assert out[2].red == out[2].red and (out[2].n_email, out[2].n_ipv4, out[2].n_phone) == (0, 0, 0)
+    assert out[2].red == "no pii here, just 1.2 numbers and an at sign @ alone"
+    assert (out[2].n_email, out[2].n_ipv4, out[2].n_phone) == (0, 0, 0)
     # '1.2' must not be eaten by the IPv4 rule
     assert "1.2 numbers" in out[2].red
 

@@ -423,12 +423,26 @@ def connected_components(
 # ------------------------------------------------- line-level (CCNet)
 
 
+def _doc_lines(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc, pos, trimmed non-empty line) explode shared by the
+    line-level operators."""
+    return (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        )
+        .withColumn("line", F.trim("line"))
+        .filter(F.col("line") != "")
+    )
+
+
 def line_counts(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Corpus-wide duplicate-line counts (CCNet-style boilerplate
-    discovery): explode documents into (doc, pos, line) and count each
-    distinct trimmed line across the corpus.
+    """Corpus-wide duplicate-line OCCURRENCE counts (CCNet-style
+    boilerplate discovery): explode documents into (doc, pos, line) and
+    count each distinct trimmed line's occurrences across the corpus
+    (a line repeated inside one document counts each time).
 
     One shuffle (groupBy line) with map-side partial aggregation, so a
     boilerplate line repeated 10^9 times arrives at its reducer as one
@@ -437,12 +451,10 @@ def line_counts(
     shuffle key and keep one example string per hash; semantics
     identical modulo hash collisions.
     """
-    lines = docs.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
-    ).withColumn("line", F.trim("line"))
-    return lines.filter(F.col("line") != "").groupBy("line").agg(
-        F.count("*").alias("n_docs_with_line")
+    return (
+        _doc_lines(docs, text_col, id_col)
+        .groupBy("line")
+        .agg(F.count("*").alias("n_occurrences"))
     )
 
 
@@ -452,8 +464,8 @@ def dedup_lines(
     id_col: str = "doc_id",
     max_count: int = 4,
 ) -> DataFrame:
-    """Remove boilerplate lines that appear in ≥ ``max_count + 1``
-    places across the corpus and reassemble each document (CCNet's
+    """Remove boilerplate lines with ≥ ``max_count + 1`` occurrences
+    across the corpus and reassemble each document (CCNet's
     duplicated-line filter — cookie banners, copyright footers,
     share-bar text).
 
@@ -465,16 +477,9 @@ def dedup_lines(
     Output: (doc_id, text_dedup, n_lines, n_kept) — docs whose every
     line was boilerplate come back with text_dedup = ''.
     """
-    lines = (
-        docs.select(
-            F.col(id_col),
-            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
-        )
-        .withColumn("line", F.trim("line"))
-        .filter(F.col("line") != "")
-    )
-    counts = line_counts(docs, text_col, id_col)
-    kept = lines.join(counts, "line").filter(F.col("n_docs_with_line") <= max_count)
+    lines = _doc_lines(docs, text_col, id_col)
+    counts = lines.groupBy("line").agg(F.count("*").alias("n_occurrences"))
+    kept = lines.join(counts, "line").filter(F.col("n_occurrences") <= max_count)
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(

@@ -88,12 +88,19 @@ class CrawlConfig:
     #: one task (parallel across sources). >1 = drop intra-source TOTAL
     #: order: sequencing windows partition on (source_id,
     #: xxhash64(link) % ordering_shards) so a single source whose level
-    #: emits 10^8+ links spreads over ``ordering_shards`` tasks. The
-    #: fetched page SET, visited set, and counters are unchanged (modulo
-    #: which URL-form representative of a norm-url duplicate group is
-    #: fetched, and skip-resurrection attachment, which become
-    #: shard-local); ``seq``/``fetch_seq`` stay unique per source but
-    #: are shard-interleaved, not dense. Requires max_links == 0 (the
+    #: emits 10^8+ links spreads over ``ordering_shards`` tasks. On a
+    #: corpus with canonical link forms and no skip rules the fetched
+    #: page SET, visited set, and counters are unchanged (tested).
+    #: Exact divergence carve-outs vs parity mode: (a) which URL-form
+    #: representative of a norm-url duplicate group is fetched; (b)
+    #: skip-resurrection becomes shard-local — a skipped link re-attaches
+    #: to the next attempted row IN ITS SHARD, and is dropped if none
+    #: follows there (parity mode would attach it across the source);
+    #: (c) with use_host_budget, WHICH rows defer each round follows the
+    #: shard-interleaved seq order, so pages can shift rounds and rows
+    #: still deferred when max_depth/max_rounds exhausts differ.
+    #: ``seq``/``fetch_seq`` stay unique per source but are
+    #: shard-interleaved, not dense. Requires max_links == 0 (the
     #: cumulative cutoff is inherently a total-order construct).
     ordering_shards: int = 1
 

@@ -92,6 +92,7 @@ def pagerank_fixedpoint(
         "node", F.expr(f"{scale}L DIV _n").alias("rank_fp")
     )
     base = F.expr(f"({scale}L * {100 - damping_pct}L) DIV (100L * _n)")
+    prev = None
     for _ in range(n_iter):
         contrib = (
             edges.select(F.col(src).alias("node"), F.col(dst).alias("_dst"))
@@ -113,5 +114,11 @@ def pagerank_fixedpoint(
             )
         )
         if persist_each:
+            # materialize the new rank, then release the superseded one —
+            # at most two rank tables live in cache at any moment
             rank = rank.persist()
+            rank.count()
+            if prev is not None:
+                prev.unpersist()
+            prev = rank
     return rank
