@@ -895,6 +895,40 @@ def _pii_oracle_sql() -> str:
     """
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals (hypertable-rollup analog): ROLLUP over
+    (event_type, day) with grouping_id disambiguating subtotal rows;
+    value sums kept in exact integer cents."""
+    events = _load(spark, sf_dir, "events")["events"]
+    return (
+        events.withColumn("day", F.to_date("ts"))
+        .rollup("event_type", "day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_value_cents"),
+            F.grouping_id().alias("gid"),
+        )
+        .select("event_type", "day", "n_events", "total_value_cents", "gid")
+    )
+
+
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region → nation → customer → orders star: revenue per region in
+    exact integer cents (broadcast-joined dimension chain)."""
+    t = _load(spark, sf_dir, "region", "nation", "customer", "orders")
+    return (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("revenue_cents"),
+        )
+    )
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus accounting: doc counts + exact integer token
     and char totals (the 'what is in my training set' report). One
@@ -1282,6 +1316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_lines": q_dedup_lines,
         "corpus_stats": q_corpus_stats,
+        "events_rollup": q_events_rollup,
+        "regional_revenue": q_regional_revenue,
         "linkgraph_degrees": q_linkgraph_degrees,
         "pagerank": q_pagerank,
         "dedup_components": q_dedup_components,
@@ -2182,6 +2218,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_pii_redact": _pii_oracle_sql(),
         "corpus_stats": _corpus_stats_oracle_sql(),
+        "events_rollup": """
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents,
+                   CAST(GROUPING(event_type, CAST(ts AS DATE)) AS BIGINT) AS gid
+            FROM events
+            GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
+        """,
+        "regional_revenue": """
+            SELECT r_name, count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
         "linkgraph_degrees": f"""
             {_EDGES_WITH},
             outd AS (SELECT src AS node, count(*) AS od FROM e GROUP BY src),
