@@ -264,6 +264,27 @@ def q_url_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.join(seen, "norm_url", "left_anti").select("id", "norm_url")
 
 
+def q_url_seen_cuckoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2 via the deletion-capable cuckoo prefilter: candidates ∖
+    (seen − re-eligible) — negatives skip the exact join, the deleted
+    slice re-emerges crawlable. Result is set-identical to plain SQL
+    (the prefilter is never authoritative), so it oracle-checks."""
+    from thecrowler_spark.operators import cuckoo as CK
+
+    _load(spark, sf_dir, "orders")
+    urls = spark.sql(_SPARK_URLS).withColumn("norm_url", U.normalize_url_seen("url"))
+    seen = urls.filter(F.col("id") % 3 == 0).select("norm_url").distinct()
+    recrawl = urls.filter((F.col("id") % 3 == 0) & (F.col("id") % 5 == 0)).select(
+        "norm_url"
+    ).distinct()
+    ck = CK.delete_cuckoo(CK.build_cuckoo(seen, n_buckets=16), recrawl, n_buckets=16)
+    effective_seen = seen.join(recrawl, "norm_url", "left_anti")
+    cand = urls.filter(F.col("id") % 2 == 0)
+    return CK.dedup_with_cuckoo(
+        cand, effective_seen, n_buckets=16, cuckoo=ck
+    ).select("id", "norm_url")
+
+
 def q_frontier_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-level first-occurrence dedup (sequential visited semantics)."""
     _load(spark, sf_dir, "lineitem")
@@ -1292,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_budget": q_politeness_budget,
         "robots_filter": q_robots_filter,
         "url_seen_antijoin": q_url_seen_antijoin,
+        "url_seen_cuckoo": q_url_seen_cuckoo,
         "frontier_dedup_first": q_frontier_dedup_first,
         "content_type": q_content_type,
         "content_sniff": q_content_sniff,
@@ -1734,6 +1756,15 @@ def oracle_sql() -> dict[str, str]:
             seen AS (SELECT DISTINCT norm_url FROM n WHERE id % 3 = 0)
             SELECT id, norm_url FROM n
             WHERE id % 2 = 0 AND norm_url NOT IN (SELECT norm_url FROM seen)
+        """,
+        "url_seen_cuckoo": f"""
+            WITH urls AS ({_DUCK_URLS}),
+            n AS (SELECT id, lower(regexp_replace(trim(url), '/+$', '')) AS norm_url FROM urls),
+            seen AS (SELECT DISTINCT norm_url FROM n WHERE id % 3 = 0),
+            recrawl AS (SELECT DISTINCT norm_url FROM n WHERE id % 3 = 0 AND id % 5 = 0),
+            eff AS (SELECT norm_url FROM seen WHERE norm_url NOT IN (SELECT norm_url FROM recrawl))
+            SELECT id, norm_url FROM n
+            WHERE id % 2 = 0 AND norm_url NOT IN (SELECT norm_url FROM eff)
         """,
         "frontier_dedup_first": """
             SELECT norm_url, l_orderkey AS kept_order, l_linenumber AS kept_line FROM (
