@@ -593,11 +593,26 @@ class CrawlEngine:
             )
             counters = self._ckpt(merged, run_id, depth, "counters")
 
-            # the round's ONLY driver-side materialization: one totals row
+            # the round's driver-side materializations: one totals row +
+            # one per-partition skew row (both O(1)-sized results; the
+            # skew agg runs on the already-persisted level)
             tot = stats.agg(
                 *[F.sum(k).alias(k) for k in ("pages", "skipped", "duplicates", "errors")]
             ).first()
+            skew = (
+                processed.groupBy(F.spark_partition_id().alias("_pid"))
+                .count()
+                .agg(
+                    F.count("*").alias("n_parts"),
+                    F.max("count").alias("max_rows"),
+                    F.sum("count").alias("tot_rows"),
+                )
+                .first()
+            )
             processed.unpersist()
+            n_parts = int(skew["n_parts"] or 0) if skew else 0
+            max_rows = int(skew["max_rows"] or 0) if skew else 0
+            tot_rows = int(skew["tot_rows"] or 0) if skew else 0
             lineage.append(
                 {
                     "run_id": run_id,
@@ -608,6 +623,14 @@ class CrawlEngine:
                     "duplicates": int(tot["duplicates"] or 0) if tot else 0,
                     "errors": int(tot["errors"] or 0) if tot else 0,
                     "elapsed_sec": time.time() - t0,
+                    # per-partition metrics: skew ratio 1.0 = perfectly
+                    # even; >> 1 flags a hot host/source slipping past
+                    # the salting (the north-rule observability hook)
+                    "partitions": n_parts,
+                    "max_partition_rows": max_rows,
+                    "skew_ratio": round(max_rows * n_parts / tot_rows, 3)
+                    if tot_rows
+                    else 1.0,
                 }
             )
 
