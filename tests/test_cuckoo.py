@@ -56,9 +56,19 @@ def test_delete_enables_recrawl(spark):
         F.col("cuckoo_maybe")
     ).count()
     assert still < 10  # expected ~0
-    # the re-crawl path: deleted URLs flow through the dedup again
+    # the re-crawl path: deleted URLs flow through the dedup again.
+    # gone ∩ kept = ∅ and cuckoo positives get the exact join, so every
+    # deleted URL must re-emerge as crawlable — the full 1000.
     out = CK.dedup_with_cuckoo(gone, kept, n_buckets=N_BUCKETS, cuckoo=ck2)
-    # gone ∩ kept = ∅, so every deleted URL must re-emerge as crawlable
-    # EXCEPT cuckoo false positives that then fail... no: positives get
-    # the exact join against `kept` and survive it; set must be complete
     assert out.count() == 1000
+
+
+def test_bucket_count_mismatch_raises(spark):
+    import pytest as _pytest
+
+    seen = _keys(spark, 0, 500)
+    ck = CK.build_cuckoo(seen, n_buckets=4)
+    with _pytest.raises(Exception, match="n_buckets"):
+        CK.probe_cuckoo(seen, ck, n_buckets=N_BUCKETS).filter(
+            ~F.col("cuckoo_maybe")
+        ).count()

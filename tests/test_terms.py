@@ -108,3 +108,15 @@ def test_dedup_lines_removes_boilerplate(spark):
     out2 = {r.doc_id: r for r in DD.dedup_lines(docs2, max_count=4).collect()}
     assert out2[0].text_dedup == "" and out2[0].n_kept == 0
     assert out2[99].text_dedup == "keep me"
+
+
+def test_line_counts_occurrence_semantics(spark):
+    from thecrowler_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame(
+        [(1, "dup\ndup\nsolo a"), (2, "dup\nsolo b\n  \n")],
+        "doc_id long, text string",
+    )
+    got = {r.line: r.n_occurrences for r in DD.line_counts(docs).collect()}
+    # occurrence counts (in-doc repeats counted), blank lines dropped
+    assert got == {"dup": 3, "solo a": 1, "solo b": 1}

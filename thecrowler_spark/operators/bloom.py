@@ -114,6 +114,18 @@ def probe_bloom(
     )
 
 
+def exact_after_prefilter(
+    probed: DataFrame, seen: DataFrame, key_col: str, flag_col: str
+) -> DataFrame:
+    """Shared prefilter→exact scaffold (bloom and cuckoo siblings):
+    flag False ⇒ definitely unseen, bypasses the join; flag True gets
+    the authoritative left_anti so false positives never drop a URL."""
+    negatives = probed.filter(~F.col(flag_col)).drop(flag_col)
+    positives = probed.filter(F.col(flag_col)).drop(flag_col)
+    checked = positives.join(seen.select(key_col).dropDuplicates(), [key_col], "left_anti")
+    return negatives.unionByName(checked)
+
+
 def dedup_with_bloom(
     candidates: DataFrame,
     seen: DataFrame,
@@ -130,7 +142,4 @@ def dedup_with_bloom(
     if bloom is None:
         bloom = build_bloom(seen, key_col, n_buckets)
     probed = probe_bloom(candidates, bloom, key_col, n_buckets)
-    negatives = probed.filter(~F.col("bloom_maybe")).drop("bloom_maybe")
-    positives = probed.filter(F.col("bloom_maybe")).drop("bloom_maybe")
-    checked = positives.join(seen.select(key_col).dropDuplicates(), [key_col], "left_anti")
-    return negatives.unionByName(checked)
+    return exact_after_prefilter(probed, seen, key_col, "bloom_maybe")

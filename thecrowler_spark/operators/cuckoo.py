@@ -37,17 +37,23 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_H2_SALT = 0x9E3779B9
+from .bloom import _with_hashes  # same key-hash contract as the bloom sibling
+
 _FP_MIX = np.uint64(0x5BD1E995)
-CUCKOO_SCHEMA = "bucket long, table binary, m long, slots int, stash binary, n_keys long"
+CUCKOO_SCHEMA = (
+    "bucket long, table binary, m long, slots int, stash binary, n_keys long,"
+    " n_buckets int"
+)
 
 
-def _with_hashes(df: DataFrame, key_col: str, n_buckets: int) -> DataFrame:
-    return (
-        df.withColumn("_h1", F.xxhash64(F.col(key_col)))
-        .withColumn("_h2", F.xxhash64(F.col(key_col), F.lit(_H2_SALT)))
-        .withColumn("_bucket", F.pmod(F.col("_h1"), F.lit(n_buckets)))
-    )
+def _check_buckets(blob_pdf: pd.DataFrame, n_buckets: int) -> None:
+    built_with = int(blob_pdf["n_buckets"].iloc[0])
+    if built_with != n_buckets:
+        raise ValueError(
+            f"cuckoo filter was built with n_buckets={built_with}, "
+            f"probed/updated with n_buckets={n_buckets} — bucket keying "
+            "would silently mismatch"
+        )
 
 
 def _fp_and_buckets(h1: np.ndarray, h2: np.ndarray, m: int):
@@ -120,6 +126,7 @@ def build_cuckoo(
                 "slots": [slots],
                 "stash": [np.sort(stash).tobytes()],
                 "n_keys": [n],
+                "n_buckets": [n_buckets],
             }
         )
 
@@ -151,6 +158,7 @@ def probe_cuckoo(
         if len(blob_pdf) == 0 or len(cand_pdf) == 0:
             res["cuckoo_maybe"] = False if len(cand_pdf) else pd.Series([], dtype=bool)
             return res
+        _check_buckets(blob_pdf, n_buckets)
         table, stash, m = _load_blob(blob_pdf)
         fp, i1, i2 = _fp_and_buckets(
             cand_pdf["_h1"].to_numpy(), cand_pdf["_h2"].to_numpy(), m
@@ -179,35 +187,39 @@ def delete_cuckoo(
     the operation bloom filters cannot support). Keys must have been
     inserted. Returns the updated filter DataFrame."""
 
+    cols = ["bucket", "table", "m", "slots", "stash", "n_keys", "n_buckets"]
+
     def per_bucket(key_pdf: pd.DataFrame, blob_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(blob_pdf) == 0:
             return blob_pdf
         if len(key_pdf) == 0:
-            return blob_pdf[["bucket", "table", "m", "slots", "stash", "n_keys"]]
+            return blob_pdf[cols]
+        _check_buckets(blob_pdf, n_buckets)
         table, stash, m = _load_blob(blob_pdf)
         fp, i1, i2 = _fp_and_buckets(
             key_pdf["_h1"].to_numpy(), key_pdf["_h2"].to_numpy(), m
         )
         stash_list = list(stash)
         # delete is the rare path (eligibility deltas); per-key walk of
-        # two buckets + stash, each O(slots)
+        # stash + two buckets, each O(slots). The key's OWN stash entry
+        # is checked FIRST: a stashed key packed under its own i1 must
+        # not instead zero a colliding still-present key's table copy
+        # (that would break the multiset no-false-negative guarantee).
         for j in range(len(fp)):
-            done = False
+            packed = (np.uint64(i1[j]) << np.uint64(16)) | np.uint64(fp[j])
+            if packed in stash_list:
+                stash_list.remove(packed)
+                continue
             for b in (i1[j], i2[j]):
                 s = np.flatnonzero(table[b] == fp[j])
                 if len(s):
                     table[b, s[0]] = 0
-                    done = True
                     break
-            if not done:
-                packed = (np.uint64(i1[j]) << np.uint64(16)) | np.uint64(fp[j])
-                if packed in stash_list:
-                    stash_list.remove(packed)
         out = blob_pdf.iloc[[0]].copy()
         out["table"] = [table.tobytes()]
         out["stash"] = [np.sort(np.array(stash_list, dtype=np.uint64)).tobytes()]
         out["n_keys"] = [int(blob_pdf["n_keys"].iloc[0]) - len(key_pdf)]
-        return out[["bucket", "table", "m", "slots", "stash", "n_keys"]]
+        return out[cols]
 
     hashed = _with_hashes(keys.select(key_col).dropDuplicates(), key_col, n_buckets)
     return (
@@ -226,10 +238,9 @@ def dedup_with_cuckoo(
 ) -> DataFrame:
     """candidates ∖ seen, cuckoo-accelerated; result set ≡ plain
     left_anti (negatives skip the exact join, positives verified)."""
+    from .bloom import exact_after_prefilter
+
     if cuckoo is None:
         cuckoo = build_cuckoo(seen, key_col, n_buckets)
     probed = probe_cuckoo(candidates, cuckoo, key_col, n_buckets)
-    negatives = probed.filter(~F.col("cuckoo_maybe")).drop("cuckoo_maybe")
-    positives = probed.filter(F.col("cuckoo_maybe")).drop("cuckoo_maybe")
-    checked = positives.join(seen.select(key_col).dropDuplicates(), [key_col], "left_anti")
-    return negatives.unionByName(checked)
+    return exact_after_prefilter(probed, seen, key_col, "cuckoo_maybe")

@@ -451,11 +451,11 @@ def line_counts(
     shuffle key and keep one example string per hash; semantics
     identical modulo hash collisions.
     """
-    return (
-        _doc_lines(docs, text_col, id_col)
-        .groupBy("line")
-        .agg(F.count("*").alias("n_occurrences"))
-    )
+    return _count_lines(_doc_lines(docs, text_col, id_col))
+
+
+def _count_lines(lines: DataFrame) -> DataFrame:
+    return lines.groupBy("line").agg(F.count("*").alias("n_occurrences"))
 
 
 def dedup_lines(
@@ -478,7 +478,7 @@ def dedup_lines(
     line was boilerplate come back with text_dedup = ''.
     """
     lines = _doc_lines(docs, text_col, id_col)
-    counts = lines.groupBy("line").agg(F.count("*").alias("n_occurrences"))
+    counts = _count_lines(lines)
     kept = lines.join(counts, "line").filter(F.col("n_occurrences") <= max_count)
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(

@@ -623,9 +623,12 @@ class CrawlEngine:
                     "duplicates": int(tot["duplicates"] or 0) if tot else 0,
                     "errors": int(tot["errors"] or 0) if tot else 0,
                     "elapsed_sec": time.time() - t0,
-                    # per-partition metrics: skew ratio 1.0 = perfectly
-                    # even; >> 1 flags a hot host/source slipping past
-                    # the salting (the north-rule observability hook)
+                    # per-partition metrics over the PROCESSED level's
+                    # final layout (i.e. after the level's join/window
+                    # shuffles, not the salted repartition itself):
+                    # skew_ratio 1.0 = even; >> 1 = end-of-round
+                    # imbalance worth investigating (north-rule
+                    # per-partition observability hook)
                     "partitions": n_parts,
                     "max_partition_rows": max_rows,
                     "skew_ratio": round(max_rows * n_parts / tot_rows, 3)
