@@ -72,3 +72,33 @@ def test_bucket_count_mismatch_raises(spark):
         CK.probe_cuckoo(seen, ck, n_buckets=N_BUCKETS).filter(
             ~F.col("cuckoo_maybe")
         ).count()
+
+
+def test_incremental_insert_matches_full_build(spark):
+    """Insert-the-delta maintenance: build(first half) + insert(second
+    half) must answer exactly like a filter covering everything —
+    no false negatives, dedup set identical to the exact anti-join."""
+    first = _keys(spark, 0, 2000)
+    second = _keys(spark, 2000, 4000)
+    both = _keys(spark, 0, 4000)
+    ck = CK.build_cuckoo(first, n_buckets=N_BUCKETS)
+    ck = CK.insert_cuckoo(ck, second, n_buckets=N_BUCKETS).persist()
+    assert CK.probe_cuckoo(both, ck, n_buckets=N_BUCKETS).filter(
+        ~F.col("cuckoo_maybe")
+    ).count() == 0
+    cands = _keys(spark, 3000, 6000)
+    got = set(
+        r.norm_url
+        for r in CK.dedup_with_cuckoo(cands, both, n_buckets=N_BUCKETS, cuckoo=ck).collect()
+    )
+    want = set(r.norm_url for r in cands.join(both, "norm_url", "left_anti").collect())
+    assert got == want
+    # insert→delete roundtrip: removing the inserted delta restores the
+    # first-half answer set for remaining keys
+    ck2 = CK.delete_cuckoo(ck, second, n_buckets=N_BUCKETS)
+    assert CK.probe_cuckoo(first, ck2, n_buckets=N_BUCKETS).filter(
+        ~F.col("cuckoo_maybe")
+    ).count() == 0
+    assert CK.probe_cuckoo(second, ck2, n_buckets=N_BUCKETS).filter(
+        F.col("cuckoo_maybe")
+    ).count() < 10

@@ -177,6 +177,74 @@ def probe_cuckoo(
     )
 
 
+def insert_cuckoo(
+    cuckoo: DataFrame,
+    keys: DataFrame,
+    key_col: str = "norm_url",
+    n_buckets: int = 64,
+    slots: int = 4,
+) -> DataFrame:
+    """Insert a key delta into an existing filter — the incremental
+    maintenance path: at 10^10 seen-URLs a crawl round inserts only its
+    visited DELTA instead of rebuilding from the full seen table.
+
+    Capacity contract (partial-key cuckoo cannot grow its table without
+    the original keys): size the initial build for the expected final
+    population — the ≤50% build load leaves ≥2× headroom; once a
+    bucket's table fills, overflow lands in the exact stash, which stays
+    correct but probes linearly. Buckets with no existing blob get a
+    fresh table (so insert-into-empty ≡ build).
+    """
+
+    cols = ["bucket", "table", "m", "slots", "stash", "n_keys", "n_buckets"]
+
+    def per_bucket(key_pdf: pd.DataFrame, blob_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(key_pdf) == 0:
+            return blob_pdf[cols] if len(blob_pdf) else blob_pdf
+        if len(blob_pdf) == 0:
+            n = len(key_pdf)
+            m = 1 << max(4, int(np.ceil(np.log2(max(1, 2 * n) / slots))) + 1)
+            table = np.zeros((m, slots), dtype=np.uint16)
+            stash_arr = np.array([], dtype=np.uint64)
+            prev_keys = 0
+            blob_bucket = int(key_pdf["_bucket"].iloc[0])
+            blob_slots = slots
+        else:
+            _check_buckets(blob_pdf, n_buckets)
+            table, stash_arr, m = _load_blob(blob_pdf)
+            prev_keys = int(blob_pdf["n_keys"].iloc[0])
+            blob_bucket = int(blob_pdf["bucket"].iloc[0])
+            blob_slots = int(blob_pdf["slots"].iloc[0])
+        fp, i1, i2 = _fp_and_buckets(
+            key_pdf["_h1"].to_numpy(), key_pdf["_h2"].to_numpy(), m
+        )
+        placed = _place(table, i1, fp)
+        rest = np.flatnonzero(~placed)
+        if len(rest):
+            placed2 = _place(table, i2[rest], fp[rest])
+            rest = rest[~placed2]
+        new_stash = (i1[rest].astype(np.uint64) << np.uint64(16)) | fp[rest].astype(np.uint64)
+        stash_all = np.sort(np.concatenate([stash_arr, new_stash]))
+        return pd.DataFrame(
+            {
+                "bucket": [blob_bucket],
+                "table": [table.tobytes()],
+                "m": [m],
+                "slots": [blob_slots],
+                "stash": [stash_all.tobytes()],
+                "n_keys": [prev_keys + len(key_pdf)],
+                "n_buckets": [n_buckets],
+            }
+        )
+
+    hashed = _with_hashes(keys.select(key_col).dropDuplicates(), key_col, n_buckets)
+    return (
+        hashed.groupBy("_bucket")
+        .cogroup(cuckoo.groupBy("bucket"))
+        .applyInPandas(per_bucket, CUCKOO_SCHEMA)
+    )
+
+
 def delete_cuckoo(
     cuckoo: DataFrame,
     keys: DataFrame,
