@@ -90,6 +90,15 @@ def test_crawl_parity_bloom_prefilter(spark):
     _compare(_spark_result(spark, corpus, cfg), _oracle_result(corpus, ocfg))
 
 
+def test_crawl_parity_cuckoo_prefilter(spark):
+    """Incrementally-maintained cuckoo URL-seen path must be
+    result-identical (build once, insert each round's visited delta)."""
+    corpus = small_corpus(CorpusSpec(n_hosts=2, pages_per_host=12))
+    cfg = CrawlConfig(max_depth=3, max_rounds=8, seen_filter="cuckoo")
+    ocfg = O.OracleConfig(max_depth=3, max_rounds=8)
+    _compare(_spark_result(spark, corpus, cfg), _oracle_result(corpus, ocfg))
+
+
 def test_budget_two_phase_skew(spark):
     """Skewed mega-host budget: the two-phase rank must (a) cap fetches
     per host per round exactly, (b) drain deferred links in seq order

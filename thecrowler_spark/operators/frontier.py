@@ -82,6 +82,14 @@ class CrawlConfig:
     max_rounds: int = 50  # safety net for max_depth=0
     salt_buckets: int = 16
     bloom_prefilter: bool = False
+    #: URL-seen prefilter mode: "" honors bloom_prefilter; "bloom"
+    #: rebuilds a bloom from the visited set each round (stateless,
+    #: O(seen) rebuild); "cuckoo" maintains a partial-key cuckoo filter
+    #: INCREMENTALLY — built once, then each round inserts only the
+    #: visited DELTA (O(delta) maintenance, the 10^10-seen-URLs path).
+    #: Both are never authoritative: positives always get the exact
+    #: join, so the final seen-set is identical in every mode (tested).
+    seen_filter: str = ""
     shuffle_partitions: int | None = None
     #: mega-source escape hatch. 1 (default) = exact reference ordering
     #: parity: per-source sequencing windows serialize each source onto
@@ -351,6 +359,11 @@ class CrawlEngine:
         self.robots = robots if (robots is not None and self.cfg.check_robots) else None
         self.budgets = budgets if (budgets is not None and self.cfg.use_host_budget) else None
         self.work_dir = work_dir
+        mode = self.cfg.seen_filter or ("bloom" if self.cfg.bloom_prefilter else "")
+        if mode not in ("", "bloom", "cuckoo"):
+            raise ValueError(f"unknown seen_filter mode: {mode!r}")
+        self._seen_mode = mode
+        self._cuckoo: DataFrame | None = None  # incremental blobs (cuckoo mode)
         self.parsed = SP.parse_documents(documents).persist()
         # slim projection used by the fetch join (column pruning by hand
         # so the join never drags body/spans through the shuffle)
@@ -570,6 +583,24 @@ class CrawlEngine:
             pages = self._ckpt_delta(pages, new_pages, run_id, depth, "pages")
             visited = self._ckpt_delta(visited, visited_delta, run_id, depth, "visited")
             frontier = self._ckpt(new_frontier, run_id, depth, "frontier")
+            if self._seen_mode == "cuckoo" and self._cuckoo is not None:
+                # incremental maintenance: insert only this round's
+                # visited delta (O(delta)); checkpoint the small blob
+                # table so the plan never chains across rounds
+                from .cuckoo import insert_cuckoo
+
+                delta_keys = visited_delta.select(
+                    F.concat_ws(
+                        "\x00", F.col("source_id").cast("string"), F.col("norm_url")
+                    ).alias("_skey")
+                )
+                self._cuckoo = self._ckpt(
+                    insert_cuckoo(
+                        self._cuckoo, delta_keys, key_col="_skey",
+                        n_buckets=self.cfg.salt_buckets,
+                    ),
+                    run_id, depth, "cuckoo",
+                )
             if deferred is not None:
                 # deferred rows are next-round input state — commit them
                 # like the frontier so kill-and-resume replays them too
@@ -678,21 +709,41 @@ class CrawlEngine:
         lv = lv.withColumn("is_skip", F.col("is_skip") | F.col("robots_blocked"))
 
         # visited-set probe: equi anti-join semantics via left join marker.
-        # With bloom_prefilter on, bloom-negative rows skip the exact join
+        # With a prefilter on, filter-negative rows skip the exact join
         # (definitely unseen); positives still get the exact check, so the
-        # final seen-set is identical (operators/bloom.py contract).
-        if cfg.bloom_prefilter:
-            from .bloom import build_bloom, probe_bloom
-
+        # final seen-set is identical in every mode (bloom.py/cuckoo.py
+        # contract). Bloom rebuilds from the full visited set each round;
+        # cuckoo is maintained incrementally (insert-the-delta in
+        # _run_rounds) — at 10^10 seen URLs that drops the per-round
+        # O(seen) rebuild scan to O(delta).
+        if self._seen_mode:
             skey = F.concat_ws("\x00", F.col("source_id").cast("string"), F.col("norm_url"))
             vis_keyed = visited.select(skey.alias("_skey"))
-            bloom = build_bloom(vis_keyed, key_col="_skey", n_buckets=cfg.salt_buckets)
-            probed = probe_bloom(
-                lv.withColumn("_skey", skey), bloom, key_col="_skey", n_buckets=cfg.salt_buckets
-            )
-            neg = probed.filter(~F.col("bloom_maybe")).withColumn("_seen", F.lit(False))
+            if self._seen_mode == "bloom":
+                from .bloom import build_bloom, probe_bloom
+
+                filt = build_bloom(vis_keyed, key_col="_skey", n_buckets=cfg.salt_buckets)
+                probed = probe_bloom(
+                    lv.withColumn("_skey", skey), filt, key_col="_skey", n_buckets=cfg.salt_buckets
+                )
+                flag = "bloom_maybe"
+            else:
+                from .cuckoo import build_cuckoo, probe_cuckoo
+
+                if self._cuckoo is None:
+                    self._cuckoo = build_cuckoo(
+                        vis_keyed, key_col="_skey", n_buckets=cfg.salt_buckets
+                    ).persist()
+                probed = probe_cuckoo(
+                    lv.withColumn("_skey", skey),
+                    self._cuckoo,
+                    key_col="_skey",
+                    n_buckets=cfg.salt_buckets,
+                )
+                flag = "cuckoo_maybe"
+            neg = probed.filter(~F.col(flag)).withColumn("_seen", F.lit(False))
             pos = (
-                probed.filter(F.col("bloom_maybe"))
+                probed.filter(F.col(flag))
                 .join(
                     vis_keyed.withColumn("_vseen", F.lit(True)),
                     ["_skey"],
@@ -701,7 +752,7 @@ class CrawlEngine:
                 .withColumn("_seen", F.coalesce(F.col("_vseen"), F.lit(False)))
                 .drop("_vseen")
             )
-            lv = neg.unionByName(pos).drop("bloom_maybe", "_skey")
+            lv = neg.unionByName(pos).drop(flag, "_skey")
         else:
             lv = lv.join(
                 visited.withColumn("_seen", F.lit(True)),
