@@ -950,6 +950,43 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a >30-min silence starts a new session
+    (lag + cumulative flag, the classic batch twin of streaming session
+    windows). Per-user windows — partitions bounded by one user's
+    events; session stats are exact integers/timestamps."""
+    from pyspark.sql import Window
+
+    events = _load(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NTZ -> LTZ -> long: UTC session tz makes this the naive epoch,
+    # matching DuckDB's floor(epoch(ts)) exactly
+    tse = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = tse - F.lag(tse).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = events.withColumn(
+        "session_no",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            (F.max(tse) - F.min(tse)).alias("duration_s"),
+        )
+        .select(
+            "user_id",
+            F.col("session_no").cast("int").alias("session_no"),
+            "n_events",
+            "session_start",
+            "session_end",
+            "duration_s",
+        )
+    )
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus accounting: doc counts + exact integer token
     and char totals (the 'what is in my training set' report). One
@@ -1338,6 +1375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_lines": q_dedup_lines,
         "corpus_stats": q_corpus_stats,
+        "events_sessionize": q_events_sessionize,
         "events_rollup": q_events_rollup,
         "regional_revenue": q_regional_revenue,
         "linkgraph_degrees": q_linkgraph_degrees,
@@ -2249,6 +2287,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_pii_redact": _pii_oracle_sql(),
         "corpus_stats": _corpus_stats_oracle_sql(),
+        "events_sessionize": """
+            WITH e AS (
+              SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS tse
+              FROM events
+            ), g AS (
+              SELECT *, CASE WHEN lag(tse) OVER w IS NULL OR tse - lag(tse) OVER w > 1800
+                             THEN 1 ELSE 0 END AS new_sess
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+              FROM g
+            )
+            SELECT user_id, CAST(session_no AS INT) AS session_no, count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   CAST(max(tse) - min(tse) AS BIGINT) AS duration_s
+            FROM s GROUP BY user_id, session_no
+        """,
         "events_rollup": """
             SELECT event_type, CAST(ts AS DATE) AS day,
                    count(*) AS n_events,
