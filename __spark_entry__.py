@@ -987,6 +987,45 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: versioned source-attribute updates: ~20 versions per key, state
+#: changing every second version (so half the merges are no-ops)
+_SPARK_SCD2 = """
+SELECT o_orderkey % 300 AS key,
+       CAST(o_orderkey DIV 300 AS INT) AS v,
+       CAST(timestamp'2024-01-01 00:00:00'
+            + make_interval(0, 0, 0, CAST(o_orderkey DIV 300 AS INT), 0, 0, 0)
+            AS TIMESTAMP_NTZ) AS ts,
+       concat('state', CAST(((o_orderkey DIV 300) DIV 2) % 5 AS STRING)) AS state
+FROM orders WHERE o_orderkey < 6000
+"""
+
+_DUCK_SCD2 = """
+SELECT o_orderkey % 300 AS key,
+       CAST(o_orderkey // 300 AS INT) AS v,
+       TIMESTAMP '2024-01-01 00:00:00' + (o_orderkey // 300) * INTERVAL 1 DAY AS ts,
+       concat('state', CAST(((o_orderkey // 300) // 2) % 5 AS VARCHAR)) AS state
+FROM orders WHERE o_orderkey < 6000
+"""
+
+
+def q_sources_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history merge on LakeTable, applied in three INCREMENTAL
+    batches — must equal the one-shot window derivation the oracle
+    computes (the lakehouse-history extension of the reference's
+    SCD1 Sources upsert)."""
+    import tempfile
+
+    from thecrowler_spark.sources.lake import LakeTable
+
+    _load(spark, sf_dir, "orders")
+    versions = spark.sql(_SPARK_SCD2)
+    lake = LakeTable(spark, tempfile.mkdtemp(prefix="scd2_"))
+    for lo, hi in ((0, 7), (7, 14), (14, 10**9)):
+        batch = versions.filter((F.col("v") >= lo) & (F.col("v") < hi)).drop("v")
+        lake.merge_scd2(batch, ["key"], "ts", ["state"])
+    return lake.read().select("key", "state", "valid_from", "valid_to")
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus accounting: doc counts + exact integer token
     and char totals (the 'what is in my training set' report). One
@@ -1375,6 +1414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_lines": q_dedup_lines,
         "corpus_stats": q_corpus_stats,
+        "sources_scd2": q_sources_scd2,
         "events_sessionize": q_events_sessionize,
         "events_rollup": q_events_rollup,
         "regional_revenue": q_regional_revenue,
@@ -2287,6 +2327,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_pii_redact": _pii_oracle_sql(),
         "corpus_stats": _corpus_stats_oracle_sql(),
+        "sources_scd2": f"""
+            WITH versions AS ({_DUCK_SCD2}),
+            chg AS (
+              SELECT key, ts, state FROM (
+                SELECT key, ts, state,
+                       lag(state) OVER (PARTITION BY key ORDER BY ts) AS prev
+                FROM versions
+              ) WHERE prev IS NULL OR prev <> state
+            )
+            SELECT key, state, ts AS valid_from,
+                   lead(ts) OVER (PARTITION BY key ORDER BY ts) AS valid_to
+            FROM chg
+        """,
         "events_sessionize": """
             WITH e AS (
               SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS tse

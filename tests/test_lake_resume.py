@@ -75,3 +75,51 @@ def test_lake_compact_preserves_data(spark, tmp_path):
     assert t.read(sid - 1).count() == 40
     dropped = t.expire_snapshots(keep_last=1)
     assert sid not in dropped
+
+
+def test_merge_scd2_incremental_equals_batch(spark, tmp_path):
+    """SCD2: three incremental merges must produce the same history as
+    one batch merge; no-op versions collapse; open row closes at the
+    next CHANGED version's ts."""
+    import datetime as dt
+
+    from thecrowler_spark.sources.lake import LakeTable
+
+    def ver(key, day, state):
+        return (key, dt.datetime(2024, 1, 1) + dt.timedelta(days=day), state)
+
+    rows = [
+        ver(1, 0, "a"), ver(1, 1, "a"), ver(1, 2, "b"), ver(1, 3, "b"), ver(1, 4, "c"),
+        ver(2, 0, "x"), ver(2, 5, "x"), ver(2, 9, "y"),
+    ]
+    df = spark.createDataFrame(rows, "key long, ts timestamp_ntz, state string")
+
+    def run(splits):
+        lake = LakeTable(spark, str(tmp_path / f"scd2_{len(splits)}"))
+        for lo, hi in splits:
+            lake.merge_scd2(
+                df.filter((F.col("ts") >= lo) & (F.col("ts") < hi)),
+                ["key"], "ts", ["state"],
+            )
+        return {
+            (r.key, r.state, r.valid_from, r.valid_to)
+            for r in lake.read().collect()
+        }
+
+    d = dt.datetime
+    one = run([(d(2024, 1, 1), d(2024, 2, 1))])
+    inc = run([
+        (d(2024, 1, 1), d(2024, 1, 3)),   # key1: a,a  key2: x
+        (d(2024, 1, 3), d(2024, 1, 5)),   # key1: b,b
+        (d(2024, 1, 5), d(2024, 2, 1)),   # key1: c    key2: x(noop), y
+    ])
+    assert inc == one
+    # explicit golden: key 1 -> a[0,2) b[2,4) c[4,open); key 2 -> x[0,9) y[9,open)
+    expect = {
+        (1, "a", d(2024, 1, 1), d(2024, 1, 3)),
+        (1, "b", d(2024, 1, 3), d(2024, 1, 5)),
+        (1, "c", d(2024, 1, 5), None),
+        (2, "x", d(2024, 1, 1), d(2024, 1, 10)),
+        (2, "y", d(2024, 1, 10), None),
+    }
+    assert one == expect
