@@ -296,3 +296,47 @@ def test_ordering_shards_same_sets(spark):
     # guard: the cumulative max_links cutoff needs total order
     with _pytest.raises(ValueError):
         CrawlEngine(spark, docs, cfg=CrawlConfig(max_links=5, ordering_shards=2))
+
+
+def test_ordering_shards_with_budgets_page_set_converges(spark):
+    """Contract carve-out (c) tightened: with host budgets on, sharded
+    mode may defer DIFFERENT rows each round, but once enough rounds
+    run to drain every deferral the fetched page SET (ignoring depth)
+    and final counters' pages totals equal parity mode."""
+    from pyspark.sql import functions as F
+
+    host = "https://m.example.com"
+    seed_url = f"{host}/seed"
+    ps = [f"{host}/p{i}" for i in range(30)]
+
+    def doc(url, links):
+        spans = [("title", f"t {url}", "", 0)] + [
+            ("link", f"l{i}", l, i + 1) for i, l in enumerate(links)
+        ]
+        return (url, spans)
+
+    docs = spark.createDataFrame(
+        [doc(seed_url, ps)] + [doc(p, []) for p in ps],
+        "doc_id string, spans array<struct<kind string, text string, media_ref string, offset int>>",
+    )
+    seeds = spark.createDataFrame(
+        [(1, seed_url, 4, "high", "new", False, "2026-01-01 00:00:00")],
+        "source_id long, url string, restricted int, priority string, status string,"
+        " disabled boolean, created_at string",
+    ).withColumn("created_at", F.col("created_at").cast("timestamp"))
+    budgets = spark.createDataFrame(
+        [("m.example.com", 7)], "host string, max_fetches_per_round int"
+    )
+
+    def run(shards):
+        cfg = CrawlConfig(
+            max_depth=0, max_rounds=12, use_host_budget=True, ordering_shards=shards
+        )
+        eng = CrawlEngine(spark, docs, cfg=cfg, budgets=budgets)
+        return eng.run(seeds, run_id=f"bshards{shards}")
+
+    parity, sharded = run(1), run(4)
+    pages_p = {r["url"] for r in parity.pages.collect()}
+    pages_s = {r["url"] for r in sharded.pages.collect()}
+    assert pages_s == pages_p and len(pages_p) == 31  # seed + all 30
+    assert parity.counters[1]["pages"] == sharded.counters[1]["pages"]
