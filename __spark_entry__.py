@@ -1026,6 +1026,61 @@ def q_sources_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lake.read().select("key", "state", "valid_from", "valid_to")
 
 
+#: hourly attribute versions keyed 0..49 (overlapping the events
+#: user_id % 50 domain) — the as-of/interval-join dimension side
+_SPARK_ASOF_V = """
+SELECT o_orderkey % 50 AS key,
+       CAST(timestamp'2024-01-01 00:00:00'
+            + make_interval(0, 0, 0, 0, CAST(o_orderkey DIV 50 AS INT), 0, 0)
+            AS TIMESTAMP_NTZ) AS ts,
+       concat('state', CAST(((o_orderkey DIV 50) DIV 2) % 5 AS STRING)) AS state
+FROM orders WHERE o_orderkey < 6000
+"""
+
+_DUCK_ASOF_V = """
+SELECT o_orderkey % 50 AS key,
+       TIMESTAMP '2024-01-01 00:00:00' + (o_orderkey // 50) * INTERVAL 1 HOUR AS ts,
+       concat('state', CAST(((o_orderkey // 50) // 2) % 5 AS VARCHAR)) AS state
+FROM orders WHERE o_orderkey < 6000
+"""
+
+
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every event picks up the latest dimension version
+    at-or-before its timestamp. Spark side = union-merge window (no
+    native ASOF); oracle = DuckDB's native ASOF LEFT JOIN — two
+    different algorithms, identical rows."""
+    from thecrowler_spark.operators import temporal as TP
+
+    t = _load(spark, sf_dir, "events", "orders")
+    versions = spark.sql(_SPARK_ASOF_V)
+    probe = t["events"].select(
+        (F.col("user_id") % 50).alias("key"), "event_id", F.col("ts")
+    )
+    out = TP.asof_join(probe, versions, ["key"], "ts", ["state"])
+    return out.select("key", "event_id", "ts", "state")
+
+
+def q_scd2_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: count events inside each SCD2 validity
+    interval — key equality + ts ∈ [valid_from, valid_to)."""
+    import tempfile
+
+    from thecrowler_spark.operators import temporal as TP
+    from thecrowler_spark.sources.lake import LakeTable
+
+    t = _load(spark, sf_dir, "events", "orders")
+    versions = spark.sql(_SPARK_ASOF_V)
+    lake = LakeTable(spark, tempfile.mkdtemp(prefix="scd2ij_"))
+    lake.merge_scd2(versions, ["key"], "ts", ["state"])
+    hist = lake.read()
+    probe = t["events"].select((F.col("user_id") % 50).alias("key"), "ts")
+    joined = TP.interval_join(probe, hist, ["key"], ts_col="ts")
+    return joined.groupBy("key", "state", "valid_from").agg(
+        F.count("*").alias("n_events")
+    )
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus accounting: doc counts + exact integer token
     and char totals (the 'what is in my training set' report). One
@@ -1415,6 +1470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "corpus_stats": q_corpus_stats,
         "sources_scd2": q_sources_scd2,
+        "events_asof": q_events_asof,
+        "scd2_interval_join": q_scd2_interval_join,
         "events_sessionize": q_events_sessionize,
         "events_rollup": q_events_rollup,
         "regional_revenue": q_regional_revenue,
@@ -2339,6 +2396,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT key, state, ts AS valid_from,
                    lead(ts) OVER (PARTITION BY key ORDER BY ts) AS valid_to
             FROM chg
+        """,
+        "events_asof": f"""
+            WITH v AS ({_DUCK_ASOF_V}),
+            p AS (SELECT user_id % 50 AS key, event_id, ts FROM events)
+            SELECT p.key, p.event_id, p.ts, v.state
+            FROM p ASOF LEFT JOIN v ON p.key = v.key AND p.ts >= v.ts
+        """,
+        "scd2_interval_join": f"""
+            WITH versions AS ({_DUCK_ASOF_V}),
+            chg AS (
+              SELECT key, ts, state FROM (
+                SELECT key, ts, state,
+                       lag(state) OVER (PARTITION BY key ORDER BY ts) AS prev
+                FROM versions
+              ) WHERE prev IS NULL OR prev <> state
+            ),
+            h AS (
+              SELECT key, state, ts AS valid_from,
+                     lead(ts) OVER (PARTITION BY key ORDER BY ts) AS valid_to
+              FROM chg
+            ),
+            p AS (SELECT user_id % 50 AS key, ts FROM events)
+            SELECT h.key, h.state, h.valid_from, count(*) AS n_events
+            FROM p JOIN h ON p.key = h.key AND p.ts >= h.valid_from
+                          AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+            GROUP BY h.key, h.state, h.valid_from
         """,
         "events_sessionize": """
             WITH e AS (
