@@ -916,6 +916,54 @@ def _pii_oracle_sql() -> str:
     """
 
 
+#: the event types present in the generator (TESTDATA.md events table)
+_EVENT_TYPES = ("click", "view", "purchase", "error", "signup")
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide reshaping): one row per day, one count column
+    per event type. Spark .pivot with an explicit value list (no extra
+    distinct-scan job); the oracle is the equivalent conditional
+    aggregation — the form PIVOT desugars to."""
+    events = _load(spark, sf_dir, "events")["events"]
+    return (
+        events.withColumn("day", F.to_date("ts"))
+        .groupBy("day")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .select(
+            "day",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+        )
+    )
+
+
+def q_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile ranking: customers bucketed into spend quartiles over
+    exact integer cents (deterministic total order via custkey
+    tie-break).
+
+    Scale note: the global ntile window is a single-task sort — fine
+    here because it ranks the AGGREGATED per-customer table (dimension
+    cardinality, not event volume); for a ranking over raw-event-scale
+    rows use the two-phase pre-rank pattern (operators/politeness.py)
+    or range-partitioned sort + partition-offset prefix sums."""
+    from pyspark.sql import Window
+
+    t = _load(spark, sf_dir, "orders", "customer")
+    spend = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("spend_cents"))
+    )
+    w = Window.orderBy(F.desc("spend_cents"), F.asc("o_custkey"))
+    return spend.select(
+        F.col("o_custkey").alias("custkey"),
+        "spend_cents",
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical subtotals (hypertable-rollup analog): ROLLUP over
     (event_type, day) with grouping_id disambiguating subtotal rows;
@@ -1473,6 +1521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "scd2_interval_join": q_scd2_interval_join,
         "events_sessionize": q_events_sessionize,
+        "events_pivot": q_events_pivot,
+        "customer_quartiles": q_customer_quartiles,
         "events_rollup": q_events_rollup,
         "regional_revenue": q_regional_revenue,
         "linkgraph_degrees": q_linkgraph_degrees,
@@ -2440,6 +2490,21 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS session_start, max(ts) AS session_end,
                    CAST(max(tse) - min(tse) AS BIGINT) AS duration_s
             FROM s GROUP BY user_id, session_no
+        """,
+        "events_pivot": f"""
+            SELECT CAST(ts AS DATE) AS day,
+                   {', '.join(f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in _EVENT_TYPES)}
+            FROM events GROUP BY CAST(ts AS DATE)
+        """,
+        "customer_quartiles": """
+            WITH spend AS (
+              SELECT o_custkey AS custkey,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents
+              FROM orders GROUP BY o_custkey
+            )
+            SELECT custkey, spend_cents,
+                   CAST(ntile(4) OVER (ORDER BY spend_cents DESC, custkey ASC) AS INT) AS quartile
+            FROM spend
         """,
         "events_rollup": """
             SELECT event_type, CAST(ts AS DATE) AS day,
