@@ -964,6 +964,25 @@ def q_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-path extraction over the real events.props column
+    (get_json_object → typed int), aggregated per event type: JSON
+    parsing stays JVM-side, no UDF."""
+    events = _load(spark, sf_dir, "events")["events"]
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.count(F.when(F.col("k").isNull(), 1)).alias("k_null"),
+        )
+    )
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical subtotals (hypertable-rollup analog): ROLLUP over
     (event_type, day) with grouping_id disambiguating subtotal rows;
@@ -1521,6 +1540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "scd2_interval_join": q_scd2_interval_join,
         "events_sessionize": q_events_sessionize,
+        "events_props": q_events_props,
         "events_pivot": q_events_pivot,
         "customer_quartiles": q_customer_quartiles,
         "events_rollup": q_events_rollup,
@@ -2490,6 +2510,16 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS session_start, max(ts) AS session_end,
                    CAST(max(tse) - min(tse) AS BIGINT) AS duration_s
             FROM s GROUP BY user_id, session_no
+        """,
+        "events_props": """
+            WITH e AS (
+              SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k FROM events
+            )
+            SELECT event_type, count(*) AS n_events,
+                   CAST(sum(k) AS BIGINT) AS k_sum,
+                   min(k) AS k_min, max(k) AS k_max,
+                   CAST(count(CASE WHEN k IS NULL THEN 1 END) AS BIGINT) AS k_null
+            FROM e GROUP BY event_type
         """,
         "events_pivot": f"""
             SELECT CAST(ts AS DATE) AS day,
