@@ -1248,6 +1248,15 @@ FROM documents
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag training docs sharing ≥3 distinct
+    3-gram shingles with the benchmark slice (doc_id % 20 == 0)."""
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return DD.contamination_flags(train, bench, k=3, min_shared=3)
+
+
 def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style duplicated-line removal: corpus-wide line counts →
     drop boilerplate lines (count > 4) → reassemble docs in order."""
@@ -1535,6 +1544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_lines": q_dedup_lines,
+        "decontaminate": q_decontaminate,
         "corpus_stats": q_corpus_stats,
         "sources_scd2": q_sources_scd2,
         "events_asof": q_events_asof,
@@ -2780,6 +2790,25 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type, date_trunc('hour', ts)
         """,
         "dedup_simhash": _simhash_oracle_sql(max_id=300, max_hamming=10),
+        "decontaminate": f"""
+            WITH t AS (
+              SELECT doc_id, {sw_filter} AS toks FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 3
+                          THEN list_transform(range(1, len(toks) - 1),
+                               i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+                          WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                          ELSE CAST([] AS VARCHAR[]) END AS grams
+              FROM t
+            ),
+            tr AS (SELECT doc_id, unnest(list_distinct(grams)) AS shingle FROM g WHERE doc_id % 20 <> 0),
+            bm AS (SELECT DISTINCT unnest(list_distinct(grams)) AS shingle FROM g WHERE doc_id % 20 = 0)
+            SELECT tr.doc_id, CAST(count(*) AS INT) AS n_shared
+            FROM tr JOIN bm USING (shingle)
+            GROUP BY tr.doc_id
+            HAVING count(*) >= 3
+        """,
         "dedup_lines": f"""
             WITH input AS ({_DUCK_MULTILINE}),
             l0 AS (

@@ -502,3 +502,37 @@ def dedup_lines(
             F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
         )
     )
+
+
+# -------------------------------------------- benchmark decontamination
+
+
+def contamination_flags(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Flag training documents that share ≥ ``min_shared`` distinct
+    k-token shingles with ANY benchmark document (eval-set
+    decontamination — the cross-corpus sibling of n-gram dedup).
+
+    Plan: distinct (doc, shingle) on the train side joins the DISTINCT
+    benchmark shingle set on the shingle key — never doc×doc pairs; the
+    benchmark shingle set is usually small enough to broadcast, and the
+    groupBy is a partial-agg count. Output: (doc_id, n_shared) for
+    flagged docs only.
+    """
+    t_sh = doc_shingles(train, text_col, id_col, k)
+    b_sh = benchmark.select(
+        F.explode(TX.shingles(text_col, k)).alias("shingle")
+    ).distinct()
+    return (
+        t_sh.join(b_sh, "shingle")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select(F.col("id").alias(id_col), F.col("n_shared").cast("int").alias("n_shared"))
+    )
