@@ -1417,6 +1417,22 @@ def q_search_fts_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-result snippet extraction: a ±40-char context window
+    around the FIRST occurrence of the query term, for matching docs —
+    the SERP-preview feature over the search star. Pure substring
+    arithmetic (position + substr), identical in DuckDB."""
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    term = "table"
+    pos = F.instr(F.lower(F.col("text")), term)  # 1-based, 0 = no match
+    start = F.greatest(pos - 40, F.lit(1))
+    snippet = F.substring(F.col("text"), start, F.lit(40 + len(term) + 40))
+    return (
+        docs.filter(pos > 0)
+        .select("doc_id", pos.alias("match_pos"), snippet.alias("snippet"))
+    )
+
+
 def q_email_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Email WebCrawlQueue (email.go:156-223): policy-approved mailbox
     links union the link-discovered frontier, tagged by discovered_via,
@@ -1582,6 +1598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_fuzzing": q_url_fuzzing,
         "normalizers": q_normalizers,
         "search_fts_rank": q_search_fts_rank,
+        "search_snippets": q_search_snippets,
         "email_frontier": q_email_frontier,
         "robots_parse": q_robots_parse,
         "pricing_summary": q_pricing_summary,
@@ -2696,6 +2713,14 @@ def oracle_sql() -> dict[str, str]:
                                    '%Y-%m-%dT%H:%M:%SZ')
                         ELSE trim(v) END AS dt_norm
             FROM vals
+        """,
+        "search_snippets": """
+            SELECT doc_id,
+                   CAST(position('table' IN lower(text)) AS INT) AS match_pos,
+                   substr(text, greatest(position('table' IN lower(text)) - 40, 1),
+                          40 + 5 + 40) AS snippet
+            FROM documents
+            WHERE position('table' IN lower(text)) > 0
         """,
         "search_fts_rank": f"""
             WITH scored AS (
