@@ -542,6 +542,92 @@ def q_search_screenshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _netinfo_star(spark: SparkSession, sf_dir: str, id_name: str):
+    """Shared synthesis for the NetInfo / HTTPInfo search stars
+    (sqlNetInfoBody / sqlHTTPInfoBody, sql_templates.go:247-287): the
+    entity carries (id, created_at, last_updated_at, details) and
+    reaches SearchIndex through a dedicated bridge; keyword + source
+    chains are LEFT joins; there is NO page-link guard."""
+    _load(spark, sf_dir, "events", "customer")
+    ent = spark.sql(
+        f"""
+        SELECT sha2(CAST(event_id AS STRING), 256) AS {id_name},
+               ts AS created_at, ts AS last_updated_at, props AS details
+        FROM events WHERE event_id < 4000
+        """
+    )
+    bridge = spark.sql(
+        f"""
+        SELECT sha2(CAST(event_id AS STRING), 256) AS {id_name},
+               sha2(concat('idx', CAST(event_id AS STRING)), 256) AS index_id
+        FROM events WHERE event_id < 4000
+        """
+    )
+    si = spark.sql(
+        """
+        SELECT sha2(concat('idx', CAST(event_id AS STRING)), 256) AS index_id,
+               event_type AS title,
+               concat('user ', CAST(user_id AS STRING)) AS summary
+        FROM events WHERE event_id < 4000
+        """
+    )
+    ki = spark.sql(
+        "SELECT sha2(concat('idx', CAST(event_id AS STRING)), 256) AS index_id,"
+        " event_type AS keyword FROM events WHERE event_id < 4000"
+    )
+    ssi = spark.sql(
+        "SELECT CAST(user_id % 300 AS BIGINT) AS source_id,"
+        " sha2(concat('idx', CAST(event_id AS STRING)), 256) AS index_id"
+        " FROM events WHERE event_id < 4000"
+    )
+    srcs = spark.sql(
+        "SELECT c_custkey AS source_id,"
+        " concat('uid-', CAST(c_custkey AS STRING)) AS source_uid FROM customer"
+    )
+    return ent, bridge, si, ki, ssi, srcs
+
+
+def q_search_netinfo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NetInfo search template (sqlNetInfoBody, sql_templates.go:247-266):
+    NetInfo ⋈ NetInfoIndex ⋈ SearchIndex, LEFT keyword + source chains,
+    no link guard; 'error' is a bare term so it ORs into the
+    keyword-equality group."""
+    from thecrowler_spark.operators.search import search_entity_star
+
+    ni, nii, si, ki, ssi, srcs = _netinfo_star(spark, sf_dir, "netinfo_id")
+    return search_entity_star(
+        ni,
+        nii,
+        si,
+        "title:click | error",
+        entity_cols=("created_at", "last_updated_at", "details"),
+        link_col=None,
+        keyword_index=ki,
+        source_search_index=ssi,
+        sources=srcs,
+    )
+
+
+def q_search_httpinfo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTPInfo search template (sqlHTTPInfoBody, sql_templates.go:268-287):
+    same star through HTTPInfoIndex; the '=' field separator form
+    (tokenizer.go:82-86) and a different term set than the NetInfo run."""
+    from thecrowler_spark.operators.search import search_entity_star
+
+    hi, hii, si, ki, ssi, srcs = _netinfo_star(spark, sf_dir, "httpinfo_id")
+    return search_entity_star(
+        hi,
+        hii,
+        si,
+        "title=view | purchase",
+        entity_cols=("created_at", "last_updated_at", "details"),
+        link_col=None,
+        keyword_index=ki,
+        source_search_index=ssi,
+        sources=srcs,
+    )
+
+
 def q_correlation_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4: UNION-distinct of probes joined back to a dimension."""
     _load(spark, sf_dir, "events", "customer")
@@ -721,10 +807,25 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs."""
-    emb = _load(spark, sf_dir, "embeddings")["embeddings"].filter(F.col("vec_id") < 300)
+    """Embedding-cosine near-dup pairs.
+
+    The natural fixture has no pairs above 0.8 at sf0.01/sf0.1 (random
+    vectors), which would make the check vacuous — so we plant 8
+    deterministic near-duplicates: vec_id<8 copied to vec_id+1000 with
+    the LAST coordinate nudged by +0.05 (cosine ≈ 0.99x, far from both
+    the 0.8 threshold and 1.0, so no FP boundary risk). The oracle
+    mirrors the same construction."""
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
     emb = emb.withColumn("embedding", F.transform(F.col("embedding"), lambda x: x.cast("double")))
-    return DD.embedding_near_dups(emb, threshold=0.8)
+    base = emb.filter(F.col("vec_id") < 300).select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.concat(
+            F.slice(F.col("embedding"), 1, 63),
+            F.array(F.element_at(F.col("embedding"), 64) + F.lit(0.05)),
+        ).alias("embedding"),
+    )
+    return DD.embedding_near_dups(base.unionByName(planted), threshold=0.8)
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -943,12 +1044,12 @@ def q_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer cents (deterministic total order via custkey
     tie-break).
 
-    Scale note: the global ntile window is a single-task sort — fine
-    here because it ranks the AGGREGATED per-customer table (dimension
-    cardinality, not event volume); for a ranking over raw-event-scale
-    rows use the two-phase pre-rank pattern (operators/politeness.py)
-    or range-partitioned sort + partition-offset prefix sums."""
-    from pyspark.sql import Window
+    Scale path (r2 verdict item 9): ``ntile_distributed`` — range-
+    partitioned sort + per-partition row_number + partition-offset
+    prefix sums (operators/ranking.py), bit-identical to the native
+    global window without its single-task sort. The oracle keeps
+    DuckDB's native ntile."""
+    from thecrowler_spark.operators.ranking import ntile_distributed
 
     t = _load(spark, sf_dir, "orders", "customer")
     spend = (
@@ -956,12 +1057,12 @@ def q_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("spend_cents"))
     )
-    w = Window.orderBy(F.desc("spend_cents"), F.asc("o_custkey"))
-    return spend.select(
-        F.col("o_custkey").alias("custkey"),
-        "spend_cents",
-        F.ntile(4).over(w).alias("quartile"),
-    )
+    return ntile_distributed(
+        spend,
+        4,
+        [F.desc("spend_cents"), F.asc("o_custkey")],
+        out_col="quartile",
+    ).select(F.col("o_custkey").alias("custkey"), "spend_cents", "quartile")
 
 
 def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1548,6 +1649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_dorking": q_search_dorking,
         "search_webobjects": q_search_webobjects,
         "search_screenshots": q_search_screenshots,
+        "search_netinfo": q_search_netinfo,
+        "search_httpinfo": q_search_httpinfo,
         "correlation_union": q_correlation_union,
         "correlated_sites": q_correlated_sites,
         "attr_selfjoin": q_attr_selfjoin,
@@ -1618,6 +1721,54 @@ _MARKER = (
     "len(list_filter(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''), "
     "x -> x IN ({m})))"
 )
+
+
+def _netinfo_oracle_sql(where: str) -> str:
+    """DuckDB mirror of the NetInfo/HTTPInfo search star (one body, two
+    compiled predicates — matching `_netinfo_star` + `search_entity_star`
+    with link_col=None)."""
+    return f"""
+        WITH ent AS (
+          SELECT sha256(CAST(event_id AS VARCHAR)) AS ent_id,
+                 ts AS created_at, ts AS last_updated_at, props AS details
+          FROM events WHERE event_id < 4000
+        ),
+        bridge AS (
+          SELECT sha256(CAST(event_id AS VARCHAR)) AS ent_id,
+                 sha256(concat('idx', CAST(event_id AS VARCHAR))) AS index_id
+          FROM events WHERE event_id < 4000
+        ),
+        si AS (
+          SELECT sha256(concat('idx', CAST(event_id AS VARCHAR))) AS index_id,
+                 event_type AS title,
+                 concat('user ', CAST(user_id AS VARCHAR)) AS summary
+          FROM events WHERE event_id < 4000
+        ),
+        ki AS (
+          SELECT sha256(concat('idx', CAST(event_id AS VARCHAR))) AS index_id,
+                 event_type AS keyword
+          FROM events WHERE event_id < 4000
+        ),
+        ssi AS (
+          SELECT CAST(user_id % 300 AS BIGINT) AS source_id,
+                 sha256(concat('idx', CAST(event_id AS VARCHAR))) AS index_id
+          FROM events WHERE event_id < 4000
+        ),
+        srcs AS (
+          SELECT c_custkey AS source_id,
+                 concat('uid-', CAST(c_custkey AS VARCHAR)) AS source_uid
+          FROM customer
+        )
+        SELECT DISTINCT coalesce(s.source_uid, '') AS source_uid,
+                        e.created_at, e.last_updated_at, e.details
+        FROM ent e
+        JOIN bridge b ON e.ent_id = b.ent_id
+        JOIN si ON b.index_id = si.index_id
+        LEFT JOIN ki ON si.index_id = ki.index_id
+        LEFT JOIN ssi ON si.index_id = ssi.index_id
+        LEFT JOIN srcs s ON ssi.source_id = s.source_id
+        WHERE {where}
+    """
 
 
 def _content_type_oracle_sql() -> str:
@@ -2022,8 +2173,8 @@ def oracle_sql() -> dict[str, str]:
         "crawl_counters": """
             SELECT user_id % 100 AS run_id,
                    count(*) AS total_events,
-                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS total_clicks,
-                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS total_errors,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS total_clicks,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS total_errors,
                    round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 4) AS total_value
             FROM events GROUP BY user_id % 100
         """,
@@ -2144,6 +2295,16 @@ def oracle_sql() -> dict[str, str]:
                    OR (lower(si.title) LIKE '%thumbnail%' OR lower(si.summary) LIKE '%thumbnail%')
                    OR ki.keyword = 'thumbnail')
         """,
+        "search_netinfo": _netinfo_oracle_sql(
+            "(lower(si.title) LIKE '%click%'"
+            " OR (lower(si.title) LIKE '%error%' OR lower(si.summary) LIKE '%error%')"
+            " OR ki.keyword = 'error')"
+        ),
+        "search_httpinfo": _netinfo_oracle_sql(
+            "(lower(si.title) LIKE '%view%'"
+            " OR (lower(si.title) LIKE '%purchase%' OR lower(si.summary) LIKE '%purchase%')"
+            " OR ki.keyword = 'purchase')"
+        ),
         "correlation_union": """
             WITH probes AS (
               SELECT user_id FROM events WHERE event_type = 'purchase'
@@ -2341,9 +2502,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, min(comp) AS component FROM walk GROUP BY id
         """,
         "embedding_neardup": """
-            WITH e AS (
+            WITH base AS (
               SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 300
-            )
+            ),
+            planted AS (
+              SELECT vec_id + 1000 AS id, v[1:63] || [v[64] + 0.05] AS v FROM (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 8
+              )
+            ),
+            e AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
             SELECT a.id AS id_a, b.id AS id_b,
                    round(list_cosine_similarity(a.v, b.v), 6) AS cosine
             FROM e a JOIN e b ON a.id < b.id

@@ -17,6 +17,40 @@ import duckdb
 import __spark_entry__ as E
 
 
+def _type_class(t: str) -> str:
+    """Collapse an engine type name to the class the driver's value hash is
+    sensitive to.  DuckDB HUGEINT (int128, e.g. from an uncast sum() over
+    integers) gets its OWN class: Python fetchall() collapses it to int so
+    value comparison can't see it, but the driver hashes typed/serialized
+    values and diverges (the r2 crawl_counters failure)."""
+    t = t.lower().split("(")[0].strip()
+    if t in ("tinyint", "smallint", "int", "integer", "bigint", "int8",
+             "int16", "int32", "int64", "utinyint", "usmallint", "uinteger",
+             "ubigint", "long", "short", "byte"):
+        return "int"
+    if t in ("hugeint", "int128", "uhugeint"):
+        return "hugeint"
+    if t in ("float", "double", "real"):
+        return "float"
+    if t in ("varchar", "string", "text", "char"):
+        return "string"
+    if t in ("boolean", "bool"):
+        return "bool"
+    if t.startswith("timestamp"):  # driver hash proved ntz/ltz-insensitive (r2)
+        return "timestamp"
+    return t
+
+
+def type_mismatches(qdf, con, sql):
+    """Column-name → (spark_class, duck_class) for every class divergence."""
+    spark_t = {f.name.lower(): _type_class(f.dataType.simpleString())
+               for f in qdf.schema.fields}
+    duck_t = {r[0].lower(): _type_class(r[1])
+              for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+    return {c: (spark_t[c], duck_t[c])
+            for c in spark_t if c in duck_t and spark_t[c] != duck_t[c]}
+
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -56,8 +90,12 @@ def main() -> None:
             res = con.execute(oracles[name])
             duck_cols = [d[0].lower() for d in res.description]
             duck_rows = res.fetchall()
+            tmis = type_mismatches(qdf, con, oracles[name])
             if sorted(spark_cols) != sorted(duck_cols):
                 print(f"{name}: MISMATCH cols {spark_cols} vs {duck_cols}")
+                bad += 1
+            elif tmis:
+                print(f"{name}: MISMATCH types {tmis}")
                 bad += 1
             elif len(spark_rows) != len(duck_rows):
                 print(f"{name}: MISMATCH rows {len(spark_rows)} vs {len(duck_rows)}")

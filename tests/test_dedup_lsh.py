@@ -12,16 +12,28 @@ SF_DIR = "/root/testdata/sf0.001"
 def test_lsh_neardup_subset_and_recall(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").filter(F.col("vec_id") < 200)
     emb = emb.withColumn("embedding", F.transform(F.col("embedding"), lambda x: x.cast("double")))
+    # the natural fixture is random vectors with no pairs above 0.8 —
+    # plant near-duplicates (copy with last coordinate nudged) so the
+    # recall assertion is exercised, never vacuous
+    planted = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.concat(
+            F.slice(F.col("embedding"), 1, 63),
+            F.array(F.element_at(F.col("embedding"), 64) + F.lit(0.05)),
+        ).alias("embedding"),
+        "label",
+    )
+    emb = emb.unionByName(planted)
     exact = {(r["id_a"], r["id_b"]) for r in embedding_near_dups(emb, threshold=0.8).collect()}
+    assert len(exact) >= 10, "planted near-dups must make the exact pair set non-empty"
     approx = {
         (r["id_a"], r["id_b"])
         for r in embedding_near_dups_lsh(emb, threshold=0.8, bits=6, tables=8).collect()
     }
     # precision is exact: every reported pair passes the true threshold
     assert approx <= exact
-    if exact:
-        recall = len(approx & exact) / len(exact)
-        assert recall >= 0.7, f"recall {recall} over {len(exact)} true pairs"
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.7, f"recall {recall} over {len(exact)} true pairs"
 
 
 def test_ngram_hot_shingle_cap(spark):

@@ -469,17 +469,24 @@ def dedup_lines(
     duplicated-line filter — cookie banners, copyright footers,
     share-bar text).
 
-    Plan: explode → global line counts (shuffle 1, partial agg) →
-    equi-join lines to counts (shuffle on line; the build side has
-    UNIQUE keys so hot boilerplate lines fan out without row
-    explosion; AQE skew-split applies) → filter → groupBy doc and
-    re-join surviving lines in original position order (shuffle 2).
-    Output: (doc_id, text_dedup, n_lines, n_kept) — docs whose every
-    line was boilerplate come back with text_dedup = ''.
+    Plan: explode → global line counts keyed on ``xxhash64(line)``
+    (shuffle 1, partial agg — the group/shuffle key is a fixed 8-byte
+    hash, so a 2 KB boilerplate footer never travels as a key and the
+    count side carries NO strings at all) → equi-join lines to counts
+    on the hash (the build side has UNIQUE 8-byte keys so hot
+    boilerplate lines fan out without row explosion; AQE skew-split
+    applies; the line string rides only the probe side, once, for
+    reassembly) → filter → groupBy doc and re-join surviving lines in
+    original position order (shuffle 2). Semantics identical to
+    grouping by the raw string modulo xxhash64 collisions (~2^-64 per
+    pair). Output: (doc_id, text_dedup, n_lines, n_kept) — docs whose
+    every line was boilerplate come back with text_dedup = ''.
     """
-    lines = _doc_lines(docs, text_col, id_col)
-    counts = _count_lines(lines)
-    kept = lines.join(counts, "line").filter(F.col("n_occurrences") <= max_count)
+    lines = _doc_lines(docs, text_col, id_col).withColumn(
+        "line_hash", F.xxhash64("line")
+    )
+    counts = lines.groupBy("line_hash").agg(F.count("*").alias("n_occurrences"))
+    kept = lines.join(counts, "line_hash").filter(F.col("n_occurrences") <= max_count)
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(

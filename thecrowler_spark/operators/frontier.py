@@ -293,42 +293,22 @@ def _robots_block(level: DataFrame, robots: DataFrame | None) -> DataFrame:
     read) — this is our enforcement semantics: per (host, path) pick the
     longest matching prefix rule; tie → allow; no rule → allow.
 
-    Shape (the :func:`..operators.robots.robots_verdict` contract):
-    rules aggregate to ONE array per host (tiny), broadcast equi-join on
-    host, then a vectorized ``array_max`` over (plen, is_allow) structs
-    picks the winning rule per URL — zero windows, zero extra shuffles
-    (the r1 form ranked matches with a window partitioned per frontier
-    ROW, a full shuffle of the level for nothing).
+    Delegates to :func:`..operators.robots.robots_verdict` (the single
+    implementation of the rule-aggregation + ``array_max`` longest-
+    prefix-wins reduction: rules aggregate to ONE array per host (tiny),
+    broadcast equi-join on host, vectorized array reduction — zero
+    windows, zero extra shuffles) and flips the sign:
+    ``robots_blocked = NOT robots_allowed``.
     """
     if robots is None:
         return level.withColumn("robots_blocked", F.lit(False))
-    path = F.coalesce(
-        F.nullif(F.regexp_replace(F.col("url_link"), r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/]*", ""), F.lit("")),
-        F.lit("/"),
-    )
-    rules = F.broadcast(
-        robots.filter(F.col("rule_type").isin("allow", "disallow"))
-        .groupBy("host")
-        .agg(
-            F.collect_list(
-                F.struct(
-                    F.length("path_prefix").alias("plen"),
-                    (F.col("rule_type") == "allow").cast("int").alias("is_allow"),
-                    F.col("path_prefix").alias("prefix"),
-                )
-            ).alias("_rules")
-        )
-        .withColumnRenamed("host", "_rhost")
-    )
-    lv = level.withColumn("_host", U.url_hostname("url_link")).withColumn("_path", path)
-    joined = lv.join(rules, lv["_host"] == rules["_rhost"], "left")
-    matched = F.filter(F.col("_rules"), lambda r: F.col("_path").startswith(r["prefix"]))
-    best = F.array_max(matched)  # struct compare: plen, then is_allow (allow wins tie)
-    blocked = F.when(
-        F.col("_rules").isNull() | (F.size(matched) == 0), F.lit(False)
-    ).otherwise(best["is_allow"] == 0)
-    return joined.withColumn("robots_blocked", blocked).drop(
-        "_rhost", "_rules", "_host", "_path"
+    from .robots import robots_verdict
+
+    lv = level.withColumn("_host", U.url_hostname("url_link"))
+    return (
+        robots_verdict(lv, robots, url_col="url_link", host_col="_host")
+        .withColumn("robots_blocked", ~F.col("robots_allowed"))
+        .drop("_host", "robots_allowed")
     )
 
 
@@ -394,7 +374,21 @@ class CrawlEngine:
 
     # ---------------------------------------------------------- rounds
 
-    def run(self, seeds: DataFrame, run_id: str = "run0", resume: bool = False) -> CrawlResult:
+    def run(
+        self,
+        seeds: DataFrame,
+        run_id: str = "run0",
+        resume: bool = False,
+        initial_visited: DataFrame | None = None,
+    ) -> CrawlResult:
+        """``initial_visited`` chains a long-lived URL-seen set across
+        runs (periodic re-crawl, SURVEY §2.9): URLs in it are NOT
+        refetched when rediscovered as links, unless first released via
+        :meth:`release_seen`. Only this run's NEW keys are committed to
+        this run's checkpoints and inserted into the incremental cuckoo
+        filter — cross-run storage belongs to the prior run's
+        checkpoints (pass ``initial_visited`` again when resuming a
+        chained run)."""
         cfg = self.cfg
         spark = self.spark
         lineage: list[dict[str, Any]] = []
@@ -484,9 +478,19 @@ class CrawlEngine:
             F.lit(0).cast("long").alias("fetch_seq"),
             F.col("source_url").alias("url"),
         )
-        visited = seed_ok.select(
+        seed_vis = seed_ok.select(
             "source_id", U.normalize_url_seen("source_url").alias("norm_url")
         )
+        prior_vis = (
+            initial_visited.select("source_id", "norm_url")
+            if initial_visited is not None
+            else None
+        )
+        if prior_vis is not None:
+            # this run's depth-0 DELTA: seed keys not already seen
+            visited = seed_vis.join(prior_vis, ["source_id", "norm_url"], "left_anti")
+        else:
+            visited = seed_vis
         # counters live as a small DataFrame for the whole crawl — never
         # as a driver dict (a 10^5-10^6-source claim embedded in plan
         # literals or collect()ed per round is a driver OOM; SURVEY §4)
@@ -507,7 +511,30 @@ class CrawlEngine:
 
         # depth-0 state is the base delta of the append-only page/visited logs
         pages = self._ckpt_delta(pages.limit(0), pages, run_id, 0, "pages")
+        if self._seen_mode == "cuckoo" and self._cuckoo is not None:
+            # long-lived filter reused across runs: the depth-0 delta
+            # (newly-claimed sources' seed keys) must enter the filter,
+            # or a later link back to a seed URL would probe "definitely
+            # unseen" and skip the exact check (false negative)
+            from .cuckoo import insert_cuckoo
+
+            seed_keys = visited.select(
+                F.concat_ws(
+                    "\x00", F.col("source_id").cast("string"), F.col("norm_url")
+                ).alias("_skey")
+            )
+            self._cuckoo = self._ckpt(
+                insert_cuckoo(
+                    self._cuckoo, seed_keys, key_col="_skey",
+                    n_buckets=self.cfg.salt_buckets,
+                ),
+                run_id, 0, "cuckoo",
+            )
         visited = self._ckpt_delta(visited.limit(0), visited, run_id, 0, "visited")
+        if prior_vis is not None:
+            # live state = this run's committed deltas ∪ the caller's
+            # prior-run state (stored by ITS run's checkpoints)
+            visited = visited.unionByName(prior_vis)
         frontier = self._ckpt(frontier, run_id, 0, "frontier")
         counters = self._ckpt(counters, run_id, 0, "counters")
         # the round's ONLY driver-side materialization: one totals row
@@ -523,6 +550,42 @@ class CrawlEngine:
         )
         self._write_manifest(run_id, 0, 0)
         return self._run_rounds(run_id, pages, visited, frontier, counters, 0, lineage)
+
+    def release_seen(self, visited: DataFrame, eligible: DataFrame) -> DataFrame:
+        """Re-crawl eligibility: drop interval-eligible sources' URLs
+        from the long-lived seen state so the next :meth:`run` (with the
+        returned frame as ``initial_visited``) fetches them again.
+
+        Two coupled O(released-delta) effects — never an O(seen) rebuild:
+
+        - the exact visited table loses those sources' rows (anti-join —
+          this is what governs result correctness);
+        - in ``seen_filter="cuckoo"`` mode the incremental filter
+          DELETES those keys (:func:`..operators.cuckoo.delete_cuckoo`
+          — the deletion a bloom filter cannot do without rescanning
+          all 10^10 surviving keys).
+
+        ``eligible`` is any frame with a ``source_id`` column — e.g. the
+        output of :func:`claim_sources` with ``regular_crawling`` set.
+        """
+        el = F.broadcast(eligible.select("source_id").dropDuplicates())
+        if self._seen_mode == "cuckoo" and self._cuckoo is not None:
+            from .cuckoo import delete_cuckoo
+
+            released_keys = visited.join(el, "source_id").select(
+                F.concat_ws(
+                    "\x00", F.col("source_id").cast("string"), F.col("norm_url")
+                ).alias("_skey")
+            )
+            new_ck = delete_cuckoo(
+                self._cuckoo, released_keys, key_col="_skey",
+                n_buckets=self.cfg.salt_buckets,
+            ).persist()
+            new_ck.count()  # materialize before releasing the old blobs
+            old = self._cuckoo
+            self._cuckoo = new_ck
+            old.unpersist()
+        return visited.join(el, "source_id", "left_anti")
 
     def _run_rounds(
         self,

@@ -221,7 +221,7 @@ def search_entity_star(
     search_index: DataFrame,
     query: str,
     entity_cols: tuple[str, ...],
-    link_col: str,
+    link_col: str | None,
     keyword_index: DataFrame | None = None,
     source_search_index: DataFrame | None = None,
     sources: DataFrame | None = None,
@@ -236,7 +236,9 @@ def search_entity_star(
     dorking predicate over the SearchIndex text fields OR exact keyword
     equality for the query's bare terms — buildCombinedQuery's appended
     keyword group); DISTINCT projection with ``COALESCE(source_uid,
-    '')``.
+    '')``. ``link_col=None`` drops the guard — the NetInfo / HTTPInfo
+    bodies (sql_templates.go:247-287) project no page link and filter
+    on the compiled predicate alone.
 
     Plan shape: every join is an equi-join (bridge/index_id/keyword/
     source_id); sources is a broadcast dimension; DISTINCT is one
@@ -270,5 +272,9 @@ def search_entity_star(
         proj.append(F.coalesce(F.col("source_uid"), F.lit("")).alias("source_uid"))
     proj.extend(F.col(c) for c in entity_cols)
 
-    guard = F.col(link_col).isNotNull() & (F.col(link_col) != "")
+    guard = (
+        F.col(link_col).isNotNull() & (F.col(link_col) != "")
+        if link_col is not None
+        else F.lit(True)
+    )
     return df.filter(guard & (pred | kw_pred)).select(*proj).distinct()

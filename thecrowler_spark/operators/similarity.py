@@ -51,22 +51,38 @@ def cosine_topk(
     )
 
 
-def hyperplane_signature(vec, dim: int, bits: int = 8, table: int = 0):
+def md5_pm1(t: int, j: int, d) -> F.Column:
+    """±1 hyperplane component from md5 — the cross-engine-mirrorable
+    alternative to xxhash64 (DuckDB shares md5 but not xxhash64; the
+    oracle derives the identical grid via
+    ``('0x'||substr(md5(t||'_'||j||'_'||d),1,8))::BIGINT % 2 * 2 - 1``)."""
+    key = F.concat_ws("_", F.lit(str(t)), F.lit(str(j)), d.cast("string"))
+    return (
+        (F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % 2) * 2 - 1
+    ).cast("double")
+
+
+def hyperplane_signature(vec, dim: int, bits: int = 8, table: int = 0, pm1=None):
     """Sign-bit LSH signature: bit j = sign(dot(v, h_{table,j})) with
     h[d] = ±1 derived from xxhash64(table, j, d) — deterministic,
-    seed-free, computable as one JVM expression."""
+    seed-free, computable as one JVM expression. ``pm1(t, j, d_col)``
+    overrides the component hash (e.g. :func:`md5_pm1` for
+    oracle-mirrorable grids)."""
+    if pm1 is None:
+        def pm1(t, j, d):  # noqa: ANN001 - column lambda
+            return (F.pmod(F.xxhash64(F.lit(t), F.lit(j), d), F.lit(2)) * 2 - 1).cast("double")
     sig = F.lit(0)
     for j in range(bits):
         comps = F.transform(
             F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda d: (F.pmod(F.xxhash64(F.lit(table), F.lit(j), d), F.lit(2)) * 2 - 1).cast("double"),
+            lambda d, _j=j: pm1(table, _j, d),
         )
         dot = F.aggregate(F.zip_with(vec, comps, lambda x, h: x * h), F.lit(0.0), lambda a, x: a + x)
         sig = sig + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
     return sig
 
 
-def lsh_buckets(vec, dim: int, bits: int, tables: int):
+def lsh_buckets(vec, dim: int, bits: int, tables: int, pm1=None):
     """array<struct<table,bucket>> — one bucket per hash table.
     Multi-table LSH trades candidate volume for recall:
     recall ≈ 1 − (1 − p^bits)^tables for match prob p per bit."""
@@ -74,7 +90,7 @@ def lsh_buckets(vec, dim: int, bits: int, tables: int):
         *[
             F.struct(
                 F.lit(t).alias("table"),
-                hyperplane_signature(vec, dim, bits, table=t).alias("bucket"),
+                hyperplane_signature(vec, dim, bits, table=t, pm1=pm1).alias("bucket"),
             )
             for t in range(tables)
         ]
@@ -91,6 +107,7 @@ def lsh_bucketed_ann(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    pm1=None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine re-rank over the union of the
     query's buckets across ``tables`` hash tables. Each query scans
@@ -100,13 +117,13 @@ def lsh_bucketed_ann(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).alias("cv"),
         _norm(F.col(vec_col)).alias("cn"),
-        F.explode(lsh_buckets(F.col(vec_col), dim, bits, tables)).alias("b"),
+        F.explode(lsh_buckets(F.col(vec_col), dim, bits, tables, pm1=pm1)).alias("b"),
     ).select("corpus_id", "cv", "cn", F.col("b.table").alias("table"), F.col("b.bucket").alias("bucket"))
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         _norm(F.col(vec_col)).alias("qn"),
-        F.explode(lsh_buckets(F.col(vec_col), dim, bits, tables)).alias("b"),
+        F.explode(lsh_buckets(F.col(vec_col), dim, bits, tables, pm1=pm1)).alias("b"),
     ).select("query_id", "qv", "qn", F.col("b.table").alias("table"), F.col("b.bucket").alias("bucket"))
     cand = c.join(F.broadcast(q), ["table", "bucket"]).dropDuplicates(
         ["query_id", "corpus_id"]
