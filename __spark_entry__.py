@@ -837,24 +837,54 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk(corpus, queries, k=5)
 
 
-def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (scale path; rows-only check, recall tested in pytest)."""
+def _quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-quantized embedding vectors (floor(x*1000), carried as
+    double): every dot product / squared norm is an exact integer, so
+    LSH sign bits, IVF cell argmaxes and cosine rankings are
+    bit-reproducible across engines — the trick (r2 verdict item 8)
+    that makes the approximate-ANN paths oracle-checkable instead of
+    rows-only. floor (not round) because the engines' rounding tie
+    rules differ (HALF_UP vs HALF_EVEN)."""
     emb = _load(spark, sf_dir, "embeddings")["embeddings"]
-    emb = emb.withColumn("embedding", F.transform(F.col("embedding"), lambda x: x.cast("double")))
-    dim = len(emb.select("embedding").first()[0])
+    iv = F.transform(
+        F.col("embedding"), lambda x: F.floor(x.cast("double") * 1000).cast("double")
+    )
+    return emb.select("vec_id", iv.alias("embedding"))
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (scale path): md5-derived ±1 hyperplanes over
+    integer-quantized vectors — exact cross-engine parity (the DuckDB
+    oracle rebuilds the identical hyperplane grid and signatures).
+    Recall invariants for the production xxhash64 grid stay in pytest."""
+    emb = _quantized_embeddings(spark, sf_dir)
     corpus = emb.filter(F.col("vec_id") >= 5)
     queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
-    return SIM.lsh_bucketed_ann(corpus, queries, dim=dim, k=5, bits=4)
+    return SIM.lsh_bucketed_ann(
+        corpus, queries, dim=64, k=5, bits=4, tables=4, pm1=SIM.md5_pm1
+    )
+
+
+def _md5_init_key(c):
+    """md5-derived IVF init sampling key (oracle mirror:
+    ('0x' || substr(md5(id), 1, 8))::BIGINT)."""
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (inverted-file cells + n_probe; rows-only check — full-probe
-    == exact and recall invariants are in tests/test_similarity_ivf.py)."""
-    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
-    emb = emb.withColumn("embedding", F.transform(F.col("embedding"), lambda x: x.cast("double")))
+    """IVF ANN (inverted-file cells + n_probe), oracle-exact variant:
+    iters=0 keeps the deterministic md5-sampled init centroids (no
+    Lloyd means, whose cross-engine FP accumulation would diverge) and
+    quantized vectors make assignment + re-rank exact. Full-probe ==
+    exact and Lloyd-recall invariants remain in
+    tests/test_similarity_ivf.py."""
+    emb = _quantized_embeddings(spark, sf_dir)
     corpus = emb.filter(F.col("vec_id") >= 5)
     queries_df = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
-    return SIM.ivf_ann(corpus, queries_df, n_cells=16, n_probe=4, k=5, iters=1)
+    return SIM.ivf_ann(
+        corpus, queries_df, n_cells=16, n_probe=4, k=5, iters=0,
+        init_key=_md5_init_key,
+    )
 
 
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1627,69 +1657,40 @@ def q_crawl_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order IS the grading order: the driver grades the first
+    50 entries only, so the window is curated per round (r2 verdict
+    item 2). Policy: (a) queries whose implementation or oracle changed
+    this round, (b) queries that have never received a driver-green
+    row, (c) r1-green queries displaced from the r2 window, then
+    (d) refresh slots; multi-round double-passed stalwarts rotate to
+    the back. Goal: every oracled query has ≥1 driver-green row across
+    rounds."""
     return {
-        "url_normalize": q_url_normalize,
-        "url_validity": q_url_validity,
-        "url_combine": q_url_combine,
-        "url_external": q_url_external,
-        "frontier_claim": q_frontier_claim,
-        "frontier_claim_intervals": q_frontier_claim_intervals,
-        "politeness_budget": q_politeness_budget,
-        "robots_filter": q_robots_filter,
-        "url_seen_antijoin": q_url_seen_antijoin,
-        "url_seen_cuckoo": q_url_seen_cuckoo,
-        "frontier_dedup_first": q_frontier_dedup_first,
-        "content_type": q_content_type,
-        "content_sniff": q_content_sniff,
-        "keyword_topk": q_keyword_topk,
-        "keyword_per_doc": q_keyword_per_doc,
-        "crawl_counters": q_crawl_counters,
-        "timeseries_buckets": q_timeseries_buckets,
-        "search_star": q_search_star,
-        "search_dorking": q_search_dorking,
-        "search_webobjects": q_search_webobjects,
-        "search_screenshots": q_search_screenshots,
+        # --- (a) changed this round: re-prove -------------------------
+        "crawl_counters": q_crawl_counters,        # oracle HUGEINT cast fix
+        "embedding_neardup": q_embedding_neardup,  # de-vacuoused (planted pairs)
+        "dedup_lines": q_dedup_lines,              # xxhash64 shuffle key
+        "customer_quartiles": q_customer_quartiles,  # two-phase ntile
+        "text_langid": q_text_langid,              # 24-language markers
+        "text_langmap": q_text_langmap,            # never graded + map breadth
+        "corpus_stats": q_corpus_stats,            # embeds the langid CASE
+        "robots_filter": q_robots_filter,          # robots_verdict now shared w/ engine
+        # --- new in r3 ------------------------------------------------
         "search_netinfo": q_search_netinfo,
         "search_httpinfo": q_search_httpinfo,
-        "correlation_union": q_correlation_union,
-        "correlated_sites": q_correlated_sites,
-        "attr_selfjoin": q_attr_selfjoin,
-        "upsert_coalesce": q_upsert_coalesce,
-        "webobjects_dedup": q_webobjects_dedup,
-        "events_recent": q_events_recent,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_sig": q_dedup_minhash_sig,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_lines": q_dedup_lines,
-        "decontaminate": q_decontaminate,
-        "corpus_stats": q_corpus_stats,
-        "sources_scd2": q_sources_scd2,
-        "events_asof": q_events_asof,
-        "scd2_interval_join": q_scd2_interval_join,
-        "events_sessionize": q_events_sessionize,
-        "events_props": q_events_props,
-        "events_pivot": q_events_pivot,
-        "customer_quartiles": q_customer_quartiles,
-        "events_rollup": q_events_rollup,
-        "regional_revenue": q_regional_revenue,
-        "linkgraph_degrees": q_linkgraph_degrees,
-        "pagerank": q_pagerank,
-        "dedup_components": q_dedup_components,
-        "embedding_neardup": q_embedding_neardup,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
+        "ann_lsh": q_ann_lsh,                      # gained an exact oracle
+        "ann_ivf": q_ann_ivf,                      # gained an exact oracle
+        # --- (b) oracled but never driver-graded ----------------------
         "dataset_split": q_dataset_split,
         "dataset_pack": q_dataset_pack,
-        "text_langid": q_text_langid,
-        "text_langmap": q_text_langmap,
-        "text_quality": q_text_quality,
         "text_repetition": q_text_repetition,
         "text_quality_filter": q_text_quality_filter,
         "text_tfidf": q_text_tfidf,
         "text_pii_redact": q_text_pii_redact,
+        "search_snippets": q_search_snippets,
+        "robots_parse": q_robots_parse,
+        # --- (c) r1-green, displaced from the r2 window ---------------
+        "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
         "text_tokens_bpe": q_text_tokens_bpe,
         "text_fingerprint": q_text_fingerprint,
@@ -1701,12 +1702,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_fuzzing": q_url_fuzzing,
         "normalizers": q_normalizers,
         "search_fts_rank": q_search_fts_rank,
-        "search_snippets": q_search_snippets,
         "email_frontier": q_email_frontier,
-        "robots_parse": q_robots_parse,
         "pricing_summary": q_pricing_summary,
         "streaming_window_counts": q_streaming_window_counts,
         "crawl_bfs": q_crawl_bfs,
+        # --- (d) refresh slots (single-green r2 entries; engine paths
+        # touched this round first) ------------------------------------
+        "url_seen_cuckoo": q_url_seen_cuckoo,
+        "politeness_budget": q_politeness_budget,
+        "frontier_claim_intervals": q_frontier_claim_intervals,
+        "frontier_dedup_first": q_frontier_dedup_first,
+        "search_webobjects": q_search_webobjects,
+        "search_screenshots": q_search_screenshots,
+        "correlated_sites": q_correlated_sites,
+        "decontaminate": q_decontaminate,
+        "sources_scd2": q_sources_scd2,
+        "events_asof": q_events_asof,
+        "scd2_interval_join": q_scd2_interval_join,
+        "events_sessionize": q_events_sessionize,
+        "events_props": q_events_props,
+        "events_pivot": q_events_pivot,
+        # ---------------- slot 51+ (double-passed stalwarts) ----------
+        "events_rollup": q_events_rollup,
+        "regional_revenue": q_regional_revenue,
+        "linkgraph_degrees": q_linkgraph_degrees,
+        "pagerank": q_pagerank,
+        "dedup_components": q_dedup_components,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "url_normalize": q_url_normalize,
+        "url_validity": q_url_validity,
+        "url_combine": q_url_combine,
+        "url_external": q_url_external,
+        "frontier_claim": q_frontier_claim,
+        "url_seen_antijoin": q_url_seen_antijoin,
+        "content_type": q_content_type,
+        "content_sniff": q_content_sniff,
+        "keyword_topk": q_keyword_topk,
+        "keyword_per_doc": q_keyword_per_doc,
+        "timeseries_buckets": q_timeseries_buckets,
+        "search_star": q_search_star,
+        "search_dorking": q_search_dorking,
+        "correlation_union": q_correlation_union,
+        "attr_selfjoin": q_attr_selfjoin,
+        "upsert_coalesce": q_upsert_coalesce,
+        "webobjects_dedup": q_webobjects_dedup,
+        "events_recent": q_events_recent,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_sig": q_dedup_minhash_sig,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
     }
 
 
@@ -1721,6 +1766,126 @@ _MARKER = (
     "len(list_filter(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''), "
     "x -> x IN ({m})))"
 )
+
+
+_ANN_E_CTE = """
+        e AS (
+          SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(floor(x * 1000) AS BIGINT)) AS v
+          FROM embeddings
+        ),
+        norms AS (
+          SELECT vec_id, sum(x * x) AS n2
+          FROM (SELECT vec_id, unnest(v) AS x FROM e) GROUP BY vec_id
+        )"""
+
+
+def _ann_lsh_oracle_sql(bits: int = 4, tables: int = 4, dim: int = 64, k: int = 5) -> str:
+    """DuckDB mirror of lsh_bucketed_ann over quantized vectors: the
+    identical md5 ±1 hyperplane grid (see similarity.md5_pm1), integer
+    sign bits, DISTINCT bucket-join candidates, exact cosine re-rank
+    with the same dot/(sqrt·sqrt) operation shape."""
+    return f"""
+        WITH {_ANN_E_CTE},
+        h AS (
+          SELECT t.t, j.j, d.d,
+                 (('0x' || substr(md5(concat(t.t, '_', j.j, '_', d.d)), 1, 8))::BIGINT % 2) * 2 - 1 AS hv
+          FROM (SELECT unnest(range({tables})) AS t) t,
+               (SELECT unnest(range({bits})) AS j) j,
+               (SELECT unnest(range({dim})) AS d) d
+        ),
+        dots AS (
+          SELECT e.vec_id, h.t, h.j, sum(e.v[CAST(h.d AS INT) + 1] * h.hv) AS dotj
+          FROM e CROSS JOIN h
+          GROUP BY 1, 2, 3
+        ),
+        sig AS (
+          SELECT vec_id, t,
+                 CAST(sum(CASE WHEN dotj >= 0 THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS INT) AS bucket
+          FROM dots GROUP BY 1, 2
+        ),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id
+          FROM sig c JOIN sig q ON c.t = q.t AND c.bucket = q.bucket
+          WHERE c.vec_id >= 5 AND q.vec_id < 5
+        ),
+        scored AS (
+          SELECT cand.query_id, cand.corpus_id,
+                 round(list_dot_product(ec.v, eq.v) / (sqrt(nc.n2) * sqrt(nq.n2)), 6) AS cosine
+          FROM cand
+          JOIN e ec ON ec.vec_id = cand.corpus_id
+          JOIN e eq ON eq.vec_id = cand.query_id
+          JOIN norms nc ON nc.vec_id = cand.corpus_id
+          JOIN norms nq ON nq.vec_id = cand.query_id
+        )
+        SELECT query_id, corpus_id, cosine, CAST(rank AS INT) AS rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+          FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
+def _ann_ivf_oracle_sql(n_cells: int = 16, n_probe: int = 4, k: int = 5) -> str:
+    """DuckDB mirror of ivf_ann(iters=0): md5-sampled init centroids,
+    exact integer cosine cell assignment (argmax, tie → lower cell),
+    n_probe query cells, DISTINCT candidates, exact re-rank."""
+    return f"""
+        WITH {_ANN_E_CTE},
+        init AS (
+          SELECT (row_number() OVER (ORDER BY s.k, s.vec_id) - 1) AS cell,
+                 s.v AS centroid, s.vec_id AS cvid
+          FROM (
+            SELECT vec_id, v,
+                   ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS k
+            FROM e WHERE vec_id >= 5
+            ORDER BY k, vec_id LIMIT {n_cells}
+          ) s
+        ),
+        cnorm AS (
+          SELECT cell, sum(x * x) AS n2
+          FROM (SELECT cell, unnest(centroid) AS x FROM init) GROUP BY cell
+        ),
+        sims AS (
+          SELECT e.vec_id, i.cell,
+                 list_dot_product(e.v, i.centroid) / (sqrt(nv.n2) * sqrt(cn.n2)) AS sim
+          FROM e
+          JOIN norms nv ON nv.vec_id = e.vec_id
+          CROSS JOIN init i
+          JOIN cnorm cn ON cn.cell = i.cell
+        ),
+        cass AS (
+          SELECT vec_id AS corpus_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS pr
+            FROM sims WHERE vec_id >= 5
+          ) WHERE pr = 1
+        ),
+        qass AS (
+          SELECT vec_id AS query_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS pr
+            FROM sims WHERE vec_id < 5
+          ) WHERE pr <= {n_probe}
+        ),
+        cand AS (
+          SELECT DISTINCT q.query_id, c.corpus_id
+          FROM qass q JOIN cass c ON q.cell = c.cell
+        ),
+        scored AS (
+          SELECT cand.query_id, cand.corpus_id,
+                 round(list_dot_product(ec.v, eq.v) / (sqrt(nc.n2) * sqrt(nq.n2)), 6) AS cosine
+          FROM cand
+          JOIN e ec ON ec.vec_id = cand.corpus_id
+          JOIN e eq ON eq.vec_id = cand.query_id
+          JOIN norms nc ON nc.vec_id = cand.corpus_id
+          JOIN norms nq ON nq.vec_id = cand.query_id
+        )
+        SELECT query_id, corpus_id, cosine, CAST(rank AS INT) AS rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+          FROM scored
+        ) WHERE rank <= {k}
+    """
 
 
 def _netinfo_oracle_sql(where: str) -> str:
@@ -2531,6 +2696,8 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             ) WHERE rank <= 5
         """,
+        "ann_lsh": _ann_lsh_oracle_sql(),
+        "ann_ivf": _ann_ivf_oracle_sql(),
         "dataset_split": """
             WITH b AS (
               SELECT doc_id, lang,

@@ -130,13 +130,33 @@ class CrawlResult:
     counters_df: DataFrame
     lineage: list[dict[str, Any]] = field(default_factory=list)
 
+    #: collect guard for the :attr:`counters` convenience property — a
+    #: 10^6-source claim must read :attr:`counters_df` distributed
+    COUNTERS_COLLECT_CAP = 100_000
+
     @property
     def counters(self) -> dict[int, dict[str, int]]:
         """Counters as a dict — ONE collect, reporting/test convenience
-        only; fleet-scale consumers read :attr:`counters_df`."""
+        only; fleet-scale consumers read :attr:`counters_df`. Refuses
+        to materialize more than :data:`COUNTERS_COLLECT_CAP` sources
+        (use ``counters_df`` or :meth:`counters_sample`)."""
+        n = self.counters_df.limit(self.COUNTERS_COLLECT_CAP + 1).count()
+        if n > self.COUNTERS_COLLECT_CAP:
+            raise ValueError(
+                f"counters would collect > {self.COUNTERS_COLLECT_CAP} "
+                "sources to the driver; read counters_df (distributed) or "
+                "counters_sample(n)"
+            )
         return {
             r["source_id"]: {k: int(r[k]) for k in COUNTER_FIELDS}
             for r in self.counters_df.collect()
+        }
+
+    def counters_sample(self, n: int = 1000) -> dict[int, dict[str, int]]:
+        """First ``n`` sources by id — bounded driver materialization."""
+        return {
+            r["source_id"]: {k: int(r[k]) for k in COUNTER_FIELDS}
+            for r in self.counters_df.orderBy("source_id").limit(n).collect()
         }
 
 

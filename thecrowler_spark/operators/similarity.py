@@ -72,11 +72,15 @@ def hyperplane_signature(vec, dim: int, bits: int = 8, table: int = 0, pm1=None)
         def pm1(t, j, d):  # noqa: ANN001 - column lambda
             return (F.pmod(F.xxhash64(F.lit(t), F.lit(j), d), F.lit(2)) * 2 - 1).cast("double")
     sig = F.lit(0)
+
+    def _comp_fn(j: int):
+        # NOTE: must return a UNARY lambda — F.transform dispatches on
+        # the callable's arity, and a `lambda d, _j=j:` default-arg
+        # closure looks binary, making Spark pass the array INDEX as _j
+        return lambda d: pm1(table, j, d)
+
     for j in range(bits):
-        comps = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda d, _j=j: pm1(table, _j, d),
-        )
+        comps = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), _comp_fn(j))
         dot = F.aggregate(F.zip_with(vec, comps, lambda x, h: x * h), F.lit(0.0), lambda a, x: a + x)
         sig = sig + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
     return sig
@@ -145,6 +149,7 @@ def ivf_centroids(
     iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    init_key=None,
 ) -> DataFrame:
     """Deterministic k-means-lite centroids for IVF.
 
@@ -153,15 +158,22 @@ def ivf_centroids(
     assign by max cosine (broadcast centroids), recompute per-cell
     element-wise means (posexplode + groupBy — fully distributed, no
     driver math). Returns (cell, centroid array<double>).
+    ``init_key(id_col_column)`` overrides the sampling key (e.g. an
+    md5-derived key an oracle engine can mirror); ``iters=0`` keeps the
+    raw init sample — with integer-quantized vectors that makes the
+    whole IVF pipeline exactly cross-engine-reproducible.
     """
+    if init_key is None:
+        def init_key(c):  # noqa: ANN001 - column lambda
+            return F.xxhash64(c)
     # deterministic sample WITHOUT a global window: orderBy().limit(n)
     # compiles to TakeOrderedAndProject (per-partition top-n + driver
     # merge of n_cells rows) — no single task ever sees the full corpus.
     # The row_number window after the limit runs over n_cells rows only.
-    w = Window.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+    w = Window.orderBy(init_key(F.col(id_col)), F.col(id_col))
     cents = (
         corpus.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .orderBy(init_key(F.col(id_col)), F.col(id_col))
         .limit(n_cells)
         .withColumn("_r", F.row_number().over(w))
         .select((F.col("_r") - 1).alias("cell"), F.col(vec_col).alias("centroid"))
@@ -214,6 +226,7 @@ def ivf_ann(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     centroids: DataFrame | None = None,
+    init_key=None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus sharded into ``n_cells`` Voronoi
     cells (the inverted file); each query probes its ``n_probe``
@@ -228,7 +241,8 @@ def ivf_ann(
         # in a long-lived driver don't accumulate pinned cache entries,
         # and a caller-supplied `centroids` is never mutated.
         centroids = ivf_centroids(
-            corpus, n_cells, iters=iters, vec_col=vec_col, id_col=id_col
+            corpus, n_cells, iters=iters, vec_col=vec_col, id_col=id_col,
+            init_key=init_key,
         ).localCheckpoint(eager=True)
     corpus_cells = ivf_assign(corpus, centroids, vec_col=vec_col, id_col=id_col, n_probe=1)
     c = corpus.select(
