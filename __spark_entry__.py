@@ -914,6 +914,31 @@ def q_dataset_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved text+media sequence packing (the multimodal-
+    pretraining batch-prep step): per-document cost = text tokens +
+    n_images × 64 (a fixed vision-encoder patch budget per image,
+    cf. operators/multimodal.py), packed into fixed-cost bins by the
+    same hash-bucketed running-sum operator as text-only packing.
+    Media counts are synthesized deterministically (doc_id % 4) since
+    the fixture corpus carries no media column — the cost model and
+    packing shape are the operator under test."""
+    from thecrowler_spark.operators.sampling import pack_documents
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    sized = docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_text_tokens"),
+        (F.col("doc_id") % 4).cast("int").alias("n_images"),
+    ).withColumn(
+        "n_tokens",
+        (F.col("n_text_tokens") + F.col("n_images") * 64).cast("int"),
+    )
+    return pack_documents(sized, budget=512, buckets=8).select(
+        "doc_id", "n_text_tokens", "n_images", "n_tokens", "bucket", "pack_id"
+    )
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (marker-token argmax over 8 languages)."""
     docs = _load(spark, sf_dir, "documents")["documents"]
@@ -1683,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (b) oracled but never driver-graded ----------------------
         "dataset_split": q_dataset_split,
         "dataset_pack": q_dataset_pack,
+        "pack_interleaved": q_pack_interleaved,  # new in r3
         "text_repetition": q_text_repetition,
         "text_quality_filter": q_text_quality_filter,
         "text_tfidf": q_text_tfidf,
@@ -2730,6 +2756,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, bucket,
                    concat(CAST(bucket AS VARCHAR), '_',
                           CAST(CAST(floor((c - n_tokens) / 256.0) AS BIGINT) AS VARCHAR)) AS pack_id
+            FROM cum
+        """,
+        "pack_interleaved": f"""
+            WITH sized AS (
+              SELECT doc_id,
+                     CAST(len({sw_filter}) AS INT) AS n_text_tokens,
+                     CAST(doc_id % 4 AS INT) AS n_images,
+                     CAST(len({sw_filter}) + (doc_id % 4) * 64 AS INT) AS n_tokens
+              FROM documents
+            ),
+            keyed AS (
+              SELECT doc_id, n_text_tokens, n_images, n_tokens,
+                     (('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), '#42')), 1, 8))::BIGINT % 1000000) % 8 AS bucket,
+                     md5(concat(CAST(doc_id AS VARCHAR), '@42')) AS ok
+              FROM sized
+            ),
+            cum AS (
+              SELECT doc_id, n_text_tokens, n_images, n_tokens, bucket,
+                     sum(n_tokens) OVER (PARTITION BY bucket ORDER BY ok, doc_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+              FROM keyed
+            )
+            SELECT doc_id, n_text_tokens, n_images, n_tokens, bucket,
+                   concat(CAST(bucket AS VARCHAR), '_',
+                          CAST(CAST(floor((c - n_tokens) / 512.0) AS BIGINT) AS VARCHAR)) AS pack_id
             FROM cum
         """,
         "text_langid": _langid_oracle_sql(),
