@@ -425,6 +425,47 @@ def q_search_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 §2.2.3 wildcard matching through robots_verdict:
+    ``*`` mid-pattern, trailing ``$`` anchors, and longest-PATTERN
+    precedence across mixed literal/wildcard rules (a wildcard
+    '/docs/*.html$' allow overriding a shorter '/docs/' disallow; a
+    '/*.pdf$' disallow beating the same '/docs/' by one octet)."""
+    from thecrowler_spark.operators.robots import robots_verdict
+
+    _load(spark, sf_dir, "orders")
+    urls = spark.sql(
+        """
+        SELECT o_orderkey AS id,
+               concat('h', CAST(o_orderkey % 10 AS STRING), '.example.com') AS host,
+               CASE o_orderkey % 6
+                 WHEN 0 THEN concat('/docs/file', CAST(o_orderkey % 5 AS STRING), '.pdf')
+                 WHEN 1 THEN concat('/docs/file', CAST(o_orderkey % 5 AS STRING), '.html')
+                 WHEN 2 THEN '/private/x/tmp'
+                 WHEN 3 THEN '/private/x/keep'
+                 WHEN 4 THEN '/public/a'
+                 ELSE '/' END AS path
+        FROM orders
+        """
+    ).withColumn(
+        "url_link", F.concat(F.lit("https://"), F.col("host"), F.col("path"))
+    )
+    rules = spark.sql(
+        """
+        SELECT concat('h', CAST(h AS STRING), '.example.com') AS host, rule_type, path_prefix
+        FROM (SELECT explode(sequence(0, 9)) AS h)
+        LATERAL VIEW inline(array(
+           named_struct('rule_type','disallow','path_prefix','/docs/'),
+           named_struct('rule_type','disallow','path_prefix','/*.pdf$'),
+           named_struct('rule_type','allow','path_prefix','/docs/*.html$'),
+           named_struct('rule_type','disallow','path_prefix','/private/*/tmp'),
+           named_struct('rule_type','allow','path_prefix','/private/x/keep')
+        )) t AS rule_type, path_prefix
+        """
+    )
+    return robots_verdict(urls, rules).select("id", "host", "path", "robots_allowed")
+
+
 def q_search_dorking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dorking query language compiled to a Catalyst predicate —
     exercises the '=' field separator, a quoted phrase, a field probe,
@@ -986,6 +1027,26 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint (md5 of normalized text)."""
     docs = _load(spark, sf_dir, "documents")["documents"]
     return docs.select("doc_id", TX.fingerprint_md5(F.col("text")).alias("fingerprint"))
+
+
+def q_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-100 bigram occurrence counts (pretraining
+    corpus statistics / boilerplate discovery at phrase granularity —
+    the n-gram sibling of keyword_topk). Every occurrence counts
+    (dedup happens in the dedup_* family, not here); docs under 2
+    tokens contribute nothing. Plan: explode → partial-agg count →
+    TakeOrderedAndProject (top-k never global-sorts)."""
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    toks = TX.tokens(F.col("text"))
+    bi = docs.filter(F.size(toks) >= 2).select(
+        F.explode(TX.ngrams(F.col("text"), 2)).alias("bigram")
+    )
+    return (
+        bi.groupBy("bigram")
+        .agg(F.count("*").alias("occurrences"))
+        .orderBy(F.desc("occurrences"), F.asc("bigram"))
+        .limit(100)
+    )
 
 
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1700,6 +1761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langmap": q_text_langmap,            # never graded + map breadth
         "corpus_stats": q_corpus_stats,            # embeds the langid CASE
         "robots_filter": q_robots_filter,          # robots_verdict now shared w/ engine
+        "robots_wildcard": q_robots_wildcard,      # new in r3: RFC 9309 * and $
         # --- new in r3 ------------------------------------------------
         "search_netinfo": q_search_netinfo,
         "search_httpinfo": q_search_httpinfo,
@@ -1709,6 +1771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "dataset_pack": q_dataset_pack,
         "pack_interleaved": q_pack_interleaved,  # new in r3
+        "text_ngrams": q_text_ngrams,  # new in r3
         "text_repetition": q_text_repetition,
         "text_quality_filter": q_text_quality_filter,
         "text_tfidf": q_text_tfidf,
@@ -2324,6 +2387,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, host, path, COALESCE(rule_type = 'disallow', false) AS blocked
             FROM matched WHERE rn = 1
         """,
+        "robots_wildcard": """
+            WITH urls AS (
+              SELECT o_orderkey AS id,
+                     concat('h', CAST(o_orderkey % 10 AS VARCHAR), '.example.com') AS host,
+                     CASE o_orderkey % 6
+                       WHEN 0 THEN concat('/docs/file', CAST(o_orderkey % 5 AS VARCHAR), '.pdf')
+                       WHEN 1 THEN concat('/docs/file', CAST(o_orderkey % 5 AS VARCHAR), '.html')
+                       WHEN 2 THEN '/private/x/tmp'
+                       WHEN 3 THEN '/private/x/keep'
+                       WHEN 4 THEN '/public/a'
+                       ELSE '/' END AS path
+              FROM orders
+            ),
+            rules AS (
+              SELECT concat('h', CAST(h AS VARCHAR), '.example.com') AS host, r.rule_type, r.path_prefix
+              FROM generate_series(0, 9) AS g(h),
+                   (VALUES ('disallow','/docs/'), ('disallow','/*.pdf$'),
+                           ('allow','/docs/*.html$'), ('disallow','/private/*/tmp'),
+                           ('allow','/private/x/keep')) AS r(rule_type, path_prefix)
+            ),
+            rx AS (
+              SELECT host, rule_type, path_prefix,
+                     (path_prefix LIKE '%*%' OR path_prefix LIKE '%$') AS has_wild,
+                     concat('^',
+                       replace(
+                         regexp_replace(
+                           CASE WHEN path_prefix LIKE '%$'
+                                THEN substr(path_prefix, 1, length(path_prefix) - 1)
+                                ELSE path_prefix END,
+                           '([.^$+?(){}\\[\\]|\\\\])', '\\\\\\1', 'g'),
+                         '*', '.*'),
+                       CASE WHEN path_prefix LIKE '%$' THEN '$' ELSE '' END) AS rxp
+              FROM rules
+            ),
+            matched AS (
+              SELECT u.id, u.host, u.path, r.rule_type,
+                     ROW_NUMBER() OVER (PARTITION BY u.id
+                                        ORDER BY length(r.path_prefix) DESC, r.rule_type ASC) AS rn
+              FROM urls u LEFT JOIN rx r
+                ON u.host = r.host
+               AND (CASE WHEN r.has_wild THEN regexp_matches(u.path, r.rxp)
+                         ELSE starts_with(u.path, r.path_prefix) END)
+            )
+            SELECT id, host, path,
+                   NOT COALESCE(rule_type = 'disallow', false) AS robots_allowed
+            FROM matched WHERE rn = 1
+        """,
         "url_seen_antijoin": f"""
             WITH urls AS ({_DUCK_URLS}),
             n AS (SELECT id, lower(regexp_replace(trim(url), '/+$', '')) AS norm_url FROM urls),
@@ -2782,6 +2892,17 @@ def oracle_sql() -> dict[str, str]:
                    concat(CAST(bucket AS VARCHAR), '_',
                           CAST(CAST(floor((c - n_tokens) / 512.0) AS BIGINT) AS VARCHAR)) AS pack_id
             FROM cum
+        """,
+        "text_ngrams": f"""
+            WITH toks AS (SELECT {sw_filter} AS l FROM documents),
+            bi AS (
+              SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+                                           i -> l[i] || ' ' || l[i+1])) AS bigram
+              FROM toks WHERE len(l) >= 2
+            )
+            SELECT bigram, count(*) AS occurrences
+            FROM bi GROUP BY bigram
+            ORDER BY occurrences DESC, bigram ASC LIMIT 100
         """,
         "text_langid": _langid_oracle_sql(),
         "text_langmap": _langmap_oracle_sql(),

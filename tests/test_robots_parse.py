@@ -88,6 +88,45 @@ def test_robots_verdict_allow_overrides(spark):
     }
 
 
+def test_robots_verdict_wildcards(spark):
+    """RFC 9309 §2.2.3: '*' matches any char sequence, trailing '$'
+    anchors the end; precedence is longest PATTERN (octets), allow on
+    ties. Regex metachars inside patterns stay literal."""
+    from thecrowler_spark.operators.robots import robots_verdict
+
+    rules = spark.createDataFrame(
+        [
+            ("h0.example.com", "disallow", "/docs/"),
+            ("h0.example.com", "disallow", "/*.pdf$"),
+            ("h0.example.com", "allow", "/docs/*.html$"),
+            ("h0.example.com", "disallow", "/private/*/tmp"),
+            ("h0.example.com", "allow", "/a+b(c)"),  # metachars literal
+            ("h0.example.com", "disallow", "/a"),
+        ],
+        "host string, rule_type string, path_prefix string",
+    )
+    cases = {
+        "/docs/x.pdf": False,        # '/*.pdf$' (7) beats '/docs/' (6)
+        "/docs/x.html": True,        # wildcard allow (13) beats '/docs/'
+        "/docs/x.html.bak": False,   # $ anchor: .html$ does NOT match
+        "/x.pdfz": True,             # $ anchor on pdf
+        "/private/deep/x/tmp": False,  # '*' spans multiple segments
+        "/private/tmp": True,        # needs something between the slashes
+        "/a+b(c)": True,             # literal metachars matched; allow (7) > '/a' (2)
+        "/a+bXc)": False,            # '(c)' is literal, not a group
+        "/elsewhere": True,
+    }
+    links = spark.createDataFrame(
+        [(f"https://h0.example.com{p}", "h0.example.com") for p in cases],
+        "url_link string, host string",
+    )
+    got = {
+        r["url_link"].replace("https://h0.example.com", ""): r["robots_allowed"]
+        for r in robots_verdict(links, rules).collect()
+    }
+    assert got == cases
+
+
 def test_crawl_delay_routes_into_budgets(spark):
     from thecrowler_spark.operators.robots import crawl_delay_budgets
 

@@ -57,6 +57,22 @@ def disallow_prefix_filter(
     return joined.filter(~blocked).drop("_rhost", "_dis_prefixes")
 
 
+def _wildcard_regex(p: F.Column) -> F.Column:
+    """RFC 9309 §2.2.3 pattern → anchored regex: ``*`` matches any char
+    sequence, a TRAILING ``$`` anchors the end of the path; everything
+    else is literal. Built as Column expressions so rules stay DATA
+    (the translation runs once per rule row at aggregation time, never
+    per URL)."""
+    anchored = p.endswith("$")
+    body = F.when(anchored, F.substring(p, F.lit(1), F.length(p) - 1)).otherwise(p)
+    # escape regex metachars EXCEPT '*' (it becomes '.*' below)
+    escaped = F.regexp_replace(body, r"([.^$+?(){}\[\]|\\])", r"\\$1")
+    wild = F.replace(escaped, F.lit("*"), F.lit(".*"))
+    return F.concat(
+        F.lit("^"), wild, F.when(anchored, F.lit("$")).otherwise(F.lit(""))
+    )
+
+
 def robots_verdict(
     links: DataFrame,
     robots: DataFrame,
@@ -64,20 +80,24 @@ def robots_verdict(
     host_col: str = "host",
 ) -> DataFrame:
     """Full RFC 9309 verdict over parser output (allow + disallow rows):
-    longest matching prefix wins, allow beats disallow on equal length,
-    no matching rule → allowed. This is the operator to feed
-    :func:`parse_robots_txt` rows into — :func:`disallow_prefix_filter`
-    ignores allow rows and would wrongly block an Allow'd sub-path of a
-    Disallow'd prefix.
+    longest matching pattern wins, allow beats disallow on equal length,
+    no matching rule → allowed. Patterns may use the RFC's ``*``
+    (any chars) and trailing ``$`` (end anchor) — wildcard rules are
+    translated to anchored regexes ONCE at rule-aggregation time; plain
+    prefixes keep the cheaper ``startswith`` probe. This is the
+    operator to feed :func:`parse_robots_txt` rows into —
+    :func:`disallow_prefix_filter` ignores allow rows and wildcards.
 
     Shape: rules aggregate to one array per host (tiny), broadcast,
     single equi-join on host, then a vectorized array reduction —
     ``array_max`` over (plen, is_allow) structs implements
-    longest-prefix-wins with allow-on-tie in one expression. No non-equi
-    join condition anywhere (the 10^10-URL shape).
+    longest-pattern-wins with allow-on-tie in one expression. No
+    non-equi join condition anywhere (the 10^10-URL shape).
 
     Returns the input plus ``robots_allowed`` boolean.
     """
+    p = F.col("path_prefix")
+    has_wild = p.contains("*") | p.endswith("$")
     rules = (
         robots.filter(F.col("rule_type").isin("allow", "disallow"))
         .groupBy("host")
@@ -87,6 +107,7 @@ def robots_verdict(
                     F.length("path_prefix").alias("plen"),
                     (F.col("rule_type") == "allow").cast("int").alias("is_allow"),
                     F.col("path_prefix").alias("prefix"),
+                    F.when(has_wild, _wildcard_regex(p)).alias("wild"),
                 )
             ).alias("_rules")
         )
@@ -94,7 +115,12 @@ def robots_verdict(
     )
     joined = links.join(F.broadcast(rules), links[host_col] == F.col("_rhost"), "left")
     path = url_path_expr(F.col(url_col))
-    matched = F.filter(F.col("_rules"), lambda r: path.startswith(r["prefix"]))
+    matched = F.filter(
+        F.col("_rules"),
+        lambda r: F.when(
+            r["wild"].isNotNull(), F.regexp_like(path, r["wild"])
+        ).otherwise(path.startswith(r["prefix"])),
+    )
     best = F.array_max(matched)  # struct compare: plen, then is_allow (allow wins tie)
     allowed = F.when(
         F.col("_rules").isNull() | (F.size(matched) == 0), F.lit(True)
