@@ -1345,6 +1345,23 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("key", "event_id", "ts", "state")
 
 
+def q_events_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mega-key-safe as-of join (window partitions on (key, day-bucket)
+    with per-bucket carry-in). Shares events_asof's oracle — DuckDB's
+    native ASOF JOIN — so THREE independent algorithms cross-validate:
+    union-merge window, bucketed carry-in merge, and DuckDB's range
+    lookup."""
+    from thecrowler_spark.operators import temporal as TP
+
+    t = _load(spark, sf_dir, "events", "orders")
+    versions = spark.sql(_SPARK_ASOF_V)
+    probe = t["events"].select(
+        (F.col("user_id") % 50).alias("key"), "event_id", F.col("ts")
+    )
+    out = TP.asof_join_bucketed(probe, versions, ["key"], "ts", ["state"], bucket="1 day")
+    return out.select("key", "event_id", "ts", "state")
+
+
 def q_scd2_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval (range) join: count events inside each SCD2 validity
     interval — key equality + ts ∈ [valid_from, valid_to)."""
@@ -1762,6 +1779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,            # embeds the langid CASE
         "robots_filter": q_robots_filter,          # robots_verdict now shared w/ engine
         "robots_wildcard": q_robots_wildcard,      # new in r3: RFC 9309 * and $
+        "events_asof_bucketed": q_events_asof_bucketed,  # new in r3: mega-key-safe asof
         # --- new in r3 ------------------------------------------------
         "search_netinfo": q_search_netinfo,
         "search_httpinfo": q_search_httpinfo,
@@ -3001,6 +3019,12 @@ def oracle_sql() -> dict[str, str]:
             FROM chg
         """,
         "events_asof": f"""
+            WITH v AS ({_DUCK_ASOF_V}),
+            p AS (SELECT user_id % 50 AS key, event_id, ts FROM events)
+            SELECT p.key, p.event_id, p.ts, v.state
+            FROM p ASOF LEFT JOIN v ON p.key = v.key AND p.ts >= v.ts
+        """,
+        "events_asof_bucketed": f"""
             WITH v AS ({_DUCK_ASOF_V}),
             p AS (SELECT user_id % 50 AS key, event_id, ts FROM events)
             SELECT p.key, p.event_id, p.ts, v.state

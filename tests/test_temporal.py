@@ -35,6 +35,49 @@ def test_asof_tie_and_miss_semantics(spark):
     assert got == {10: None, 11: "v1", 12: "v1", 13: "v2", 14: "v2", 20: None, 30: None}
 
 
+def test_asof_bucketed_matches_base_and_carries_across_empty_buckets(spark):
+    """asof_join_bucketed ≡ asof_join, incl. probes in buckets with no
+    version rows (carry-in from a much earlier bucket) and the same
+    tie/miss goldens."""
+    versions = spark.createDataFrame(
+        [(1, D(2024, 1, 2), "v1"), (1, D(2024, 1, 4), "v2"), (2, D(2024, 1, 9), "w1")],
+        "key long, ts timestamp_ntz, state string",
+    )
+    probe = spark.createDataFrame(
+        [
+            (1, 10, D(2024, 1, 1)),
+            (1, 11, D(2024, 1, 2)),    # tie with version in same bucket
+            (1, 12, D(2024, 1, 3)),
+            (1, 13, D(2024, 1, 4)),
+            (1, 14, D(2024, 1, 9)),    # empty buckets between Jan 4 and 9
+            (1, 15, D(2024, 3, 20)),   # months of empty buckets
+            (2, 20, D(2024, 1, 8)),
+            (3, 30, D(2024, 1, 8)),
+        ],
+        "key long, event_id long, ts timestamp_ntz",
+    )
+    want = {
+        r.event_id: r.state
+        for r in TP.asof_join(probe, versions, ["key"], "ts", ["state"]).collect()
+    }
+    got = {
+        r.event_id: r.state
+        for r in TP.asof_join_bucketed(
+            probe, versions, ["key"], "ts", ["state"], bucket="1 day"
+        ).collect()
+    }
+    assert got == want
+    assert got[15] == "v2" and got[10] is None and got[11] == "v1"
+    # the merge window really is (key, bucket)-partitioned
+    plan = (
+        TP.asof_join_bucketed(probe, versions, ["key"], "ts", ["state"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "windowspecdefinition(key" in plan and "_bkt" in plan
+
+
 def test_interval_join_containment(spark):
     hist = spark.createDataFrame(
         [(1, "a", D(2024, 1, 1), D(2024, 1, 3)), (1, "b", D(2024, 1, 3), None)],

@@ -75,6 +75,101 @@ def asof_join(
     )
 
 
+def asof_join_bucketed(
+    probe: DataFrame,
+    versions: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    bucket: str = "1 day",
+) -> DataFrame:
+    """Mega-key-safe as-of join: identical semantics to
+    :func:`asof_join`, but the merge window partitions on
+    ``(key, time-bucket)`` instead of key alone, so one hot key spreads
+    over as many tasks as it has active buckets — the escape hatch for
+    the per-key serialization documented on :func:`asof_join`.
+
+    Carry-in construction (all bounded, no global windows):
+
+    1. bucket universe = distinct (key, bucket) from BOTH sides (a
+       probe-only bucket still needs the state carried in);
+    2. per-(key, bucket) LAST version as one ``max(struct(ts, attrs))``
+       partial-agg row;
+    3. running ``max`` over strictly-earlier buckets per key — a window
+       over per-bucket SUMMARY rows (#buckets per key, not row counts);
+    4. carry rows stamped at the bucket floor with sort rank −1 (before
+       any real version or probe in the bucket), then the same
+       union-merge last-non-null window as the base operator, now
+       bounded per (key, bucket).
+
+    Version timestamps should be unique per key (ties at identical ts
+    resolve by attr struct order here vs. input order in the base
+    operator).
+    """
+    bkt = F.window(F.col(ts_col), bucket)["start"]
+    v_b = versions.withColumn("_bkt", bkt)
+    p_b = probe.withColumn("_bkt", bkt)
+    universe = (
+        v_b.select(*key_cols, "_bkt").unionByName(p_b.select(*key_cols, "_bkt")).distinct()
+    )
+    last_per_bucket = v_b.groupBy(*key_cols, "_bkt").agg(
+        F.max(F.struct(F.col(ts_col), *[F.col(c) for c in attr_cols])).alias("_last")
+    )
+    w_carry = (
+        Window.partitionBy(*key_cols)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        universe.join(last_per_bucket, [*key_cols, "_bkt"], "left")
+        .withColumn("_carry", F.max("_last").over(w_carry))
+        .filter(F.col("_carry").isNotNull())
+        .select(
+            *key_cols,
+            F.col("_bkt"),
+            F.col("_bkt").alias(ts_col),  # state as of the bucket floor
+            *[F.col("_carry")[c].alias(c) for c in attr_cols],
+        )
+    )
+    probe_cols = list(probe.columns)
+    pass_cols = [c for c in probe_cols if c not in key_cols and c != ts_col]
+
+    def _side(df: DataFrame, ord_: int, is_probe: bool) -> DataFrame:
+        return df.select(
+            *key_cols,
+            F.col("_bkt"),
+            F.col(ts_col),
+            *[
+                (F.col(c) if not is_probe else F.lit(None).cast(versions.schema[c].dataType)).alias(f"_v_{c}")
+                for c in attr_cols
+            ],
+            F.lit(ord_).alias("_ord"),
+            *[
+                (F.col(c) if is_probe else F.lit(None).cast(probe.schema[c].dataType)).alias(f"_p_{c}")
+                for c in pass_cols
+            ],
+        )
+
+    merged = (
+        _side(carry, -1, False)
+        .unionByName(_side(v_b, 0, False))
+        .unionByName(_side(p_b, 1, True))
+    )
+    w = (
+        Window.partitionBy(*key_cols, "_bkt")
+        .orderBy(ts_col, "_ord")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in attr_cols:
+        merged = merged.withColumn(f"_v_{c}", F.last(f"_v_{c}", ignorenulls=True).over(w))
+    return merged.filter(F.col("_ord") == 1).select(
+        *key_cols,
+        F.col(ts_col),
+        *[F.col(f"_p_{c}").alias(c) for c in pass_cols],
+        *[F.col(f"_v_{c}").alias(c) for c in attr_cols],
+    )
+
+
 def interval_join(
     probe: DataFrame,
     history: DataFrame,
