@@ -1049,6 +1049,18 @@ def q_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS, SIGMOD'03): window-min sampling of
+    k-gram hashes — any shared ≥(w+k−1)-token run between documents
+    shares a fingerprint. Local sampling (position-aware), vs MinHash's
+    global sampling — the near-dup detector for partial overlap."""
+    docs = _load(spark, sf_dir, "documents")["documents"].filter(F.col("doc_id") % 3 == 0)
+    return docs.select(
+        "doc_id",
+        F.explode(TX.winnow_fingerprints(F.col("text"), k=3, w=4)).alias("fingerprint"),
+    )
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals (2-gram totals/distinct/top) as
     exact integers."""
@@ -1790,6 +1802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_pack": q_dataset_pack,
         "pack_interleaved": q_pack_interleaved,  # new in r3
         "text_ngrams": q_text_ngrams,  # new in r3
+        "text_winnow": q_text_winnow,  # new in r3
         "text_repetition": q_text_repetition,
         "text_quality_filter": q_text_quality_filter,
         "text_tfidf": q_text_tfidf,
@@ -2921,6 +2934,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT bigram, count(*) AS occurrences
             FROM bi GROUP BY bigram
             ORDER BY occurrences DESC, bigram ASC LIMIT 100
+        """,
+        "text_winnow": f"""
+            WITH toks AS (
+              SELECT doc_id, {sw_filter} AS l FROM documents WHERE doc_id % 3 = 0
+            ),
+            g AS (
+              SELECT doc_id, len(l) AS n,
+                     list_transform(generate_series(1, len(l) - 2),
+                                    i -> ('0x' || substr(md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2]), 1, 8))::BIGINT) AS grams
+              FROM toks
+            ),
+            wins AS (
+              SELECT doc_id,
+                     CASE WHEN n < 3 THEN CAST([] AS BIGINT[])
+                          WHEN len(grams) < 4 THEN [list_min(grams)]
+                          ELSE list_distinct(list_transform(generate_series(1, len(grams) - 3),
+                                                            j -> list_min(grams[j:j+3])))
+                     END AS fps
+              FROM g
+            )
+            SELECT doc_id, unnest(fps) AS fingerprint FROM wins
         """,
         "text_langid": _langid_oracle_sql(),
         "text_langmap": _langmap_oracle_sql(),

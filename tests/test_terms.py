@@ -120,3 +120,33 @@ def test_line_counts_occurrence_semantics(spark):
     got = {r.line: r.n_occurrences for r in DD.line_counts(docs).collect()}
     # occurrence counts (in-doc repeats counted), blank lines dropped
     assert got == {"dup": 3, "solo a": 1, "solo b": 1}
+
+
+def test_winnow_guarantee_and_edges(spark):
+    """Winnowing guarantee: docs sharing a >= w+k-1 (=6) token run share
+    at least one fingerprint; disjoint docs share none; short docs."""
+    from pyspark.sql import functions as F
+
+    from thecrowler_spark.functions.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words here {shared} trailing tail tokens"),
+            (2, f"{shared} completely different ending text"),
+            (3, "nothing in common with the others at all whatsoever"),
+            (4, "tiny doc"),          # < k tokens -> empty
+            (5, "one two three"),     # exactly k -> single gram -> one fp
+        ],
+        "doc_id long, text string",
+    )
+    fps = {
+        r["doc_id"]: set(r["fps"])
+        for r in docs.select(
+            "doc_id", winnow_fingerprints(F.col("text"), k=3, w=4).alias("fps")
+        ).collect()
+    }
+    assert fps[1] & fps[2], "shared 6-token run must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    assert fps[4] == set()
+    assert len(fps[5]) == 1

@@ -237,6 +237,45 @@ def ngrams(c: Column | str, n: int = 2) -> Column:
     return shingles(c, k=n)
 
 
+def winnow_fingerprints(c: Column | str, k: int = 3, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-gram, slide a window
+    of ``w`` consecutive hashes, keep each window's MINIMUM; the
+    distinct mins are the fingerprint set. Guarantees any shared run of
+    ≥ w+k−1 tokens between two documents shares ≥1 fingerprint, with a
+    ~2/(w+1) sampling density — the local-sampling sibling of MinHash
+    (which samples globally and loses locality).
+
+    All JVM array expressions; the k-gram hash is the md5-prefix
+    integer both engines compute identically, so the oracle can
+    mirror the exact fingerprint set. Empty/short docs: < k tokens →
+    empty; < w k-grams → one global min.
+    """
+    toks = tokens(c)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.conv(
+            F.substring(F.md5(F.array_join(F.slice(toks, i + 1, k), " ")), 1, 8), 16, 10
+        ).cast("long"),
+    )
+    g = F.size(grams)
+    empty = F.array().cast("array<bigint>")
+    wins = F.when(
+        n < k, empty
+    ).when(
+        g < w, F.array(F.array_min(grams))
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), g - w),
+                lambda j: F.array_min(F.slice(grams, j + 1, w)),
+            )
+        )
+    )
+    return wins
+
+
 def repetition_signals(c: Column | str, n: int = 2) -> tuple[Column, Column, Column]:
     """Gopher-style repetition signals over the token n-grams of a doc.
 
