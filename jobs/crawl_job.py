@@ -56,6 +56,15 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--output", required=True, help="output dir (pages/ visited/ lineage/ checkpoints)")
     p.add_argument("--run-id", default="run0")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--chain-visited", default=None,
+                   help="parquet of a prior run's visited/ — chains the "
+                        "long-lived URL-seen set (prior URLs are not "
+                        "refetched unless released)")
+    p.add_argument("--release-sources", default=None,
+                   help="comma-separated source_ids whose URLs are "
+                        "re-crawl-eligible: released from the chained seen "
+                        "set (and delete_cuckoo'd from an incremental "
+                        "filter) before the run")
     p.add_argument("--write-index", action="store_true",
                    help="MERGE the index star (SearchIndex/WebObjects/...) into <output>/index")
     return p.parse_args(argv)
@@ -135,8 +144,22 @@ def main(argv: list[str] | None = None) -> None:
         spark, docs, cfg=cfg, robots=robots, budgets=budgets, work_dir=f"{args.output}/state"
     )
 
+    initial_visited = None
+    if args.chain_visited:
+        initial_visited = spark.read.parquet(args.chain_visited)
+        if args.release_sources:
+            from pyspark.sql import functions as F
+
+            ids = [int(s) for s in args.release_sources.split(",") if s.strip()]
+            eligible = spark.range(1).select(
+                F.explode(F.array(*[F.lit(i) for i in ids])).alias("source_id")
+            )
+            initial_visited = engine.release_seen(initial_visited, eligible)
+
     t0 = time.time()
-    result = engine.run(seeds, run_id=args.run_id, resume=args.resume)
+    result = engine.run(
+        seeds, run_id=args.run_id, resume=args.resume, initial_visited=initial_visited
+    )
     pages_n = result.pages.count()
     visited_n = result.visited.count()
     elapsed = time.time() - t0

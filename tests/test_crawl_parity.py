@@ -99,18 +99,21 @@ def test_crawl_parity_cuckoo_prefilter(spark):
     _compare(_spark_result(spark, corpus, cfg), _oracle_result(corpus, ocfg))
 
 
-def test_cuckoo_release_then_refetch(spark):
+def test_cuckoo_release_then_refetch(spark, tmp_path):
     """End-to-end re-crawl through CrawlEngine (r2 verdict item 10):
     run1 crawls and populates the incremental cuckoo filter; run2
     chained on run1's seen set fetches NOTHING new (every link is
     seen); after release_seen() on the re-crawl-eligible source, run3
-    fetches that source's URLs again — the delete→refetch path."""
+    fetches that source's URLs again — the delete→refetch path.
+    work_dir is SET so the chained prior state must survive the
+    delta-dir checkpoint commits across rounds (regression: the
+    work_dir scan used to drop the prior union after round 1)."""
     from pyspark.sql import functions as F
 
     corpus = small_corpus(CorpusSpec(n_hosts=2, pages_per_host=10))
     dfs = corpus_to_spark(spark, corpus)
     cfg = CrawlConfig(max_depth=2, max_rounds=6, seen_filter="cuckoo")
-    eng = CrawlEngine(spark, dfs["documents"], cfg=cfg)
+    eng = CrawlEngine(spark, dfs["documents"], cfg=cfg, work_dir=str(tmp_path / "state"))
 
     res1 = eng.run(dfs["seeds"], run_id="rc1")
     assert eng._cuckoo is not None  # filter built + incrementally fed
@@ -127,6 +130,8 @@ def test_cuckoo_release_then_refetch(spark):
         (r["source_id"], r["url"]) for r in res2.pages.collect() if r["depth"] > 0
     }
     assert pages2 == set(), f"chained run refetched: {sorted(pages2)[:5]}"
+    # the returned live state still carries the chained prior rows
+    assert res2.visited.count() >= seen1.count()
 
     # release ONE source → only its URLs become fetchable again
     eligible = dfs["seeds"].select("source_id").orderBy("source_id").limit(1)

@@ -420,18 +420,30 @@ class CrawlEngine:
             "priority",
         ).persist()
 
+        prior_vis = (
+            initial_visited.select("source_id", "norm_url")
+            if initial_visited is not None
+            else None
+        )
+
         if resume:
             state = self._load_latest(run_id)
             if state is not None:
+                vis = state["visited"]
+                if prior_vis is not None:
+                    # the run's checkpoints hold only ITS deltas — the
+                    # caller re-supplies the chained prior state on resume
+                    vis = vis.unionByName(prior_vis)
                 return self._run_rounds(
                     run_id,
                     state["pages"],
-                    state["visited"],
+                    vis,
                     state["frontier"],
                     state["counters"],
                     state["current_depth"],
                     state["lineage"],
                     deferred=state["deferred"],
+                    prior_visited=prior_vis,
                 )
 
         # ---- depth 0: CrawlInitialURL (web.go:912-993) ----
@@ -501,11 +513,6 @@ class CrawlEngine:
         seed_vis = seed_ok.select(
             "source_id", U.normalize_url_seen("source_url").alias("norm_url")
         )
-        prior_vis = (
-            initial_visited.select("source_id", "norm_url")
-            if initial_visited is not None
-            else None
-        )
         if prior_vis is not None:
             # this run's depth-0 DELTA: seed keys not already seen
             visited = seed_vis.join(prior_vis, ["source_id", "norm_url"], "left_anti")
@@ -569,7 +576,10 @@ class CrawlEngine:
             }
         )
         self._write_manifest(run_id, 0, 0)
-        return self._run_rounds(run_id, pages, visited, frontier, counters, 0, lineage)
+        return self._run_rounds(
+            run_id, pages, visited, frontier, counters, 0, lineage,
+            prior_visited=prior_vis,
+        )
 
     def release_seen(self, visited: DataFrame, eligible: DataFrame) -> DataFrame:
         """Re-crawl eligibility: drop interval-eligible sources' URLs
@@ -617,6 +627,7 @@ class CrawlEngine:
         start_depth: int,
         lineage: list[dict[str, Any]],
         deferred: DataFrame | None = None,
+        prior_visited: DataFrame | None = None,
     ) -> CrawlResult:
         cfg = self.cfg
         max_depth = 1 if cfg.max_depth == 0 else cfg.max_depth
@@ -665,6 +676,11 @@ class CrawlEngine:
             )
             pages = self._ckpt_delta(pages, new_pages, run_id, depth, "pages")
             visited = self._ckpt_delta(visited, visited_delta, run_id, depth, "visited")
+            if prior_visited is not None and self.work_dir:
+                # work_dir commits return ONLY this run's delta-dir scan;
+                # re-attach the chained prior-run state (the no-work_dir
+                # branch unions onto cur_state, which already has it)
+                visited = visited.unionByName(prior_visited)
             frontier = self._ckpt(new_frontier, run_id, depth, "frontier")
             if self._seen_mode == "cuckoo" and self._cuckoo is not None:
                 # incremental maintenance: insert only this round's
