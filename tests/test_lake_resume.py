@@ -123,3 +123,38 @@ def test_merge_scd2_incremental_equals_batch(spark, tmp_path):
         (2, "y", d(2024, 1, 10), None),
     }
     assert one == expect
+
+
+def test_compact_sorted_prunes_and_preserves(spark, tmp_path):
+    """Sort-order rewrite: same rows, files own contiguous key ranges
+    (parquet min/max prune point lookups), old snapshot time-travels."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from thecrowler_spark.sources.lake import LakeTable
+
+    lake = LakeTable(spark, str(tmp_path / "t"))
+    df = spark.range(10_000).select(
+        (F.col("id") * 7919 % 10_000).alias("k"),  # scrambled key
+        F.col("id").alias("v"),
+    )
+    s1 = lake.write(df)
+    s2 = lake.compact_sorted(["k"], target_files=4)
+    assert s2 != s1
+    # data identical
+    assert lake.read().orderBy("k", "v").collect() == df.orderBy("k", "v").collect()
+    # time travel to the unsorted snapshot still works
+    assert lake.read(s1).count() == 10_000
+    # each rewritten file owns a contiguous, non-overlapping k-range
+    files = sorted(glob.glob(f"{tmp_path}/t/snap-{s2:08d}/part-*.parquet"))
+    assert 2 <= len(files) <= 5
+    ranges = []
+    for f in files:
+        r = spark.read.parquet(f).agg(F.min("k"), F.max("k")).first()
+        ranges.append((r[0], r[1]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping ranges {ranges}"
+    # metadata records the sort order
+    assert lake.current_meta().get("sorted_by") == ["k"]
