@@ -1443,6 +1443,38 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LG.pagerank_fixedpoint(_spark_edges(spark, sf_dir), n_iter=5)
 
 
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (3 rounds) in exact int64 fixed point —
+    like pagerank, the integer normalization makes the ITERATIVE
+    algorithm bit-identical across engines (unrolled-CTE oracle)."""
+    return LG.hits_fixedpoint(_spark_edges(spark, sf_dir), n_iter=3)
+
+
+def _hits_oracle_sql(n_iter: int = 3, scale: int = 1_000_000) -> str:
+    """Unrolled HITS iterations mirroring hits_fixedpoint exactly
+    (integer DIV normalization; '//' ≡ Spark DIV on non-negatives)."""
+    norm = f"s // (CASE WHEN t // {scale} < 1 THEN 1 ELSE t // {scale} END)"
+    body = f"""
+        {_EDGES_WITH},
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        h0 AS (SELECT node, CAST({scale} AS BIGINT) AS h FROM nodes)"""
+    for k in range(1, n_iter + 1):
+        body += f""",
+        ar{k} AS (SELECT e.dst AS node, sum(p.h) AS s FROM e JOIN h{k - 1} p ON e.src = p.node GROUP BY e.dst),
+        af{k} AS (SELECT n.node, COALESCE(ar{k}.s, 0) AS s FROM nodes n LEFT JOIN ar{k} ON n.node = ar{k}.node),
+        at{k} AS (SELECT sum(s) AS t FROM af{k}),
+        a{k} AS (SELECT node, {norm} AS a FROM af{k} CROSS JOIN at{k}),
+        hr{k} AS (SELECT e.src AS node, sum(q.a) AS s FROM e JOIN a{k} q ON e.dst = q.node GROUP BY e.src),
+        hf{k} AS (SELECT n.node, COALESCE(hr{k}.s, 0) AS s FROM nodes n LEFT JOIN hr{k} ON n.node = hr{k}.node),
+        ht{k} AS (SELECT sum(s) AS t FROM hf{k}),
+        h{k} AS (SELECT node, {norm} AS h FROM hf{k} CROSS JOIN ht{k})"""
+    return body + f"""
+        SELECT h{n_iter}.node, CAST(h{n_iter}.h AS BIGINT) AS hub_fp,
+               CAST(a{n_iter}.a AS BIGINT) AS auth_fp
+        FROM h{n_iter} JOIN a{n_iter} ON h{n_iter}.node = a{n_iter}.node
+    """
+
+
 def _pagerank_oracle_sql(n_iter: int = 5, scale: int = 1_000_000_000, damping: int = 85) -> str:
     """Unrolled power iteration mirroring pagerank_fixedpoint exactly."""
     body = f"""
@@ -1792,6 +1824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,          # robots_verdict now shared w/ engine
         "robots_wildcard": q_robots_wildcard,      # new in r3: RFC 9309 * and $
         "events_asof_bucketed": q_events_asof_bucketed,  # new in r3: mega-key-safe asof
+        "hits": q_hits,  # new in r3: fixed-point hubs/authorities
         # --- new in r3 ------------------------------------------------
         "search_netinfo": q_search_netinfo,
         "search_httpinfo": q_search_httpinfo,
@@ -3058,6 +3091,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.key, p.event_id, p.ts, v.state
             FROM p ASOF LEFT JOIN v ON p.key = v.key AND p.ts >= v.ts
         """,
+        "hits": _hits_oracle_sql(),
         "events_asof_bucketed": f"""
             WITH v AS ({_DUCK_ASOF_V}),
             p AS (SELECT user_id % 50 AS key, event_id, ts FROM events)

@@ -51,3 +51,23 @@ def test_pagerank_mass_bounds_and_hub_ordering(spark):
     assert 0.8 * S < total <= S
     assert rows[0] == max(rows.values())
     assert all(v > 0 for v in rows.values())
+
+
+def test_hits_star_and_mass(spark):
+    """Star graph u1..u4 -> c: c is the sole authority, spokes are the
+    hubs; integer L1 mass lands within flooring slack of scale."""
+    from thecrowler_spark.operators.linkgraph import hits_fixedpoint
+
+    edges = spark.createDataFrame(
+        [(f"u{i}", "c") for i in range(1, 5)], "src string, dst string"
+    )
+    rows = {r["node"]: (r["hub_fp"], r["auth_fp"]) for r in
+            hits_fixedpoint(edges, n_iter=3, scale=1_000_000).collect()}
+    assert rows["c"][1] > 0 and rows["c"][0] == 0      # authority only
+    for i in range(1, 5):
+        h, a = rows[f"u{i}"]
+        assert h > 0 and a == 0                        # hubs only
+    assert len({rows[f"u{i}"] for i in range(1, 5)}) == 1  # symmetric
+    # normalized masses: each half-step renormalizes to ~scale
+    assert abs(sum(a for _, a in rows.values()) - 1_000_000) <= 5
+    assert abs(sum(h for h, _ in rows.values()) - 1_000_000) <= 5
