@@ -6,8 +6,9 @@ document corpus into training-ready shards — the standard pretraining
 prep chain, each stage an operator from this repo, all JVM-side:
 
     1. exact dedup        (sha256 canonical groups, dedup.exact_dedup)
-    2. fuzzy dedup        (MinHash-LSH candidates → connected components →
-                           keep the canonical min-id doc per group)
+    2. fuzzy dedup        (MinHash-LSH candidates → exact-Jaccard
+                           verification at --minhash-threshold →
+                           connected components → keep min-id per group)
     3. boilerplate strip  (CCNet duplicated-line removal, xxhash64 keys)
     4. quality filter     (Gopher-style integer-exact verdicts)
     5. decontamination    (cross-corpus shingle join vs a benchmark set)
@@ -82,9 +83,17 @@ def run_pipeline(spark, args) -> dict:
     drop(docs.join(survivors.select("doc_id"), "doc_id", "left_anti"), "exact_dup")
     manifest["stages"]["exact_dedup"] = survivors.count()
 
-    # 2. fuzzy dedup — LSH candidates → components → keep component min
-    pairs = DD.minhash_lsh_candidates(
+    # 2. fuzzy dedup — LSH candidates → exact-Jaccard verification at
+    #    --minhash-threshold → components → keep component min. With
+    #    n_hashes=8 / bands=4 a band key is only 2 minhashes, so raw
+    #    candidates carry little Jaccard signal; the verify step is what
+    #    makes the threshold real (no false-positive doc removal).
+    candidates = DD.minhash_lsh_candidates(
         survivors, text_col="text", id_col="doc_id", n_hashes=8, bands=4, k=3
+    )
+    pairs = DD.verify_pairs_jaccard(
+        survivors, candidates, text_col="text", id_col="doc_id",
+        k=3, threshold=args.minhash_threshold,
     )
     comp = DD.connected_components(pairs)
     fuzzy_losers = comp.filter(F.col("id") != F.col("component")).select(
@@ -98,6 +107,7 @@ def run_pipeline(spark, args) -> dict:
     cleaned = DD.dedup_lines(
         survivors, text_col="text", id_col="doc_id", max_count=args.line_max_count
     ).select("doc_id", F.col("text_dedup").alias("text"))
+    drop(cleaned.filter(F.length("text") == 0), "all_boilerplate")
     cleaned = cleaned.filter(F.length("text") > 0)
     manifest["stages"]["line_dedup"] = cleaned.count()
 

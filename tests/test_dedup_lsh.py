@@ -91,3 +91,42 @@ def test_connected_components_goldens(spark):
     assert got == {10: 10, 11: 10, 12: 10, 13: 10,
                    20: 20, 21: 20, 22: 20,
                    30: 30, 31: 30}
+
+
+def test_verify_pairs_jaccard_kills_false_positives(spark):
+    """LSH candidates include false positives (a band collision carries
+    little Jaccard signal at few hashes per band); verify_pairs_jaccard
+    must keep only pairs whose TRUE shingle Jaccard clears the
+    threshold, exactly matching ngram_jaccard_pairs on the same docs."""
+    from thecrowler_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        verify_pairs_jaccard,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog near the old "
+            "river bank under a pale morning sky while birds circle")
+    rows = [
+        (1, base + " version alpha"),
+        (2, base + " version bravo"),             # near-dup of 1
+        (3, "a wholly different essay on spark shuffle planning with "
+            "unique vocabulary everywhere no overlap at all here"),
+        (4, "another unrelated text about cooking pasta with garlic "
+            "and olive oil in a heavy iron pan over low heat"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # feed EVERY ordered pair as a 'candidate' — simulates worst-case
+    # LSH over-generation — verification must recover the true pairs
+    cand = spark.createDataFrame(
+        [(a, b) for a in range(1, 5) for b in range(a + 1, 5)],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in verify_pairs_jaccard(docs, cand, threshold=0.5).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert got == want
+    assert {(a, b) for a, b, _ in got} == {(1, 2)}

@@ -53,12 +53,26 @@ def test_param_split_respects_quotes_and_parens():
 def test_time_tokens_pinned():
     assert X.evaluate("time(unix)", now=NOW) == str(int(NOW.timestamp()))
     assert X.evaluate("time(unixnano)", now=NOW) == str(int(NOW.timestamp() * 1_000_000_000))
-    assert X.evaluate("time(rfc3339)", now=NOW) == "2024-03-05T12:30:45+0000"
+    # Go time.RFC3339: UTC offset is 'Z', never '+0000'
+    assert X.evaluate("time(rfc3339)", now=NOW) == "2024-03-05T12:30:45Z"
     assert "2024-03-05" in X.evaluate("time(now)", now=NOW)
     # Go custom layout
     assert X.evaluate("time(2006-01-02)", now=NOW) == "2024-03-05"
     with pytest.raises(X.ExprError, match="invalid time format"):
         X.evaluate("time(bogus)", now=NOW)
+
+
+def test_time_nested_random_drawn_once():
+    # args[0] must be interpreted ONCE: a nested random() inside time()
+    # is a single draw, reused for both the token check and the layout.
+    calls = []
+
+    def rng(lo, hi):
+        calls.append((lo, hi))
+        return 2006  # Go layout year token
+
+    assert X.evaluate("time(random(2005, 2007))", now=NOW, rng=rng) == "2024"
+    assert len(calls) == 1
 
 
 def test_url_placeholder():

@@ -166,17 +166,27 @@ def _handle_time(args: list[EncodedCmd], rng, now) -> str:
     if not args:
         raise ExprError("time command expects 1 argument, got 0")
     t = now if now is not None else datetime.now(timezone.utc)
-    fmt = interpret_cmd(args[0], rng, now).strip().lower()
+    # interpret args[0] ONCE — a nested random() inside time() must not
+    # be drawn twice (once for the token check, once for the layout)
+    raw = interpret_cmd(args[0], rng, now).strip()
+    fmt = raw.lower()
     if fmt == "unix":
         return str(int(t.timestamp()))
     if fmt == "unixnano":
         return str(int(t.timestamp() * 1_000_000_000))
     if fmt == "rfc3339":
-        return t.strftime("%Y-%m-%dT%H:%M:%S%z") or t.isoformat()
+        # Go time.RFC3339 prints the offset with a colon and UTC as 'Z'
+        # (never '+0000'); isoformat gives '+00:00', which we collapse
+        # to 'Z' to match time.Time.Format exactly.
+        s = t.strftime("%Y-%m-%dT%H:%M:%S") + (t.strftime("%z") or "Z")
+        if s.endswith("+0000") or s.endswith("-0000"):
+            return s[:-5] + "Z"
+        if len(s) >= 5 and (s[-5] in "+-") and ":" not in s[-5:]:
+            return s[:-2] + ":" + s[-2:]
+        return s
     if fmt == "now":
         return str(t)
     # custom layout: validate+translate (Go validates via time.Parse)
-    raw = interpret_cmd(args[0], rng, now).strip()
     return t.strftime(_go_layout_to_strftime(raw))
 
 

@@ -159,6 +159,58 @@ def minhash_lsh_candidates(
     )
 
 
+def verify_pairs_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs ``(id_a, id_b)``.
+
+    LSH banding over-generates: two docs colliding on one band need not
+    be near-duplicates (with few hashes per band the collision carries
+    almost no Jaccard signal). This computes TRUE shingle-set Jaccard
+    for ONLY the candidate pairs — the shingle explode is restricted to
+    docs appearing in some pair, and the pair join fans out each pair by
+    the left doc's shingles then probes the right side on (id, shingle),
+    so cost is O(pairs × avg_shingles), never all-pairs. Returns
+    (id_a, id_b, jaccard) for pairs with jaccard >= threshold.
+
+    Mirrors the verification step of classic MinHash-LSH dedup (e.g.
+    the reference's fingerprint pipeline verifies candidates before
+    grouping); scale shape: two equi-joins + one pair-key groupBy.
+    """
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = doc_shingles(docs.join(cand_ids, id_col, "inner"), text_col, id_col, k)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    shared = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 #: int64 minimum — the bit-63 term of the signed simhash reinterpret.
 #: Added as a constant because neither engine can left-shift into the
 #: sign bit without overflow (Spark wraps, DuckDB throws).

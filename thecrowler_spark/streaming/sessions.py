@@ -121,9 +121,12 @@ def sessionize_batch(
     stream holds in state until a timer or a later event closes it."""
     order = [F.col(ts_col)] + ([F.col(order_col)] if order_col else [])
     w = Window.partitionBy(user_col).orderBy(*order)
-    tse = F.col(ts_col).cast("timestamp_ltz").cast("long")
+    # epoch MICROseconds — the same resolution the stream compares at
+    # (sessions.py:81), so sub-second fractions near the gap boundary
+    # sessionize identically in both paths.
+    tse = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
     gap = tse - F.lag(tse).over(w)
-    new_sess = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    new_sess = F.when(gap.isNull() | (gap > gap_seconds * 1_000_000), 1).otherwise(0)
     sess = events.withColumn(
         "_sno", F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
