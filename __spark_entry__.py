@@ -1791,9 +1791,15 @@ def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_crawl_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end crawl on the synthetic closed-world corpus (rows-only
-    check here; full ordering/seen-set parity vs the transcribed oracle
-    is in tests/test_crawl_parity.py)."""
+    """End-to-end crawl on the synthetic closed-world corpus — the
+    engine's core query, now with a FULL DuckDB oracle
+    (:func:`_crawl_bfs_oracle_sql`): depth-unrolled CTEs recompute the
+    whole BFS (link extraction + validity, relative-URL resolution,
+    external/same-source skips, per-level first-occurrence dup marking,
+    visited anti-join, skipped-link resurrection, dense fetch_seq) from
+    the RAW authored hrefs embedded as VALUES. Ordering/seen-set parity
+    vs the transcribed Go oracle is additionally in
+    tests/test_crawl_parity.py."""
     from thecrowler_spark.operators.frontier import CrawlConfig, CrawlEngine
     from thecrowler_spark.sources.corpus import CorpusSpec, corpus_to_spark, small_corpus
 
@@ -1801,6 +1807,175 @@ def q_crawl_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfs = corpus_to_spark(spark, corpus)
     eng = CrawlEngine(spark, dfs["documents"], cfg=CrawlConfig(max_depth=2, max_rounds=6))
     return eng.run(dfs["seeds"]).crawl_order
+
+
+def _crawl_bfs_oracle_sql(max_depth: int = 2, spec=None) -> str:
+    """DuckDB oracle for q_crawl_bfs: the PageRank/HITS unrolled-CTE
+    technique applied to the BFS itself.
+
+    The corpus is deterministic (seed-pinned small_corpus), so only the
+    RAW inputs are embedded as VALUES — every doc_id and every authored
+    (doc_id, pos, href) link span plus the seed rows. ALL crawl logic is
+    recomputed in SQL, mirroring CrawlEngine round-for-round:
+
+    - link extraction: trim → rtrim('/') → validity (scheme prefix,
+      not bare '://', no whitespace) — spans.extracted_links
+    - per-round: re-sequence, combine_urls (root-relative resolution),
+      normalize_url_seen (lower+rtrim), skip flags (empty / external at
+      the restriction level / same-as-source), visited probe,
+      first-occurrence window (row_number over the FULL group, masked
+      for skips — frontier.py:863-866 semantics), case-sensitive fetch
+      join, dense fetch_seq from pages-so-far, skipped-link
+      resurrection onto the next attempted row when it fetches OK,
+      next-frontier ordering (attach, res, pos).
+    """
+    from thecrowler_spark.sources.corpus import CorpusSpec, small_corpus
+
+    corpus = small_corpus(spec or CorpusSpec(n_hosts=2, pages_per_host=8))
+    doc_vals = ", ".join(f"('{d['doc_id']}')" for d in corpus["documents"])
+    link_rows = []
+    for d in corpus["documents"]:
+        pos = 0
+        for s in d["spans"]:
+            if s["kind"] == "link":
+                link_rows.append(f"('{d['doc_id']}', {pos}, '{s['media_ref']}')")
+                pos += 1
+    link_vals = ", ".join(link_rows)
+    seed_vals = ", ".join(
+        f"({s['source_id']}::BIGINT, '{s['url']}', {s['restricted']})" for s in corpus["seeds"]
+    )
+
+    host_re = r"^(?:[^/]*://)?(?:[^/@]*@)?([^/:?#]*)"
+    scheme_re = r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/]*)"
+
+    def sld(col: str) -> str:
+        # substring_index(host, '.', -2) with whole-host fallback
+        h = f"regexp_extract(trim({col}), '{host_re}', 1)"
+        return f"coalesce(nullif(regexp_extract({h}, '([^.]+[.][^.]+)$', 1), ''), {h})"
+
+    body = f"""
+        WITH docs(doc_id) AS (VALUES {doc_vals}),
+        rawlinks(doc_id, rawpos, href) AS (VALUES {link_vals}),
+        seeds(source_id, source_url, restricted) AS (VALUES {seed_vals}),
+        dl0 AS (SELECT doc_id, rawpos, rtrim(trim(href), '/') AS lnk FROM rawlinks),
+        dlinks AS (
+          SELECT doc_id,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY rawpos) - 1 AS pos,
+                 lnk AS href
+          FROM (
+            SELECT *, CASE WHEN contains(lnk, '://') THEN lnk
+                           ELSE 'http://' || lnk END AS ws
+            FROM dl0
+          )
+          WHERE lnk <> '' AND NOT regexp_matches(lnk, '[ \\t\\n\\r]')
+            AND (starts_with(ws, 'http://') OR starts_with(ws, 'https://')
+                 OR starts_with(ws, 'ftp://') OR starts_with(ws, 'ftps://'))
+            AND NOT ends_with(ws, '://')
+        ),
+        seedfetch AS (
+          SELECT s.source_id, s.source_url, s.restricted
+          FROM seeds s JOIN docs d ON s.source_url = d.doc_id
+        ),
+        pages0 AS (
+          SELECT source_id, 0 AS depth, 0::BIGINT AS fetch_seq, source_url AS url
+          FROM seedfetch
+        ),
+        vis0 AS (
+          SELECT source_id, lower(rtrim(trim(source_url), '/')) AS norm_url FROM seedfetch
+        ),
+        frontier0 AS (
+          SELECT f.source_id, f.source_url, f.restricted,
+                 d.pos::BIGINT AS seq, d.href AS link
+          FROM seedfetch f JOIN dlinks d ON f.source_url = d.doc_id
+          WHERE f.restricted <> 0
+        )"""
+
+    for k in range(1, max_depth + 1):
+        p = k - 1
+        body += f""",
+        lvl{k} AS (
+          SELECT source_id, source_url, restricted,
+                 row_number() OVER (PARTITION BY source_id ORDER BY seq, link) - 1 AS seq,
+                 link
+          FROM frontier{p}
+        ),
+        lv{k} AS (
+          SELECT *,
+                 CASE WHEN starts_with(link, '/')
+                      THEN regexp_extract(trim(source_url), '{scheme_re}', 1) || link
+                      ELSE link END AS url_link
+          FROM lvl{k}
+        ),
+        lw{k} AS (
+          SELECT *, lower(rtrim(trim(url_link), '/')) AS norm_url,
+                 (trim(url_link) = ''
+                  OR (restricted <> 4
+                      AND CASE WHEN starts_with(trim(url_link), '/') THEN FALSE
+                               WHEN restricted = 0 THEN trim(source_url) <> trim(url_link)
+                               WHEN restricted = 1 THEN NOT starts_with(trim(url_link), trim(source_url))
+                               ELSE {sld('source_url')} <> {sld('url_link')} END)
+                  OR url_link = source_url) AS is_skip
+          FROM lv{k}
+        ),
+        cat{k} AS (
+          SELECT l.*,
+                 CASE WHEN l.is_skip THEN 'skip'
+                      WHEN (v.norm_url IS NOT NULL)
+                           OR (CASE WHEN NOT l.is_skip THEN
+                                 row_number() OVER (PARTITION BY l.source_id, l.norm_url ORDER BY l.seq)
+                               END) > 1 THEN 'dup'
+                      WHEN d.doc_id IS NOT NULL THEN 'ok'
+                      ELSE 'err' END AS category
+          FROM lw{k} l
+          LEFT JOIN vis{p} v ON l.source_id = v.source_id AND l.norm_url = v.norm_url
+          LEFT JOIN docs d ON l.url_link = d.doc_id
+        ),
+        pb{k} AS (SELECT source_id, count(*) AS pages_before FROM pages{p} GROUP BY source_id),
+        fet{k} AS (
+          SELECT c.source_id, {k} AS depth,
+                 pb.pages_before + row_number() OVER (PARTITION BY c.source_id ORDER BY c.seq) - 1 AS fetch_seq,
+                 c.url_link AS url
+          FROM cat{k} c JOIN pb{k} pb USING (source_id)
+          WHERE c.category = 'ok'
+        ),
+        pages{k} AS (SELECT * FROM pages{p} UNION ALL SELECT * FROM fet{k}),
+        vis{k} AS (
+          SELECT source_id, norm_url FROM vis{p}
+          UNION
+          SELECT DISTINCT source_id, norm_url FROM cat{k} WHERE category IN ('ok', 'err')
+        ),
+        nxa{k} AS (
+          SELECT *, min(CASE WHEN category IN ('ok', 'err') THEN seq END)
+                      OVER (PARTITION BY source_id ORDER BY seq
+                            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_attempt
+          FROM cat{k}
+        ),
+        ext{k} AS (
+          SELECT n.source_id, n.source_url, n.restricted,
+                 n.seq AS attach, 0 AS res, d.pos, d.href AS link
+          FROM nxa{k} n JOIN dlinks d ON n.url_link = d.doc_id
+          WHERE n.category = 'ok'
+        ),
+        resk{k} AS (
+          SELECT s.source_id, s.source_url, s.restricted,
+                 s.next_attempt AS attach, 1 AS res, s.seq AS pos, s.link
+          FROM nxa{k} s
+          WHERE s.category = 'skip' AND s.next_attempt IS NOT NULL
+            AND EXISTS (SELECT 1 FROM nxa{k} o WHERE o.source_id = s.source_id
+                        AND o.seq = s.next_attempt AND o.category = 'ok')
+        ),
+        frontier{k} AS (
+          SELECT source_id, source_url, restricted,
+                 row_number() OVER (PARTITION BY source_id ORDER BY attach, res, pos) - 1 AS seq,
+                 link
+          FROM (SELECT * FROM ext{k} UNION ALL SELECT * FROM resk{k})
+        )"""
+
+    body += f"""
+        SELECT source_id, fetch_seq AS seq, CAST(depth AS INT) AS depth, url
+        FROM pages{max_depth}
+    """
+    return body
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3474,9 +3649,7 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(n_nationkey % 5 + 1 AS DOUBLE) ELSE 0.0 END AS crawl_delay
             FROM nation, (VALUES ('disallow'), ('allow'), ('crawl_delay')) AS r(rule_type)
         """,
-        # ann_lsh, ann_ivf, crawl_bfs: non-SQL-expressible (hyperplane/
-        # centroid float kernels, iterative BFS) → rows-only with pytest
-        # invariants (recall bounds, full-probe ≡ exact, crawl parity).
+        "crawl_bfs": _crawl_bfs_oracle_sql(),
     }
 
 

@@ -392,3 +392,28 @@ def test_ordering_shards_with_budgets_page_set_converges(spark):
     pages_s = {r["url"] for r in sharded.pages.collect()}
     assert pages_s == pages_p and len(pages_p) == 31  # seed + all 30
     assert parity.counters[1]["pages"] == sharded.counters[1]["pages"]
+
+
+def test_crawl_bfs_duckdb_oracle_generalizes(spark):
+    """The depth-unrolled DuckDB oracle must match the engine on a
+    BIGGER corpus and a DEEPER crawl than the registered fixture — the
+    construction is general, not tuned to one seed."""
+    import duckdb
+
+    import __spark_entry__ as E
+    from thecrowler_spark.operators.frontier import CrawlConfig, CrawlEngine
+    from thecrowler_spark.sources.corpus import CorpusSpec, corpus_to_spark, small_corpus
+
+    spec = CorpusSpec(seed=7, n_hosts=3, pages_per_host=12)
+    corpus = small_corpus(spec)
+    dfs = corpus_to_spark(spark, corpus)
+    eng = CrawlEngine(spark, dfs["documents"], cfg=CrawlConfig(max_depth=3, max_rounds=8))
+    got = {
+        (r["source_id"], r["seq"], r["depth"], r["url"])
+        for r in eng.run(dfs["seeds"]).crawl_order.collect()
+    }
+    want = set(
+        duckdb.connect().execute(E._crawl_bfs_oracle_sql(max_depth=3, spec=spec)).fetchall()
+    )
+    assert got == want
+    assert len(got) > 20  # non-vacuous: a real multi-round crawl
