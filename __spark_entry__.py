@@ -980,9 +980,55 @@ def q_pack_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nonlatin_injected(docs: DataFrame) -> DataFrame:
+    """Graded langid corpus: docs with doc_id % 4 == 1 (25%) replaced by
+    deterministic non-Latin slices cycling over NONLATIN_SAMPLES (and
+    the lang label set to the sample's language) — the script-aware
+    detector is graded over a corpus where ≥20% of docs are non-Latin.
+    Mirrored in SQL by :func:`_nonlatin_inject_sql` from the same dict.
+    """
+    from thecrowler_spark.sources.corpus import NONLATIN_SAMPLES
+
+    langs = list(NONLATIN_SAMPLES)
+    texts = [NONLATIN_SAMPLES[k] for k in langs]
+    idx = (F.floor(F.col("doc_id") / 4) % len(langs)).cast("int") + 1
+    is_nl = F.col("doc_id") % 4 == 1
+    return docs.withColumn(
+        "text",
+        F.when(is_nl, F.element_at(F.array(*[F.lit(s) for s in texts]), idx)).otherwise(
+            F.col("text")
+        ),
+    ).withColumn(
+        "lang",
+        F.when(is_nl, F.element_at(F.array(*[F.lit(k) for k in langs]), idx)).otherwise(
+            F.col("lang")
+        ),
+    )
+
+
+def _nonlatin_inject_sql() -> str:
+    """DuckDB mirror of :func:`_nonlatin_injected` (same dict, same
+    doc_id arithmetic) as a CTE body over ``documents``."""
+    from thecrowler_spark.sources.corpus import NONLATIN_SAMPLES
+
+    langs = list(NONLATIN_SAMPLES)
+    t_arr = ", ".join(f"'{NONLATIN_SAMPLES[k]}'" for k in langs)
+    l_arr = ", ".join(f"'{k}'" for k in langs)
+    idx = f"CAST((doc_id // 4) % {len(langs)} AS INT) + 1"
+    return f"""
+          SELECT * REPLACE (
+            CASE WHEN doc_id % 4 = 1 THEN ([{t_arr}])[{idx}] ELSE text END AS text,
+            CASE WHEN doc_id % 4 = 1 THEN ([{l_arr}])[{idx}] ELSE lang END AS lang
+          ) FROM documents
+    """
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic (marker-token argmax over 8 languages)."""
-    docs = _load(spark, sf_dir, "documents")["documents"]
+    """Script-then-language ID: codepoint-range script pre-classifier
+    (CJK/kana/Hangul/Cyrillic/Arabic/Devanagari/Greek/Hebrew/Thai) then
+    in-script marker argmax (24 Latin languages + 4 Cyrillic), graded
+    over a corpus where 25% of docs are non-Latin slices."""
+    docs = _nonlatin_injected(_load(spark, sf_dir, "documents")["documents"])
     return docs.select("doc_id", TX.detect_lang_expr(F.col("text")).alias("lang_pred"))
 
 
@@ -1399,7 +1445,7 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     and char totals (the 'what is in my training set' report). One
     groupBy with map-side partial aggregation — at 100 TB this is a
     single shuffle of ~n_languages rows per map task."""
-    docs = _load(spark, sf_dir, "documents")["documents"]
+    docs = _nonlatin_injected(_load(spark, sf_dir, "documents")["documents"])
     return (
         docs.groupBy("lang")
         .agg(
@@ -2336,20 +2382,55 @@ def _content_sniff_oracle_sql() -> str:
     """
 
 
-def _langid_hits_and_case() -> tuple[str, str]:
-    """(hit-column SQL, argmax CASE SQL) generated ONCE from
-    LANG_MARKERS — shared by every oracle that mirrors
-    text.detect_lang_expr so the engines cannot drift."""
-    langs = list(TX.LANG_MARKERS)
-    hits = ",\n                     ".join(
-        _MARKER.format(m=", ".join(f"'{w}'" for w in TX.LANG_MARKERS[lang])) + f" AS h_{lang}"
-        for lang in langs
-    )
+def _argmax_case(prefix: str, langs: list[str], fallback_sql: str) -> str:
+    """First-match CASE chain ≡ argmax with declaration-order tie-break
+    (entry i fires iff its count > 0 and ≥ every LATER count — exactly
+    array_max over (hits, prio) structs)."""
     whens = []
     for i, lang in enumerate(langs):
-        conds = [f"h_{lang} > 0"] + [f"h_{lang} >= h_{o}" for o in langs[i + 1:]]
+        conds = [f"{prefix}{lang} > 0"] + [f"{prefix}{lang} >= {prefix}{o}" for o in langs[i + 1:]]
         whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
-    return hits, f"CASE {' '.join(whens)} ELSE 'unknown' END"
+    return f"CASE {' '.join(whens)} ELSE {fallback_sql} END"
+
+
+def _langid_hits_and_case() -> tuple[str, str]:
+    """(count/hit column SQL, dispatch CASE SQL) generated ONCE from
+    SCRIPT_CLASSES + SCRIPT_LANG + LANG_MARKERS + CYRILLIC_MARKERS —
+    shared by every oracle that mirrors text.detect_lang_expr so the
+    engines cannot drift. Mirrors the script-then-language shape:
+    dominant script by codepoint counts, then the in-script argmax."""
+    cols = []
+    for name, cls in TX.SCRIPT_CLASSES:
+        cols.append(f"length(regexp_replace(text, '[^{cls}]', '', 'g')) AS c_{name}")
+    langs = list(TX.LANG_MARKERS)
+    for lang in langs:
+        cols.append(
+            _MARKER.format(m=", ".join(f"'{w}'" for w in TX.LANG_MARKERS[lang])) + f" AS h_{lang}"
+        )
+    clangs = list(TX.CYRILLIC_MARKERS)
+    for lang in clangs:
+        m = ", ".join(f"'{w}'" for w in TX.CYRILLIC_MARKERS[lang])
+        cols.append(
+            f"len(list_filter(list_filter(string_split_regex(lower(text), "
+            f"'[^{TX.CYR_TOKEN_CLASS}]+'), x -> x <> ''), x -> x IN ({m}))) AS ch_{lang}"
+        )
+    hits = ",\n                     ".join(cols)
+
+    latin_case = _argmax_case("h_", langs, "'unknown'")
+    cyr_case = _argmax_case("ch_", clangs, "'ru'")
+    dom = ["latin", "cjk", "hangul", "cyrillic", "arabic", "devanagari", "greek", "hebrew", "thai"]
+    branch = {
+        "latin": latin_case,
+        "cjk": "CASE WHEN c_kana > 0 THEN 'ja' ELSE 'zh' END",
+        "cyrillic": cyr_case,
+        **{s: f"'{code}'" for s, code in TX.SCRIPT_LANG.items()},
+    }
+    cexpr = {s: ("(c_han + c_kana)" if s == "cjk" else f"c_{s}") for s in dom}
+    whens = []
+    for i, s in enumerate(dom):
+        conds = [f"{cexpr[s]} > 0"] + [f"{cexpr[s]} >= {cexpr[o]}" for o in dom[i + 1:]]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN {branch[s]}")
+    return hits, f"CASE {' '.join(whens)} ELSE {latin_case} END"
 
 
 def _corpus_stats_oracle_sql() -> str:
@@ -2360,9 +2441,10 @@ def _corpus_stats_oracle_sql() -> str:
         "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
     )
     return f"""
-        WITH h AS (
+        WITH inj AS ({_nonlatin_inject_sql()}),
+        h AS (
           SELECT doc_id, lang, text, {hits}
-          FROM documents
+          FROM inj
         ), p AS (
           SELECT lang, text, {case_sql} AS lang_pred FROM h
         )
@@ -2379,9 +2461,10 @@ def _langid_oracle_sql() -> str:
     LANG_MARKERS dict (argmax with dict-order tie-break)."""
     hits, case_sql = _langid_hits_and_case()
     return f"""
-        WITH h AS (
+        WITH inj AS ({_nonlatin_inject_sql()}),
+        h AS (
           SELECT doc_id, {hits}
-          FROM documents
+          FROM inj
         )
         SELECT doc_id, {case_sql} AS lang_pred FROM h
     """

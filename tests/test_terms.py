@@ -150,3 +150,26 @@ def test_winnow_guarantee_and_edges(spark):
     assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
     assert fps[4] == set()
     assert len(fps[5]) == 1
+
+
+def test_script_aware_langid_goldens(spark):
+    """Script pre-classifier: every NONLATIN_SAMPLES slice resolves to
+    its language; Latin marker argmax unchanged; digits-only text is
+    'unknown'; mixed Han+kana resolves ja (kana wins inside CJK)."""
+    from pyspark.sql import functions as F
+
+    from thecrowler_spark.functions import text as TX
+    from thecrowler_spark.sources.corpus import NONLATIN_SAMPLES
+
+    rows = [(k, v) for k, v in NONLATIN_SAMPLES.items()]
+    rows += [
+        ("en", "the quick brown fox is one of the best"),
+        ("de", "der hund und die katze ist das beste"),
+        ("unknown", "12345 67890 --- !!!"),
+        ("ja", "日本語のテキスト処理"),          # Han + katakana → ja
+        ("zh", "中文文本处理系统"),              # Han only → zh
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    out = df.select("lang", TX.detect_lang_expr(F.col("text")).alias("pred")).collect()
+    bad = [(r["lang"], r["pred"]) for r in out if r["lang"] != r["pred"]]
+    assert not bad, bad

@@ -86,10 +86,12 @@ def unique_preserving(arr: Column | str) -> Column:
     return F.array_distinct(_col(arr))
 
 
-#: per-language marker words (n-gram-heuristic stand-in for whatlanggo,
-#: web.go:3370-3401). Dict ORDER is the tie-break priority. ASCII-latin
-#: markers only — the tokenizer class is [a-z0-9], so non-latin scripts
-#: resolve to 'unknown' by construction (honest stub limit, documented).
+#: per-LATIN-language marker words (n-gram-heuristic stand-in for
+#: whatlanggo's trigram scoring, web.go:3370-3401). Dict ORDER is the
+#: tie-break priority. This dict covers the LATIN script branch of
+#: :func:`detect_lang_expr`; non-Latin scripts are resolved by the
+#: codepoint-range script pre-classifier (SCRIPT_CLASSES) first, the
+#: same script-then-language shape whatlanggo uses.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "of", "to", "is"),
     "es": ("el", "la", "los", "que", "es"),
@@ -121,8 +123,60 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "sq": ("dhe", "nuk", "eshte", "por", "sipas"),
 }
 
+def _urange(a: int, b: int) -> str:
+    """Inclusive codepoint range as literal chars — the SAME class
+    string drops into Java regex (Spark) and RE2 (the DuckDB oracle)."""
+    return f"{chr(a)}-{chr(b)}"
+
+
+#: Unicode script classes for the pre-classifier (whatlanggo detects
+#: the script first, then scores languages within it —
+#: /root/reference/pkg/crawler/web.go:3370-3401 via whatlanggo.Detect).
+#: ORDER is the dominance tie-break; latin first so an all-zero count
+#: vector falls through to the Latin marker argmax ('unknown').
+SCRIPT_CLASSES: "list[tuple[str, str]]" = [
+    ("latin", "A-Za-z"),
+    ("han", _urange(0x4E00, 0x9FFF)),                       # CJK Unified
+    ("kana", _urange(0x3040, 0x30FF)),                      # hiragana+katakana
+    ("hangul", _urange(0xAC00, 0xD7AF) + _urange(0x1100, 0x11FF)),
+    ("cyrillic", _urange(0x0400, 0x04FF)),
+    ("arabic", _urange(0x0600, 0x06FF)),
+    ("devanagari", _urange(0x0900, 0x097F)),
+    ("greek", _urange(0x0370, 0x03FF)),
+    ("hebrew", _urange(0x0590, 0x05FF)),
+    ("thai", _urange(0x0E00, 0x0E7F)),
+]
+
+#: scripts that map to a single ISO-639-1 code (the codes the
+#: reference's langMap expects for these scripts: kor/ara/hin/ell/heb/tha)
+SCRIPT_LANG: dict[str, str] = {
+    "hangul": "ko",
+    "arabic": "ar",
+    "devanagari": "hi",
+    "greek": "el",
+    "hebrew": "he",
+    "thai": "th",
+}
+
+#: lowercase Cyrillic token class (uppercase folds into 0430-045F via
+#: lower(); 0450-045F carries the uk/sr extras і ї є ј љ њ џ ѐ ѝ)
+CYR_TOKEN_CLASS = _urange(0x0430, 0x045F) + chr(0x0491)  # + ґ
+
+#: Cyrillic is multi-language — marker argmax like the Latin branch.
+#: Dict order is the tie-break; zero hits fall back to 'ru' (the
+#: script is KNOWN Cyrillic, so 'unknown' would discard information).
+CYRILLIC_MARKERS: dict[str, tuple[str, ...]] = {
+    "ru": ("и", "в", "не", "что", "как"),          # и в не что как
+    "uk": ("і", "що", "це", "та", "як"),                # і що це та як
+    "bg": ("е", "да", "се", "това", "към"),  # е да се това към
+    "sr": ("је", "у", "ово", "су", "није"),  # је у ово су није
+}
+
+
 #: whatlanggo ISO-639-3 name → ISO-639-1 code, full transcription of
 #: langMap /root/reference/pkg/crawler/types.go:416-479.
+#: NOTE "cnr" (Montenegrin) → "ru" is a FAITHFUL transcription of the
+#: reference's own map (types.go:436) — parity, do not "fix".
 ISO_639_MAP: dict[str, str] = {
     "unknown": "unknown", "afr": "af", "sqi": "sq", "amh": "am", "ara": "ar",
     "hye": "hy", "asm": "as", "aze": "az", "aze_cyrl": "az", "bel": "be",
@@ -140,25 +194,26 @@ ISO_639_MAP: dict[str, str] = {
 }
 
 
-def detect_lang_expr(c: Column | str) -> Column:
-    """Deterministic language-ID heuristic (reference uses whatlanggo,
-    /root/reference/pkg/crawler/web.go:3370-3401).
+def tokens_cls(c: Column | str, cls: str) -> Column:
+    """Lowercased tokens over an arbitrary char class (non-Latin
+    tokenizers for the script-specific marker argmax)."""
+    arr = F.split(F.lower(_col(c)), f"[^{cls}]+")
+    return F.filter(arr, lambda w: w != "")
 
-    Counts hits from :data:`LANG_MARKERS` per language over the token
-    array; argmax wins with dict-order priority on ties; zero hits
-    everywhere → 'unknown'. Pure Column expression so the DuckDB oracle
-    can mirror it exactly (generated from the same dict).
+
+def _marker_argmax(toks: Column, markers: dict[str, tuple[str, ...]], fallback: str) -> Column:
+    """Argmax of marker-word hit counts with dict-order tie-break.
+
+    One (hits, priority, lang) struct per language; array_max's struct
+    compare = argmax on hits with dict-order priority on ties — each
+    hit count appears in the expression tree exactly ONCE (the r2 form
+    was an O(n_langs²) when-chain that re-embedded every hit column,
+    which stops being free at 24 languages).
     """
-    toks = tokens(c)
-    langs = list(LANG_MARKERS)
-    # one (hits, priority, lang) struct per language; array_max's struct
-    # compare = argmax on hits with dict-order priority on ties — each
-    # hit count appears in the expression tree exactly ONCE (the r2 form
-    # was an O(n_langs²) when-chain that re-embedded every hit column,
-    # which stops being free at 24 languages).
+    langs = list(markers)
     entries = []
-    for i, (lang, markers) in enumerate(LANG_MARKERS.items()):
-        m = F.array(*[F.lit(w) for w in markers])
+    for i, (lang, words) in enumerate(markers.items()):
+        m = F.array(*[F.lit(w) for w in words])
         hits = F.size(F.filter(toks, lambda w: F.array_contains(m, w)))
         entries.append(
             F.struct(
@@ -168,7 +223,60 @@ def detect_lang_expr(c: Column | str) -> Column:
             )
         )
     best = F.array_max(F.array(*entries))
-    return F.when(best["h"] > 0, best["lang"]).otherwise(F.lit("unknown"))
+    return F.when(best["h"] > 0, best["lang"]).otherwise(F.lit(fallback))
+
+
+def script_counts(c: Column | str) -> dict[str, Column]:
+    """Per-script codepoint counts (pure Column: strip the complement
+    class, take the length — one regex pass per script)."""
+    t = _col(c)
+    return {
+        name: F.length(F.regexp_replace(t, f"[^{cls}]", ""))
+        for name, cls in SCRIPT_CLASSES
+    }
+
+
+def detect_lang_expr(c: Column | str) -> Column:
+    """Deterministic script-then-language ID (the whatlanggo shape,
+    /root/reference/pkg/crawler/web.go:3370-3401).
+
+    Phase 1 — script: codepoint-range counts per SCRIPT_CLASSES; the
+    dominant script wins (argmax, declaration-order tie-break; Han and
+    kana pool as 'cjk'). Phase 2 — language within script: CJK → 'ja'
+    if any kana else 'zh'; Hangul/Arabic/Devanagari/Greek/Hebrew/Thai
+    are single-language (SCRIPT_LANG); Cyrillic → marker argmax over
+    CYRILLIC_MARKERS (ru/uk/bg/sr, fallback 'ru'); Latin → marker
+    argmax over LANG_MARKERS (24 languages, fallback 'unknown').
+    All pure Column expressions; the DuckDB oracle is generated from
+    the same dicts so the engines cannot drift.
+    """
+    cnt = script_counts(c)
+    dom = [
+        ("latin", cnt["latin"]),
+        ("cjk", cnt["han"] + cnt["kana"]),
+        ("hangul", cnt["hangul"]),
+        ("cyrillic", cnt["cyrillic"]),
+        ("arabic", cnt["arabic"]),
+        ("devanagari", cnt["devanagari"]),
+        ("greek", cnt["greek"]),
+        ("hebrew", cnt["hebrew"]),
+        ("thai", cnt["thai"]),
+    ]
+    entries = [
+        F.struct(h.alias("h"), F.lit(len(dom) - i).alias("prio"), F.lit(name).alias("s"))
+        for i, (name, h) in enumerate(dom)
+    ]
+    script = F.array_max(F.array(*entries))["s"]
+    latin_best = _marker_argmax(tokens(c), LANG_MARKERS, "unknown")
+    cyr_best = _marker_argmax(tokens_cls(c, CYR_TOKEN_CLASS), CYRILLIC_MARKERS, "ru")
+    expr = F.when(
+        script == F.lit("cjk"),
+        F.when(cnt["kana"] > 0, F.lit("ja")).otherwise(F.lit("zh")),
+    )
+    for name, code in SCRIPT_LANG.items():
+        expr = expr.when(script == F.lit(name), F.lit(code))
+    expr = expr.when(script == F.lit("cyrillic"), cyr_best)
+    return expr.otherwise(latin_best)
 
 
 def iso_lang_code(c: Column | str) -> Column:

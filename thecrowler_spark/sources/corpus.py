@@ -70,6 +70,24 @@ _VOCAB = (
 
 _FILLER = "the and of to is a in that it for on with as at by from".split()
 
+#: Deterministic non-Latin text slices: one sample per script-resolved
+#: language of functions.text.detect_lang_expr. Used by the langid /
+#: corpus-stats graded queries (injected over doc_id % 4 == 1 so ≥25%
+#: of the graded corpus is non-Latin) and by pytest goldens. Dict order
+#: matters: queries index into list(NONLATIN_SAMPLES) by doc_id.
+NONLATIN_SAMPLES: dict[str, str] = {
+    "zh": "这是一个测试文档 网络爬虫系统处理和分析数据",
+    "ja": "これはテストです ウェブクローラーのデータ処理について",
+    "ko": "이것은 테스트 문서입니다 웹 크롤러 데이터 처리",
+    "ru": "это тестовый документ и не что как обработка данных",
+    "uk": "це тестовий документ і що та як обробка даних",
+    "ar": "هذه وثيقة اختبار لمعالجة البيانات",
+    "hi": "यह एक परीक्षण दस्तावेज़ है डेटा प्रसंस्करण",
+    "el": "αυτό είναι ένα δοκιμαστικό έγγραφο επεξεργασίας δεδομένων",
+    "he": "זהו מסמך בדיקה לעיבוד נתונים",
+    "th": "นี่คือเอกสารทดสอบการประมวลผลข้อมูล",
+}
+
 
 def host_name(h: int) -> str:
     return f"h{h}.example.com"
