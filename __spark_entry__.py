@@ -331,6 +331,202 @@ def q_content_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: planted tech signatures for the graded detection query:
+#: (modulus, remainder, html snippet) — shared by the Spark page
+#: synthesis and the DuckDB oracle so the engines cannot drift
+_TECH_PLANTS = [
+    (4, 0, ' <script src="/wp-content/themes/a/app.js"></script>'),
+    (4, 1, ' <div data-reactroot></div> <script src="https://cdn.shopify.com/s/f.js"></script>'),
+    (5, 0, ' <script src="/assets/jquery.min.js"></script>'),
+    (6, 0, ' <link href="/css/bootstrap.min.css">'),
+    (9, 0, ' <script src="https://www.google-analytics.com/analytics.js"></script>'),
+]
+#: header-rule key → flat oracle column
+_TECH_HEADER_COLS = {
+    "server": "h_server",
+    "x-powered-by": "h_xpb",
+    "content-security-policy": "h_csp",
+}
+
+
+def _tech_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic detection corpus over documents: planted body
+    snippets, wp-admin URLs, a 3-way server header rotation, PHP /
+    CSP headers and generator metas on doc_id arithmetic."""
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    i = F.col("doc_id")
+    body = F.concat(
+        F.substring(F.col("text"), 1, 80),
+        *[
+            F.when((i % m) == r, F.lit(s)).otherwise(F.lit(""))
+            for m, r, s in _TECH_PLANTS
+        ],
+    )
+    url = F.concat(
+        F.lit("https://h"), (i % 7).cast("string"), F.lit(".example.com/"),
+        F.when(i % 4 == 0, F.lit("wp-admin/p")).otherwise(F.lit("p")),
+        i.cast("string"),
+    )
+    server = (
+        F.when(i % 3 == 0, F.lit("nginx/1.24.0"))
+        .when(i % 3 == 1, F.lit("Apache/2.4.58 (Unix)"))
+        .otherwise(F.lit("cloudflare"))
+    )
+    headers = F.map_filter(
+        F.create_map(
+            F.lit("server"), server,
+            F.lit("x-powered-by"), F.when(i % 4 == 0, F.lit("PHP/8.2.7")),
+            F.lit("content-security-policy"),
+            F.when(i % 2 == 0, F.lit("default-src 'self'")),
+        ),
+        lambda k, v: v.isNotNull(),
+    )
+    gen = F.when(i % 4 == 0, F.lit("WordPress 6.4.2")).when(
+        i % 10 == 7, F.lit("Drupal 10")
+    )
+    metas = F.when(
+        gen.isNotNull(),
+        F.array(F.struct(F.lit("generator").alias("name"), gen.alias("content"))),
+    ).otherwise(F.array().cast("array<struct<name:string,content:string>>"))
+    return docs.select(
+        "doc_id", url.alias("url"), body.alias("body"),
+        headers.alias("headers"), metas.alias("metas"),
+    )
+
+
+def q_detected_tech(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Technology detection (DetectTechnologies,
+    /root/reference/pkg/detection/detection.go:57-223): broadcast
+    signature rules → body/url/header/meta match legs → per-(page,
+    object) confidence accumulation → implied-technology pass →
+    confidence curve + threshold + no_ prefix."""
+    from thecrowler_spark.operators.detection import detect_technologies, tech_rules_df
+
+    return detect_technologies(_tech_pages(spark, sf_dir), tech_rules_df(spark))
+
+
+def _detected_tech_oracle_sql() -> str:
+    """DuckDB mirror of q_detected_tech, generated from the SAME
+    DEFAULT_TECH_RULES + _TECH_PLANTS data (one UNION ALL leg per
+    rule; agg / implied / confidence CASE mirror detection.py)."""
+    from thecrowler_spark.operators.detection import DEFAULT_TECH_RULES
+
+    body_sql = " || ".join(
+        ["substr(text, 1, 80)"]
+        + [
+            f"CASE WHEN doc_id % {m} = {r} THEN '{s}' ELSE '' END"
+            for m, r, s in _TECH_PLANTS
+        ]
+    )
+    legs = []
+    for rr in DEFAULT_TECH_RULES:
+        obj, kind, key, pat, conf = (
+            rr["object_name"], rr["kind"], rr["key"], rr["pattern"], rr["confidence"],
+        )
+        head = f"SELECT id, '{obj}' AS object_name, '{kind}' AS kind"
+        if kind == "body":
+            legs.append(
+                f"{head}, '{pat}' AS pat, {conf} AS conf FROM pages "
+                f"WHERE regexp_matches(body, '{pat}')"
+            )
+        elif kind == "url":
+            legs.append(
+                f"{head}, '{pat}' AS pat, {conf} AS conf FROM pages "
+                f"WHERE regexp_matches(url, '{pat}')"
+            )
+        elif kind == "header":
+            col = _TECH_HEADER_COLS[key]
+            legs.append(
+                f"{head}, '{pat}' AS pat, {conf} AS conf FROM pages "
+                f"WHERE {col} IS NOT NULL AND regexp_matches(lower({col}), '{pat}')"
+            )
+        elif kind == "header_absent":
+            col = _TECH_HEADER_COLS[key]
+            legs.append(
+                f"{head}, '{key}' AS pat, -{conf} AS conf FROM pages "
+                f"WHERE {col} IS NULL"
+            )
+        elif kind == "meta":
+            legs.append(
+                f"{head}, '{pat}' AS pat, {conf} AS conf FROM pages "
+                f"WHERE meta_gen IS NOT NULL AND regexp_matches(lower(meta_gen), '{pat}')"
+            )
+    events = "\n          UNION ALL\n          ".join(legs)
+    # dedup edges across rules with the same object_name
+    edge_rows = list(dict.fromkeys(
+        (rr["object_name"], imp)
+        for rr in DEFAULT_TECH_RULES
+        for imp in rr.get("implies", ())
+    ))
+    edges = ", ".join(f"('{a}', '{b}')" for a, b in edge_rows)
+    return f"""
+        WITH pages AS (
+          SELECT doc_id AS id,
+                 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/' ||
+                 CASE WHEN doc_id % 4 = 0 THEN 'wp-admin/p' ELSE 'p' END ||
+                 CAST(doc_id AS VARCHAR) AS url,
+                 lower(trim({body_sql})) AS body,
+                 CASE WHEN doc_id % 3 = 0 THEN 'nginx/1.24.0'
+                      WHEN doc_id % 3 = 1 THEN 'Apache/2.4.58 (Unix)'
+                      ELSE 'cloudflare' END AS h_server,
+                 CASE WHEN doc_id % 4 = 0 THEN 'PHP/8.2.7' END AS h_xpb,
+                 CASE WHEN doc_id % 2 = 0 THEN 'default-src ''self''' END AS h_csp,
+                 CASE WHEN doc_id % 4 = 0 THEN 'WordPress 6.4.2'
+                      WHEN doc_id % 10 = 7 THEN 'Drupal 10' END AS meta_gen
+          FROM documents
+        ),
+        events AS (
+          {events}
+        ),
+        agg AS (
+          SELECT id, object_name, sum(conf) AS x,
+                 array_to_string(list_sort(list_distinct(list(pat))), '|') AS matched_patterns,
+                 max(CASE WHEN kind = 'header' THEN 1 ELSE 0 END) AS f_header,
+                 max(CASE WHEN kind = 'url' THEN 1 ELSE 0 END) AS f_url,
+                 max(CASE WHEN kind = 'meta' THEN 1 ELSE 0 END) AS f_meta,
+                 max(CASE WHEN kind = 'body' THEN 1 ELSE 0 END) AS f_body
+          FROM events GROUP BY id, object_name
+        ),
+        det AS (
+          SELECT id, object_name, x,
+                 concat_ws(',',
+                   CASE WHEN f_header = 1 THEN 'http_header' END,
+                   CASE WHEN f_url = 1 THEN 'url' END,
+                   CASE WHEN f_meta = 1 THEN 'meta_tags' END,
+                   CASE WHEN f_body = 1 THEN 'html' END) AS entity_type,
+                 matched_patterns
+          FROM agg
+        ),
+        edges(object_name, implied) AS (VALUES {edges}),
+        imp AS (
+          SELECT d.id, e.implied, d.x, d.object_name AS implier,
+                 row_number() OVER (PARTITION BY d.id, e.implied
+                                    ORDER BY d.x DESC, d.object_name ASC) AS rn
+          FROM det d JOIN edges e USING (object_name)
+          WHERE NOT EXISTS (SELECT 1 FROM det o
+                            WHERE o.id = d.id AND o.object_name = e.implied)
+        ),
+        fullt AS (
+          SELECT id, object_name, x, entity_type, matched_patterns FROM det
+          UNION ALL
+          SELECT id, implied, x, 'implied', 'implied by ' || implier
+          FROM imp WHERE rn = 1
+        ),
+        conft AS (
+          SELECT *, CASE WHEN x < 0 THEN 100.0 - least(100.0, -x)
+                         WHEN x < 1.0 THEN (x / 1.0) * 10
+                         WHEN x < 5.0 THEN 10.0 + ((x - 1.0) / 4.0) * 30
+                         WHEN x < 10.0 THEN 40.0 + ((x - 5.0) / 5.0) * 60
+                         ELSE least(100.0, 40.0 + ((x - 10.0) / 5.0) * 60) END AS c
+          FROM fullt
+        )
+        SELECT id AS doc_id,
+               CASE WHEN x < 0 THEN 'no_' || object_name ELSE object_name END AS entity_name,
+               entity_type, round(c, 6) AS confidence, matched_patterns
+        FROM conft WHERE c > 10
+    """
+
+
 def q_content_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P10 regex-rule content-type detection + P11 HTML sniffing."""
     from thecrowler_spark.operators.content_type import detect_content_type, sniff_html
@@ -2034,6 +2230,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the back. Goal: every oracled query has ≥1 driver-green row across
     rounds."""
     return {
+        # --- new in r4 -------------------------------------------------
+        "detected_tech": q_detected_tech,
         # --- (a) changed this round: re-prove -------------------------
         "crawl_counters": q_crawl_counters,        # oracle HUGEINT cast fix
         "embedding_neardup": q_embedding_neardup,  # de-vacuoused (planted pairs)
@@ -3733,6 +3931,7 @@ def oracle_sql() -> dict[str, str]:
             FROM nation, (VALUES ('disallow'), ('allow'), ('crawl_delay')) AS r(rule_type)
         """,
         "crawl_bfs": _crawl_bfs_oracle_sql(),
+        "detected_tech": _detected_tech_oracle_sql(),
     }
 
 

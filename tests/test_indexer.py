@@ -110,3 +110,30 @@ def test_netinfo_screenshot_sinks(spark, tmp_path):
     got = LakeTable(spark, f"{d}/screenshots").read()
     assert got.count() == 2
     assert got.first()["screenshot_ref"].endswith(".png")
+
+
+def test_index_star_detected_tech_table(spark):
+    """tech_rules adds the detected_tech star table: PageInfo.DetectedTech
+    stored with the index row (web.go:1017)."""
+    from thecrowler_spark.operators.detection import tech_rules_df
+
+    docs = _docs(
+        spark,
+        [
+            _page(
+                "https://b.example.com/wp",
+                "Blog",
+                'intro <script src="/wp-content/t/x.js"></script> jquery.min.js',
+                [("generator", "WordPress 6.4.2")],
+            ),
+            _page("https://b.example.com/plain", "Plain", "nothing to see"),
+        ],
+    )
+    t = build_index_tables(parse_documents(docs), tech_rules=tech_rules_df(spark))
+    det = {(r["index_id"][:8], r["entity_name"]): r for r in t["detected_tech"].collect()}
+    names = {n for _, n in det}
+    # WordPress via body+meta; implied PHP/MySQL; jQuery via body;
+    # no_CSP on both pages (span pages carry no headers)
+    assert {"WordPress", "PHP", "MySQL", "jQuery", "JavaScript", "no_CSP"} <= names
+    wp = [v for (_, n), v in det.items() if n == "WordPress"][0]
+    assert wp["entity_type"] == "meta_tags,html"
