@@ -394,6 +394,50 @@ def _tech_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """infoseed candidate canonicalization (NormalizeURL +
+    NormalizeCandidatesWithRejections + ApplyBuiltInCandidateFilters,
+    /root/reference/pkg/infoseed/candidates.go:89-222): tracking params
+    stripped + query key-sorted + default ports dropped, URL/host dedup
+    with stable rejection reasons, scheme/domain-set filters and
+    per-host caps — every drop auditable."""
+    from thecrowler_spark.operators.candidates import (
+        apply_candidate_filters,
+        normalize_candidates,
+    )
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    i = F.col("doc_id")
+    # deterministic messy candidates: tracking params, default ports,
+    # mixed-case schemes/hosts, fragments, duplicates, denied hosts,
+    # invalid rows
+    url = (
+        F.when(i % 11 == 0, F.concat(F.lit("HTTPS://Ads.Example.ORG:443/t"), (i % 5).cast("string"), F.lit("?gclid=g"), i.cast("string")))
+        .when(i % 7 == 0, F.concat(F.lit("https://h"), (i % 3).cast("string"), F.lit(".example.com:443/p"), (i % 20).cast("string"), F.lit("?utm_source=feed&utm_medium=rss&id="), (i % 4).cast("string")))
+        .when(i % 7 == 1, F.concat(F.lit("http://h"), (i % 3).cast("string"), F.lit(".example.com:80/p"), (i % 20).cast("string"), F.lit("#frag"), i.cast("string")))
+        .when(i % 7 == 2, F.concat(F.lit("ftp://files.example.com/f"), i.cast("string")))
+        .when(i % 7 == 3, F.lit("   "))
+        .when(i % 7 == 4, F.concat(F.lit("https://H"), (i % 3).cast("string"), F.lit(".Example.com/p"), (i % 20).cast("string"), F.lit("?z=1&a=2&fbclid=x")))
+        .otherwise(F.concat(F.lit("https://h"), (i % 3).cast("string"), F.lit(".example.com/p"), (i % 20).cast("string")))
+    )
+    cands = docs.select(i.alias("cand_id"), url.alias("url"))
+    normed = normalize_candidates(cands, url_col="url", order_col="cand_id")
+    filtered = apply_candidate_filters(
+        normed.filter(F.col("reject_reason").isNull()).drop("reject_reason"),
+        url_col="url",
+        order_col="cand_id",
+        required_schemes=("http", "https"),
+        denied_domains=("ads.example.org",),
+        max_per_host=30,
+    )
+    rejected_early = normed.filter(F.col("reject_reason").isNotNull()).withColumn(
+        "domain", F.lit(None).cast("string")
+    )
+    return filtered.select("cand_id", "url", "host", "domain", "reject_reason").unionByName(
+        rejected_early.select("cand_id", "url", "host", "domain", "reject_reason")
+    )
+
+
 def q_detected_tech(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Technology detection (DetectTechnologies,
     /root/reference/pkg/detection/detection.go:57-223): broadcast
@@ -403,6 +447,104 @@ def q_detected_tech(spark: SparkSession, sf_dir: str) -> DataFrame:
     from thecrowler_spark.operators.detection import detect_technologies, tech_rules_df
 
     return detect_technologies(_tech_pages(spark, sf_dir), tech_rules_df(spark))
+
+
+def _url_canonical_oracle_sql(max_per_host: int = 30) -> str:
+    """DuckDB mirror of q_url_canonical: same candidate synthesis
+    arithmetic, then an independent SQL re-implementation of
+    NormalizeURL (scheme/host lowering, default-port + fragment drop,
+    tracking-param strip with key-sorted re-encode), URL dedup with
+    reasons, and the filter cascade (schemes, denied domains, per-host
+    cap) — tracking params come from the same DEFAULT_TRACKING_PARAMS
+    tuple."""
+    from thecrowler_spark.functions.urls import DEFAULT_TRACKING_PARAMS
+
+    params = ", ".join(f"'{p}'" for p in DEFAULT_TRACKING_PARAMS)
+    nlabels = "len(string_split(host, '.'))"
+    reg_dom = (
+        f"CASE WHEN {nlabels} <= 2 THEN host ELSE "
+        f"array_to_string(list_slice(string_split(host, '.'), {nlabels} - 1, {nlabels}), '.') END"
+    )
+    return f"""
+        WITH cands AS (
+          SELECT doc_id AS cand_id,
+            CASE
+              WHEN doc_id % 11 = 0 THEN 'HTTPS://Ads.Example.ORG:443/t' || CAST(doc_id % 5 AS VARCHAR) || '?gclid=g' || CAST(doc_id AS VARCHAR)
+              WHEN doc_id % 7 = 0 THEN 'https://h' || CAST(doc_id % 3 AS VARCHAR) || '.example.com:443/p' || CAST(doc_id % 20 AS VARCHAR) || '?utm_source=feed&utm_medium=rss&id=' || CAST(doc_id % 4 AS VARCHAR)
+              WHEN doc_id % 7 = 1 THEN 'http://h' || CAST(doc_id % 3 AS VARCHAR) || '.example.com:80/p' || CAST(doc_id % 20 AS VARCHAR) || '#frag' || CAST(doc_id AS VARCHAR)
+              WHEN doc_id % 7 = 2 THEN 'ftp://files.example.com/f' || CAST(doc_id AS VARCHAR)
+              WHEN doc_id % 7 = 3 THEN '   '
+              WHEN doc_id % 7 = 4 THEN 'https://H' || CAST(doc_id % 3 AS VARCHAR) || '.Example.com/p' || CAST(doc_id % 20 AS VARCHAR) || '?z=1&a=2&fbclid=x'
+              ELSE 'https://h' || CAST(doc_id % 3 AS VARCHAR) || '.example.com/p' || CAST(doc_id % 20 AS VARCHAR)
+            END AS url
+          FROM documents
+        ),
+        canon AS (
+          SELECT cand_id, url,
+                 lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+                 regexp_extract(trim(url), '^[^/]*://([^/?#]*)', 1) AS hostport,
+                 regexp_extract(trim(url), '^[^/]*://[^/?#]*([^?#]*)', 1) AS path0,
+                 regexp_extract(trim(url), '\\?([^#]*)', 1) AS query0
+          FROM cands
+        ),
+        canon2 AS (
+          SELECT *, lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
+                 regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+                 CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+                 array_to_string(list_sort(list_filter(string_split(query0, '&'),
+                   p -> p <> '' AND NOT list_contains([{params}], lower(trim(split_part(p, '=', 1)))))), '&') AS q2
+          FROM canon
+        ),
+        canon3 AS (
+          SELECT cand_id, url, host,
+                 (trim(url) <> '' AND scheme IN ('http', 'https') AND host <> ''
+                  AND NOT regexp_matches(trim(url), '\\s')) AS ok,
+                 scheme || '://' ||
+                 CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                           OR (scheme = 'https' AND port = '443')
+                      THEN host ELSE host || ':' || port END ||
+                 path || CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END AS rebuilt
+          FROM canon2
+        ),
+        normed AS (
+          SELECT cand_id, CASE WHEN ok THEN rebuilt ELSE url END AS url, host, ok
+          FROM canon3
+        ),
+        d AS (
+          SELECT cand_id, url, host,
+                 CASE WHEN NOT ok THEN 'invalid_url'
+                      WHEN row_number() OVER (PARTITION BY url ORDER BY cand_id) > 1
+                      THEN 'duplicate_url' END AS reason
+          FROM normed
+        ),
+        f AS (
+          SELECT cand_id, url, host,
+                 lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+                 {reg_dom} AS domain
+          FROM d WHERE reason IS NULL
+        ),
+        f2 AS (
+          SELECT *, CASE WHEN scheme = '' OR host = '' THEN 'invalid_url'
+                         WHEN scheme NOT IN ('http', 'https') THEN 'required_scheme'
+                         WHEN host = 'ads.example.org' OR ends_with(host, '.ads.example.org')
+                              OR domain = 'ads.example.org' OR ends_with(domain, '.ads.example.org')
+                         THEN 'denied_domain' END AS r1
+          FROM f
+        ),
+        f3 AS (
+          SELECT *, CASE WHEN r1 IS NULL THEN
+                   row_number() OVER (PARTITION BY CASE WHEN r1 IS NULL THEN host END
+                                      ORDER BY cand_id) END AS hrn
+          FROM f2
+        )
+        SELECT cand_id, url, host, domain,
+               COALESCE(r1, CASE WHEN hrn > {max_per_host}
+                                 THEN 'max_candidates_per_host' END) AS reject_reason
+        FROM f3
+        UNION ALL
+        SELECT cand_id, url, host, CAST(NULL AS VARCHAR), reason
+        FROM d WHERE reason IS NOT NULL
+    """
 
 
 def _detected_tech_oracle_sql() -> str:
@@ -2232,6 +2374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in r4 -------------------------------------------------
         "detected_tech": q_detected_tech,
+        "url_canonical": q_url_canonical,
         # --- (a) changed this round: re-prove -------------------------
         "crawl_counters": q_crawl_counters,        # oracle HUGEINT cast fix
         "embedding_neardup": q_embedding_neardup,  # de-vacuoused (planted pairs)
@@ -3932,6 +4075,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "crawl_bfs": _crawl_bfs_oracle_sql(),
         "detected_tech": _detected_tech_oracle_sql(),
+        "url_canonical": _url_canonical_oracle_sql(),
     }
 
 

@@ -153,6 +153,112 @@ def is_external_link(source_url: Column | str, link_url: Column | str, level: Co
     )
 
 
+#: infoseed's default tracking-parameter set, sorted
+#: (``defaultTrackingParams`` /root/reference/pkg/infoseed/candidates.go:293-297)
+DEFAULT_TRACKING_PARAMS = (
+    "fbclid", "gclid", "mc_cid", "mc_eid", "msclkid",
+    "utm_campaign", "utm_content", "utm_medium", "utm_source", "utm_term",
+)
+
+
+def strip_tracking_params(
+    c: Column | str, params: tuple[str, ...] = DEFAULT_TRACKING_PARAMS
+) -> Column:
+    """Drop tracking query params and re-encode with SORTED pairs.
+
+    Reference: ``removeTrackingParams``
+    /root/reference/pkg/infoseed/candidates.go:264-290 — keys compared
+    case-insensitively; Go re-encodes via url.Values.Encode, which
+    SORTS keys for stable candidate identity, so any URL with a query
+    comes out key-sorted even when nothing was removed. Approximations
+    (documented): pairs sort as whole 'k=v' strings (Go sorts by key
+    keeping per-key value order — differs only on duplicate keys), and
+    values are assumed already %-encoded. Fragments are untouched
+    (NormalizeURL drops them before calling this; the frontier dedup
+    key has no fragments in the corpus).
+
+    Pure Column expression: split / filter / array_sort / join.
+    """
+    t = _col(c)
+    base = F.substring_index(t, "?", 1)
+    query = F.when(t.contains("?"), F.regexp_extract(t, r"\?([^#]*)", 1)).otherwise(F.lit(""))
+    pset = F.array(*[F.lit(p) for p in params])
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~F.array_contains(pset, F.lower(F.trim(F.substring_index(p, "=", 1)))),
+    )
+    q2 = F.array_join(F.array_sort(kept), "&")
+    return F.when(
+        (query == "") | (q2 == ""), base
+    ).otherwise(F.concat(base, F.lit("?"), q2))
+
+
+def registrable_domain(host: Column | str) -> Column:
+    """Last two labels of a hostname (whole host when ≤ 2 labels).
+
+    Reference: ``registrableDomain``
+    /root/reference/pkg/infoseed/candidates.go:256-262 (a heuristic,
+    not the PSL — faithful to the reference's own choice).
+    """
+    h = F.lower(F.trim(_col(host)))
+    h = F.regexp_replace(F.regexp_replace(h, r"^\.+", ""), r"\.+$", "")
+    return F.substring_index(h, ".", -2)
+
+
+def matches_domain_set(host: Column | str, domains: tuple[str, ...]) -> Column:
+    """host == d or host endswith '.d' for any d (``matchesDomainSet``,
+    candidates.go:246-254); the set is config-sized, so an OR chain."""
+    h = F.lower(F.trim(_col(host)))
+    out = F.lit(False)
+    for d in domains:
+        d = d.strip().lower().lstrip(".")
+        if d:
+            out = out | (h == d) | h.endswith("." + d)
+    return out
+
+
+def canonical_candidate_url(
+    c: Column | str, params: tuple[str, ...] = DEFAULT_TRACKING_PARAMS
+) -> Column:
+    """infoseed ``NormalizeURL`` (candidates.go:89-123) as one struct
+    column: (url, host, ok).
+
+    trim → scheme must be http/https (lowercased) → host lowercased,
+    default port dropped (http:80/https:443) → fragment dropped →
+    tracking params removed + query key-sorted → empty path becomes
+    '/'. Go url.Parse failure is modeled as internal whitespace (the
+    repo-wide documented approximation); userinfo is assumed absent.
+    """
+    t = F.trim(_col(c))
+    scheme = F.lower(F.regexp_extract(t, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    hostport = F.regexp_extract(t, r"^[^/]*://([^/?#]*)", 1)
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    drop_port = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    eff_hp = F.when((port == "") | drop_port, host).otherwise(
+        F.concat(host, F.lit(":"), port)
+    )
+    path = F.regexp_extract(t, r"^[^/]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(t, r"\?([^#]*)", 1)
+    rebuilt = strip_tracking_params(
+        F.when(query == "", F.concat(scheme, F.lit("://"), eff_hp, path)).otherwise(
+            F.concat(scheme, F.lit("://"), eff_hp, path, F.lit("?"), query)
+        ),
+        params,
+    )
+    ok = (
+        (t != "")
+        & scheme.isin("http", "https")
+        & (host != "")
+        & ~t.rlike(r"\s")
+    )
+    return F.struct(rebuilt.alias("url"), host.alias("host"), ok.alias("ok"))
+
+
 def url_sha256(c: Column | str) -> Column:
     """sha256 hex of a URL/content string (reference hashes with sha256
     throughout, e.g. /root/reference/pkg/crawler/crawler.go:1508-1520)."""

@@ -111,6 +111,13 @@ class CrawlConfig:
     #: shard-interleaved, not dense. Requires max_links == 0 (the
     #: cumulative cutoff is inherently a total-order construct).
     ordering_shards: int = 1
+    #: strip tracking query params (fbclid/gclid/utm_* — infoseed's
+    #: default set, candidates.go:264-297) from the URL-SEEN DEDUP KEY,
+    #: so ?utm_source variants collapse to one frontier entry instead of
+    #: inflating the seen-set with boilerplate variants at crawl scale.
+    #: The FETCH url is untouched (reference parity: the crawler fetches
+    #: the authored link; only infoseed canonicalizes).
+    strip_tracking: bool = False
 
 
 #: per-source counter fields (TotalPages/Links/Skipped/Duplicates/Errors
@@ -371,6 +378,14 @@ class CrawlEngine:
             F.col("doc_id"), F.col("links"), F.col("title")
         ).persist()
 
+    def _seen_norm(self, c) -> F.Column:
+        """URL-seen dedup key: NormalizeURL (lower + rtrim-slash), with
+        the tracking params stripped first when cfg.strip_tracking —
+        the infoseed canonicalization applied to the SEEN KEY only."""
+        if self.cfg.strip_tracking:
+            return U.normalize_url_seen(U.strip_tracking_params(F.col(c) if isinstance(c, str) else c))
+        return U.normalize_url_seen(c)
+
     # ------------------------------------------------ ordering shards
 
     def _seq_parts(self, link_col: str = "link") -> list:
@@ -511,7 +526,7 @@ class CrawlEngine:
             F.col("source_url").alias("url"),
         )
         seed_vis = seed_ok.select(
-            "source_id", U.normalize_url_seen("source_url").alias("norm_url")
+            "source_id", self._seen_norm("source_url").alias("norm_url")
         )
         if prior_vis is not None:
             # this run's depth-0 DELTA: seed keys not already seen
@@ -801,7 +816,7 @@ class CrawlEngine:
 
         # resolve relative links (crawler.go:2210-2212) + seen-key
         lv = level.withColumn("url_link", U.combine_urls("source_url", "link")).withColumn(
-            "norm_url", U.normalize_url_seen("url_link")
+            "norm_url", self._seen_norm("url_link")
         )
         lv = _skip_flags(lv, cfg)
         lv = _robots_block(lv, self.robots)
@@ -868,7 +883,7 @@ class CrawlEngine:
         # global-known probe (PreventDuplicateURLs, queries.go:74-88)
         if cfg.prevent_duplicate_urls:
             known = pages.select(
-                "source_id", U.normalize_url_seen("url").alias("norm_url")
+                "source_id", self._seen_norm("url").alias("norm_url")
             ).drop("source_id").distinct().withColumn("_known", F.lit(True))
             lv = lv.join(known, ["norm_url"], "left").withColumn(
                 "_known", F.coalesce(F.col("_known"), F.lit(False))
