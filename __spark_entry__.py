@@ -1445,6 +1445,30 @@ def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the planted shared run for q_winnow_pairs (12 tokens ≥ w+k−1 = 6,
+#: so every planted pair MUST share ≥1 winnow fingerprint)
+_WINNOW_PLANT = (
+    " the shared slogan run about distributed crawling systems appears"
+    " verbatim here today"
+)
+
+
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnow partial-overlap pairs: shared-fingerprint equi-join over
+    the MOSS fingerprints — the position-aware near-dup detector
+    (quoted passages / boilerplate blocks) completing the winnow
+    family. Docs with doc_id % 12 < 2 get a planted 12-token shared
+    run so the pair set is non-vacuous."""
+    docs = _load(spark, sf_dir, "documents")["documents"].filter(F.col("doc_id") % 3 == 0)
+    docs = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 12 < 2, F.concat(F.col("text"), F.lit(_WINNOW_PLANT))
+        ).otherwise(F.col("text")),
+    )
+    return DD.winnow_pairs(docs, k=3, w=4)
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals (2-gram totals/distinct/top) as
     exact integers."""
@@ -2375,6 +2399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r4 -------------------------------------------------
         "detected_tech": q_detected_tech,
         "url_canonical": q_url_canonical,
+        "winnow_pairs": q_winnow_pairs,
         # --- (a) changed this round: re-prove -------------------------
         "crawl_counters": q_crawl_counters,        # oracle HUGEINT cast fix
         "embedding_neardup": q_embedding_neardup,  # de-vacuoused (planted pairs)
@@ -3587,6 +3612,34 @@ def oracle_sql() -> dict[str, str]:
               FROM g
             )
             SELECT doc_id, unnest(fps) AS fingerprint FROM wins
+        """,
+        "winnow_pairs": f"""
+            WITH inj AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 12 < 2 THEN text || '{_WINNOW_PLANT}'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 3 = 0
+            ),
+            toks AS (SELECT doc_id, {sw_filter} AS l FROM inj),
+            g AS (
+              SELECT doc_id, len(l) AS n,
+                     list_transform(generate_series(1, len(l) - 2),
+                                    i -> ('0x' || substr(md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2]), 1, 8))::BIGINT) AS grams
+              FROM toks
+            ),
+            wins AS (
+              SELECT doc_id,
+                     CASE WHEN n < 3 THEN CAST([] AS BIGINT[])
+                          WHEN len(grams) < 4 THEN [list_min(grams)]
+                          ELSE list_distinct(list_transform(generate_series(1, len(grams) - 3),
+                                                            j -> list_min(grams[j:j+3])))
+                     END AS fps
+              FROM g
+            ),
+            fp AS (SELECT DISTINCT doc_id, unnest(fps) AS f FROM wins)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+            FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
         """,
         "text_langid": _langid_oracle_sql(),
         "text_langmap": _langmap_oracle_sql(),

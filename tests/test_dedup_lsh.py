@@ -130,3 +130,54 @@ def test_verify_pairs_jaccard_kills_false_positives(spark):
     }
     assert got == want
     assert {(a, b) for a, b, _ in got} == {(1, 2)}
+
+
+def test_winnow_pairs_planted_shared_run(spark):
+    """Winnowing guarantee: two docs sharing a ≥ w+k−1-token run share
+    ≥1 fingerprint → the pair is found; unrelated docs are not paired;
+    the hot-fingerprint cap kills corpus-wide boilerplate pairs."""
+    from thecrowler_spark.operators.dedup import winnow_pairs
+
+    run = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens ≥ 6
+    rows = [
+        (1, "unique opening one " + run + " unique tail one"),
+        (2, "different prologue two " + run + " other ending two"),
+        (3, "totally unrelated text about pasta and olive oil in pans"),
+        (4, "another unrelated essay on shuffle partitions and codegen"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in winnow_pairs(docs, k=3, w=4).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert all({a, b} == {1, 2} for a, b in pairs)
+
+    # boilerplate in EVERY doc + cap → the all-pairs explosion is killed
+    boiler = " all rights reserved contact us terms of service apply"
+    docs2 = spark.createDataFrame(
+        [(i, f"doc number {i} body token{i} filler{i}" + boiler) for i in range(12)],
+        "doc_id long, text string",
+    )
+    capped = winnow_pairs(docs2, k=3, w=4, max_fp_freq=5)
+    assert capped.count() == 0  # shared fps were all hot → dropped
+
+
+def test_winnow_token_cap_property(spark):
+    """10⁶-token doc: the cap bounds the materialized arrays and the
+    fingerprints equal those of the truncated prefix (no OOM, no drift
+    below the cap)."""
+    from pyspark.sql import functions as F
+
+    from thecrowler_spark.functions.text import winnow_fingerprints
+
+    big = " ".join(f"w{i % 97}x{i % 89}" for i in range(1_000_000))
+    prefix = " ".join(big.split()[:5_000])
+    df = spark.createDataFrame([(1, big), (2, prefix)], "id long, t string")
+    out = df.select(
+        "id",
+        F.sort_array(winnow_fingerprints(F.col("t"), k=3, w=4, max_tokens=5_000)).alias("f"),
+    ).collect()
+    fps = {r["id"]: r["f"] for r in out}
+    assert fps[1] == fps[2]          # capped big doc ≡ its 5k-token prefix
+    assert 0 < len(fps[1]) <= 5_000

@@ -71,3 +71,45 @@ def test_hits_star_and_mass(spark):
     # normalized masses: each half-step renormalizes to ~scale
     assert abs(sum(a for _, a in rows.values()) - 1_000_000) <= 5
     assert abs(sum(h for h, _ in rows.values()) - 1_000_000) <= 5
+
+
+def test_deep_iteration_auto_persist(spark):
+    """20-iteration PageRank/HITS complete with bounded plans (auto
+    persist_each beyond 5 iterations truncates the per-round lineage
+    doubling) and PageRank matches a pure-int Python simulation."""
+    from pyspark.sql import functions as F
+
+    from thecrowler_spark.operators.linkgraph import hits_fixedpoint, pagerank_fixedpoint
+
+    n = 30
+    edge_list = [(u, (u * 7 + 3) % n) for u in range(n)] + [
+        (u, (u * 13 + 5) % n) for u in range(n)
+    ]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+
+    scale, damp, it = 1_000_000_000, 85, 20
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank_fixedpoint(edges, n_iter=it, scale=scale).collect()
+    }
+    # pure-int simulation of the exact fixed-point recurrence
+    nodes = sorted({u for u, _ in edge_list} | {v for _, v in edge_list})
+    outd = {}
+    for u, _ in edge_list:
+        outd[u] = outd.get(u, 0) + 1
+    rank = {v: scale // len(nodes) for v in nodes}
+    base = (scale * (100 - damp)) // (100 * len(nodes))
+    for _ in range(it):
+        contrib = {v: 0 for v in nodes}
+        for u, v in edge_list:
+            contrib[v] += (rank[u] * damp) // (100 * outd[u])
+        rank = {v: base + contrib[v] for v in nodes}
+    assert got == rank
+
+    # HITS at 20 iterations: completes with bounded plans and the L1
+    # mass respects the integer-DIV norm invariant: norm divides by
+    # max(t DIV scale, 1), which only shrinks once t ≥ 2×scale, so the
+    # steady-state hub mass lands in (0, 2×scale)
+    h = hits_fixedpoint(edges, n_iter=20, scale=1_000_000)
+    tot = h.agg(F.sum("hub_fp").alias("t")).first()["t"]
+    assert 0 < tot < 2_000_000

@@ -323,20 +323,51 @@ def fingerprint_md5(c: Column | str) -> Column:
     return F.md5(normalize_text(c))
 
 
-def shingles(c: Column | str, k: int = 3) -> Column:
+def bind_once(col: Column, fn) -> Column:
+    """Evaluate ``col`` ONCE per row and hand the materialized value to
+    ``fn`` as a lambda variable.
+
+    Higher-order-function lambdas re-evaluate captured OUTER expressions
+    per element (no common-subexpression elimination inside HOFs), so
+    ``transform(seq, i -> slice(tokens(text), i, k))`` re-splits the
+    whole document for EVERY index — O(tokens²) on long docs. Wrapping
+    the array in a 1-element ``transform`` makes it a bound lambda
+    variable: inner lambdas then reference the materialized array.
+    """
+    return F.transform(F.array(col), fn)[0]
+
+
+def _capped_tokens(c: Column | str, max_tokens: int | None) -> Column:
+    """tokens(), truncated to the first ``max_tokens`` — the executor-
+    memory guard for the array-materializing kernels (winnow/shingles
+    build O(tokens) arrays per ROW; a single adversarial multi-MB doc
+    would otherwise be memory-bound before it is CPU-bound)."""
+    toks = tokens(c)
+    if max_tokens is None:
+        return toks
+    return F.slice(toks, 1, max_tokens)
+
+
+def shingles(c: Column | str, k: int = 3, max_tokens: int | None = None) -> Column:
     """k-token shingles of the normalized text as array<string>.
 
     Built from JVM array ops only: tokens → transform over index range →
     join windows of k. Used by the n-gram Jaccard and MinHash dedup
-    operators.
+    operators. ``max_tokens`` truncates pathological docs (None = exact
+    classic mode, the oracle default). The token array is bound once per
+    row (:func:`bind_once`) so the per-shingle slices reference the
+    materialized array instead of re-splitting the document per index.
     """
-    toks = tokens(c)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(
-        n >= k,
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")),
-    ).otherwise(F.when(n > 0, F.array(F.array_join(toks, " "))).otherwise(F.array()))
+
+    def per_toks(toks: Column) -> Column:
+        n = F.size(toks)
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        return F.when(
+            n >= k,
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")),
+        ).otherwise(F.when(n > 0, F.array(F.array_join(toks, " "))).otherwise(F.array()))
+
+    return bind_once(_capped_tokens(c, max_tokens), per_toks)
 
 
 def ngrams(c: Column | str, n: int = 2) -> Column:
@@ -345,7 +376,9 @@ def ngrams(c: Column | str, n: int = 2) -> Column:
     return shingles(c, k=n)
 
 
-def winnow_fingerprints(c: Column | str, k: int = 3, w: int = 4) -> Column:
+def winnow_fingerprints(
+    c: Column | str, k: int = 3, w: int = 4, max_tokens: int | None = 100_000
+) -> Column:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD'03 — the MOSS algorithm): hash every k-gram, slide a window
     of ``w`` consecutive hashes, keep each window's MINIMUM; the
@@ -357,31 +390,43 @@ def winnow_fingerprints(c: Column | str, k: int = 3, w: int = 4) -> Column:
     All JVM array expressions; the k-gram hash is the md5-prefix
     integer both engines compute identically, so the oracle can
     mirror the exact fingerprint set. Empty/short docs: < k tokens →
-    empty; < w k-grams → one global min.
+    empty; < w k-grams → one global min. ``max_tokens`` (default 100k)
+    truncates adversarial multi-MB docs before the O(tokens×w) window
+    arrays materialize — fingerprints beyond the cap are dropped, the
+    prefix's fingerprints are unchanged. Token and gram arrays are each
+    bound once per row (:func:`bind_once`): HOF lambdas re-evaluate
+    captured outer expressions per element, so the unbound form
+    re-tokenized the document per gram index — O(tokens²) on long docs.
     """
-    toks = tokens(c)
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-        lambda i: F.conv(
-            F.substring(F.md5(F.array_join(F.slice(toks, i + 1, k), " ")), 1, 8), 16, 10
-        ).cast("long"),
-    )
-    g = F.size(grams)
     empty = F.array().cast("array<bigint>")
-    wins = F.when(
-        n < k, empty
-    ).when(
-        g < w, F.array(F.array_min(grams))
-    ).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), g - w),
-                lambda j: F.array_min(F.slice(grams, j + 1, w)),
-            )
+
+    def per_toks(toks: Column) -> Column:
+        n = F.size(toks)
+        grams0 = F.transform(
+            F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+            lambda i: F.conv(
+                F.substring(F.md5(F.array_join(F.slice(toks, i + 1, k), " ")), 1, 8), 16, 10
+            ).cast("long"),
         )
-    )
-    return wins
+
+        def per_grams(grams: Column) -> Column:
+            g = F.size(grams)
+            return F.when(
+                n < k, empty
+            ).when(
+                g < w, F.array(F.array_min(grams))
+            ).otherwise(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), g - w),
+                        lambda j: F.array_min(F.slice(grams, j + 1, w)),
+                    )
+                )
+            )
+
+        return bind_once(grams0, per_grams)
+
+    return bind_once(_capped_tokens(c, max_tokens), per_toks)
 
 
 def repetition_signals(c: Column | str, n: int = 2) -> tuple[Column, Column, Column]:

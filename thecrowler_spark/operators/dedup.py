@@ -159,6 +159,58 @@ def minhash_lsh_candidates(
     )
 
 
+def winnow_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 1,
+    max_fp_freq: int | None = None,
+    max_tokens: int | None = 100_000,
+) -> DataFrame:
+    """Partial-overlap detector: docs sharing winnowing fingerprints.
+
+    Completes the winnow family (functions.text.winnow_fingerprints is
+    the per-doc sampler): explode (doc, fingerprint) distinct pairs,
+    shared-fingerprint EQUI-join (never all-pairs — docs with zero
+    shared fingerprints never meet), count per pair. By the winnowing
+    guarantee, any shared run of ≥ w+k−1 tokens between two docs yields
+    ≥ 1 shared fingerprint, so this finds POSITIONAL overlap (quoted
+    passages, boilerplate blocks) that MinHash's global sampling
+    dilutes away on long documents.
+
+    ``max_fp_freq`` is the same 100 TB skew valve as
+    :func:`ngram_jaccard_pairs`'s hot-shingle cap: a fingerprint shared
+    by F docs contributes F² join rows; corpus-wide boilerplate
+    fingerprints carry no overlap signal and are dropped BEFORE the
+    join when the cap is set. Returns (id_a, id_b, n_shared).
+    """
+    fps = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(TX.winnow_fingerprints(F.col(text_col), k=k, w=w, max_tokens=max_tokens)).alias("fp"),
+        )
+        .distinct()
+    )
+    if max_fp_freq is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_fp_freq)
+            .select("fp")
+        )
+        fps = fps.join(hot, "fp", "left_anti")
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def verify_pairs_jaccard(
     docs: DataFrame,
     pairs: DataFrame,

@@ -59,7 +59,7 @@ def pagerank_fixedpoint(
     damping_pct: int = 85,
     src: str = "src",
     dst: str = "dst",
-    persist_each: bool = False,
+    persist_each: bool | None = None,
 ) -> DataFrame:
     """PageRank power iteration in exact int64 fixed point.
 
@@ -70,8 +70,13 @@ def pagerank_fixedpoint(
     Output: (node, rank_fp) — divide by ``scale`` for the float rank.
     Multi-edges contribute once each (outdeg counts them too), matching
     a repeated-link vote. ``persist_each`` persists the rank table per
-    iteration (recommended beyond ~5 iterations to truncate lineage).
+    iteration to truncate lineage (the unpersisted plan DOUBLES per
+    round — exponential beyond a handful of iterations). Default None =
+    AUTO: on when ``n_iter > 5`` so a deep-iteration caller can't hit
+    the exponential-plan footgun by omission.
     """
+    if persist_each is None:
+        persist_each = n_iter > 5
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
@@ -92,7 +97,6 @@ def pagerank_fixedpoint(
         "node", F.expr(f"{scale}L DIV _n").alias("rank_fp")
     )
     base = F.expr(f"({scale}L * {100 - damping_pct}L) DIV (100L * _n)")
-    prev = None
     for _ in range(n_iter):
         contrib = (
             edges.select(F.col(src).alias("node"), F.col(dst).alias("_dst"))
@@ -114,13 +118,12 @@ def pagerank_fixedpoint(
             )
         )
         if persist_each:
-            # materialize the new rank, then release the superseded one —
-            # at most two rank tables live in cache at any moment
-            rank = rank.persist()
-            rank.count()
-            if prev is not None:
-                prev.unpersist()
-            prev = rank
+            # localCheckpoint TRUNCATES the logical plan (persist alone
+            # keeps the full lineage in the plan tree, and 20 stacked
+            # iterations of analyzed plan will OOM the driver before the
+            # data does) — each round's plan restarts from the
+            # checkpointed RDD
+            rank = rank.localCheckpoint(eager=True)
     return rank
 
 
@@ -130,7 +133,7 @@ def hits_fixedpoint(
     scale: int = 1_000_000,
     src: str = "src",
     dst: str = "dst",
-    persist_each: bool = False,
+    persist_each: bool | None = None,
 ) -> DataFrame:
     """HITS hubs & authorities (Kleinberg) in exact int64 fixed point.
 
@@ -145,8 +148,12 @@ def hits_fixedpoint(
     Same scale shape as PageRank: per-iteration equi-joins of a tiny
     score table to edges + partial-agg sums; hub/authority skew is
     aggregation skew, absorbed map-side. Output:
-    (node, hub_fp, auth_fp).
+    (node, hub_fp, auth_fp). ``persist_each`` default None = AUTO: on
+    when ``n_iter > 5`` (lineage doubles per round otherwise — see
+    :func:`pagerank_fixedpoint`).
     """
+    if persist_each is None:
+        persist_each = n_iter > 5
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
@@ -175,16 +182,11 @@ def hits_fixedpoint(
 
     h = nodes.select("node", F.lit(scale).cast("long").alias("hub_fp"))
     a = None
-    prev_h = prev_a = None
     for _ in range(n_iter):
         a = _half(h, "hub_fp", src, dst, "auth_fp")
         h = _half(a, "auth_fp", dst, src, "hub_fp")
         if persist_each:
-            a = a.persist()
-            h = h.persist()
-            h.count()
-            for old in (prev_h, prev_a):
-                if old is not None:
-                    old.unpersist()
-            prev_h, prev_a = h, a
+            # plan truncation per round (see pagerank_fixedpoint)
+            a = a.localCheckpoint(eager=True)
+            h = h.localCheckpoint(eager=True)
     return h.join(a, "node").select("node", "hub_fp", "auth_fp")
