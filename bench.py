@@ -26,6 +26,7 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CRAWL_DOCS = int(os.environ.get("BENCH_CRAWL_DOCS", "1000000"))
+PIPELINE_DOCS = int(os.environ.get("BENCH_PIPELINE_DOCS", "200000"))
 
 HEADLINE = [
     "url_normalize",
@@ -147,6 +148,39 @@ def _pipeline(spark, docs, visited, robots, budgets):
     )
 
 
+def pipeline_throughput(spark, n_docs: int) -> dict:
+    """End-to-end docs/sec through the 7-stage training-data pipeline
+    (jobs/pipeline_job.run_pipeline) over a hash-defined corpus with
+    planted exact dups, near dups, and boilerplate lines — every stage
+    does real work (see sources.corpus.big_documents_df). Timed window
+    = parquet read → all stages → parquet write, i.e. the whole job a
+    user runs; corpus synthesis+write is setup (a real corpus already
+    exists on disk)."""
+    import shutil
+    import tempfile
+
+    from jobs.pipeline_job import parse_args, run_pipeline
+    from thecrowler_spark.sources.corpus import big_documents_df
+
+    workdir = tempfile.mkdtemp(prefix="bench_pipeline_")
+    try:
+        inp = f"{workdir}/documents_in"
+        big_documents_df(spark, n_docs).write.mode("overwrite").parquet(inp)
+        args = parse_args(["--input", inp, "--output", f"{workdir}/out"])
+        t0 = time.time()
+        manifest = run_pipeline(spark, args)
+        elapsed = time.time() - t0
+        return {
+            "input_docs": manifest["input_rows"],
+            "docs_per_sec": round(manifest["input_rows"] / elapsed, 1),
+            "elapsed_sec": round(elapsed, 3),
+            "stages": manifest["stages"],
+            "dropped_rows": manifest.get("dropped_rows", 0),
+        }
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def _raw_cpu_time(cores: int) -> float:
     """Wall time for `cores` pure-Python spin processes pinned to `cores`
     cores — measures the HOST's parallel-efficiency ceiling at this
@@ -234,6 +268,7 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
     total = round(sum(timings.values()), 3)
+    pipeline_res = pipeline_throughput(spark, PIPELINE_DOCS)
     spark.stop()
 
     # crawl throughput at CPU-pinned parallelism levels.
@@ -277,6 +312,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "pipeline": pipeline_res,
         "crawl": {
             "candidate_urls": full_res["n_candidates"],
             f"urls_per_sec_c{n_lo}": round(lo_res["urls_per_sec"], 1),

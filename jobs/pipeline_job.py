@@ -71,15 +71,26 @@ def run_pipeline(spark, args) -> dict:
     docs = spark.read.parquet(args.input).select("doc_id", "text").persist()
     manifest: dict = {"input_rows": docs.count(), "stages": {}}
     dropped_parts = []
+    cached = [docs]
+
+    def stage(df):
+        # persist at every stage boundary: each stage's manifest count is
+        # an action and the final writes replay the chain — without the
+        # cache the expensive middle stages (LSH candidates → Jaccard
+        # verify → connected components) re-execute once per downstream
+        # action instead of once total
+        df = df.persist()
+        cached.append(df)
+        return df
 
     def drop(df, reason):
         dropped_parts.append(df.select("doc_id").withColumn("reason", F.lit(reason)))
 
     # 1. exact dedup — keep the min doc_id per canonical content key
     keymap = DD.exact_dedup(docs, text_col="text", id_col="doc_id")
-    survivors = docs.join(
+    survivors = stage(docs.join(
         keymap.select(F.col("keep_id").alias("doc_id")), "doc_id", "inner"
-    )
+    ))
     drop(docs.join(survivors.select("doc_id"), "doc_id", "left_anti"), "exact_dup")
     manifest["stages"]["exact_dedup"] = survivors.count()
 
@@ -99,23 +110,23 @@ def run_pipeline(spark, args) -> dict:
     fuzzy_losers = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias("doc_id")
     )
-    survivors = survivors.join(fuzzy_losers, "doc_id", "left_anti")
+    survivors = stage(survivors.join(fuzzy_losers, "doc_id", "left_anti"))
     drop(fuzzy_losers, "fuzzy_dup")
     manifest["stages"]["fuzzy_dedup"] = survivors.count()
 
     # 3. CCNet boilerplate-line removal (hash-keyed shuffle)
-    cleaned = DD.dedup_lines(
+    cleaned = stage(DD.dedup_lines(
         survivors, text_col="text", id_col="doc_id", max_count=args.line_max_count
-    ).select("doc_id", F.col("text_dedup").alias("text"))
+    ).select("doc_id", F.col("text_dedup").alias("text")))
     drop(cleaned.filter(F.length("text") == 0), "all_boilerplate")
     cleaned = cleaned.filter(F.length("text") > 0)
     manifest["stages"]["line_dedup"] = cleaned.count()
 
     # 4. quality filter (integer-exact verdicts)
-    verdicts = quality_filter_verdict(cleaned)
+    verdicts = stage(quality_filter_verdict(cleaned))
     kept = verdicts.filter(F.col("keep")).select("doc_id")
     drop(verdicts.filter(~F.col("keep")).select("doc_id"), "quality")
-    survivors = cleaned.join(kept, "doc_id", "inner")
+    survivors = stage(cleaned.join(kept, "doc_id", "inner"))
     manifest["stages"]["quality"] = survivors.count()
 
     # 5. decontamination (optional)
@@ -135,12 +146,13 @@ def run_pipeline(spark, args) -> dict:
 
     # 7. split + pack
     weights = {"train": args.train, "val": args.val, "test": args.test}
+    survivors = stage(survivors)
     sized = survivors.withColumn("n_tokens", TX.token_count(F.col("text")))
-    packed = pack_documents(
+    packed = stage(pack_documents(
         sized.withColumn("split", assign_split(F.col("doc_id"), weights)),
         budget=args.budget,
         buckets=args.buckets,
-    )
+    ))
     manifest["stages"]["packed"] = packed.count()
 
     out = args.output
@@ -152,7 +164,8 @@ def run_pipeline(spark, args) -> dict:
             d = d.unionByName(part)
         d.write.mode("overwrite").parquet(f"{out}/dropped")
         manifest["dropped_rows"] = spark.read.parquet(f"{out}/dropped").count()
-    docs.unpersist()
+    for df in cached:
+        df.unpersist()
     return manifest
 
 

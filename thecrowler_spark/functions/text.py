@@ -208,22 +208,29 @@ def _marker_argmax(toks: Column, markers: dict[str, tuple[str, ...]], fallback: 
     compare = argmax on hits with dict-order priority on ties — each
     hit count appears in the expression tree exactly ONCE (the r2 form
     was an O(n_langs²) when-chain that re-embedded every hit column,
-    which stops being free at 24 languages).
+    which stops being free at 24 languages). The token array is bound
+    once (:func:`bind_once`) so the per-language filters scan ONE
+    materialized array instead of re-tokenizing the document per
+    language.
     """
     langs = list(markers)
-    entries = []
-    for i, (lang, words) in enumerate(markers.items()):
-        m = F.array(*[F.lit(w) for w in words])
-        hits = F.size(F.filter(toks, lambda w: F.array_contains(m, w)))
-        entries.append(
-            F.struct(
-                hits.alias("h"),
-                F.lit(len(langs) - i).alias("prio"),
-                F.lit(lang).alias("lang"),
+
+    def per_toks(tk: Column) -> Column:
+        entries = []
+        for i, (lang, words) in enumerate(markers.items()):
+            m = F.array(*[F.lit(w) for w in words])
+            hits = F.size(F.filter(tk, lambda w: F.array_contains(m, w)))
+            entries.append(
+                F.struct(
+                    hits.alias("h"),
+                    F.lit(len(langs) - i).alias("prio"),
+                    F.lit(lang).alias("lang"),
+                )
             )
-        )
-    best = F.array_max(F.array(*entries))
-    return F.when(best["h"] > 0, best["lang"]).otherwise(F.lit(fallback))
+        best = F.array_max(F.array(*entries))
+        return F.when(best["h"] > 0, best["lang"]).otherwise(F.lit(fallback))
+
+    return bind_once(toks, per_toks)
 
 
 def script_counts(c: Column | str) -> dict[str, Column]:
@@ -441,19 +448,41 @@ def repetition_signals(c: Column | str, n: int = 2) -> tuple[Column, Column, Col
 
     Divergence note: Gopher measures the fraction of *characters* inside
     duplicate n-grams; we use occurrence fractions (same signal, exact
-    arithmetic). Pure JVM array expressions — per-row cost O(distinct ×
-    total) on bounded doc length, no shuffle, no Python.
+    arithmetic). Pure JVM array expressions — no shuffle, no Python.
+    top_count is a sort-then-scan (longest equal run of the SORTED gram
+    array via ``aggregate``): O(t log t) per row. The naive
+    transform-over-distinct form is O(distinct × total) — and because
+    HOF lambdas re-evaluate captured outer expressions per element, it
+    re-tokenized the document per distinct gram, which dominated the
+    pipeline's quality stage.
     """
     grams = ngrams(c, n)
     total = F.size(grams)
-    distinct = F.array_distinct(grams)
-    top = F.when(
-        total > 0,
-        F.array_max(F.transform(distinct, lambda d: F.size(F.filter(grams, lambda x: x == d)))),
-    ).otherwise(F.lit(0))
+    distinct = F.size(F.array_distinct(grams))
+
+    def longest_run(g: Column) -> Column:
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        )
+
+        def step(acc: Column, x: Column) -> Column:
+            run = F.when(
+                acc["prev"].isNotNull() & (x == acc["prev"]), acc["run"] + 1
+            ).otherwise(F.lit(1))
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+            )
+
+        return F.aggregate(F.sort_array(g), init, step, lambda acc: acc["best"])
+
+    top = bind_once(grams, longest_run)
     return (
         total.cast("int"),
-        F.size(distinct).cast("int"),
+        distinct.cast("int"),
         top.cast("int"),
     )
 

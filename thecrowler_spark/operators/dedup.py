@@ -497,6 +497,11 @@ def connected_components(
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
         .distinct()
+        # materialize ONCE: every propagation round joins edges, and the
+        # convergence count() is an action per round — without this the
+        # caller's candidate-generation lineage (LSH + Jaccard verify)
+        # re-executes EVERY round
+        .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("u").alias("id")).distinct().withColumn(
         "component", F.col("id")

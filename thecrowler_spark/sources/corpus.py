@@ -26,7 +26,7 @@ import zlib
 from dataclasses import dataclass, field
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -318,3 +318,62 @@ def big_corpus_df(
         ],
     )
     return df.select(url.alias("doc_id"), spans.alias("spans"))
+
+
+def big_documents_df(
+    spark: SparkSession,
+    n_docs: int,
+    vocab: int = 5000,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Hash-defined (doc_id, text) corpus for the pipeline bench lane:
+    no driver data, scales to any n, and every pipeline stage gets real
+    work by construction:
+
+    - ~4% EXACT duplicates: ids with ``xxhash64(id) % 25 == 0`` reuse
+      the content seed of a doc in the first 10% of the id space.
+    - ~4% NEAR duplicates: ``% 25 == 1`` reuse a seed but append a
+      one-word twist (MinHash-LSH + Jaccard-verify work).
+    - every doc ends with the same boilerplate line, and docs on the
+      same seed-group share a second semi-hot line (CCNet line-dedup
+      work; the global line's count always exceeds ``max_count``).
+    - body = 4 lines × 12-24 hash-words over a ``vocab``-word
+      vocabulary: ≥ 48 tokens, high 2-gram diversity → most docs PASS
+      the Gopher screens, so downstream stages see realistic volume.
+    """
+    partitions = partitions or spark.sparkContext.defaultParallelism * 2
+    df = spark.range(0, n_docs, 1, partitions)
+    bucket = F.pmod(F.xxhash64("id"), F.lit(25))
+    base = F.greatest(F.lit(1), F.lit(max(n_docs // 10, 1)))
+    seed = (
+        F.when(bucket < 2, F.pmod(F.xxhash64("id", F.lit(7)), base))
+        .otherwise(F.col("id"))
+        .alias("seed")
+    )
+    df = df.select("id", seed, bucket.alias("_b"))
+
+    def line(k: int) -> Column:
+        n_words = F.lit(12) + F.pmod(F.xxhash64("seed", F.lit(k)), F.lit(13))
+        return F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), n_words),
+                lambda i: F.concat(
+                    F.lit("w"),
+                    F.pmod(F.xxhash64(F.col("seed"), F.lit(k), i), F.lit(vocab)).cast("string"),
+                ),
+            ),
+        )
+
+    body = F.concat_ws("\n", line(1), line(2), line(3), line(4))
+    twist = F.when(
+        F.col("_b") == 1,
+        F.concat(F.lit("\nvariant token v"), F.col("id").cast("string")),
+    ).otherwise(F.lit(""))
+    groupline = F.concat(
+        F.lit("shared group heading number "),
+        F.pmod(F.col("seed"), F.lit(max(n_docs // 500, 1))).cast("string"),
+    )
+    boiler = F.lit("all rights reserved example corp contact terms of service")
+    text = F.concat_ws("\n", groupline, F.concat(body, twist), boiler)
+    return df.select(F.col("id").alias("doc_id"), text.alias("text"))
