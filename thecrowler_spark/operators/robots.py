@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from thecrowler_spark.functions import text as TX
+
 
 def url_path_expr(url_col) -> F.Column:
     p = F.regexp_replace(url_col, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/]*", "")
@@ -49,10 +51,14 @@ def disallow_prefix_filter(
     joined = links.join(
         F.broadcast(prefixes), links[host_col] == F.col("_rhost"), "left"
     )
-    path = url_path_expr(F.col(url_col))
+    # bind the path extract once per row (HOF lambdas re-evaluate
+    # captured outer expressions per element — see robots_verdict)
     blocked = F.when(
         F.col("_dis_prefixes").isNotNull(),
-        F.exists("_dis_prefixes", lambda p: path.startswith(p)),
+        TX.bind_once(
+            url_path_expr(F.col(url_col)),
+            lambda path: F.exists("_dis_prefixes", lambda p: path.startswith(p)),
+        ),
     ).otherwise(F.lit(False))
     return joined.filter(~blocked).drop("_rhost", "_dis_prefixes")
 
@@ -114,17 +120,30 @@ def robots_verdict(
         .withColumnRenamed("host", "_rhost")
     )
     joined = links.join(F.broadcast(rules), links[host_col] == F.col("_rhost"), "left")
-    path = url_path_expr(F.col(url_col))
-    matched = F.filter(
-        F.col("_rules"),
-        lambda r: F.when(
-            r["wild"].isNotNull(), F.regexp_like(path, r["wild"])
-        ).otherwise(path.startswith(r["prefix"])),
+
+    # bind the path ONCE per row: HOF lambdas re-evaluate captured outer
+    # expressions per element, so referencing the regex extract directly
+    # inside the filter would re-extract the path per rule (and the
+    # match array is consumed twice below, doubling it again)
+    def verdict(path: F.Column) -> F.Column:
+        matched = F.filter(
+            F.col("_rules"),
+            lambda r: F.when(
+                r["wild"].isNotNull(), F.regexp_like(path, r["wild"])
+            ).otherwise(path.startswith(r["prefix"])),
+        )
+
+        def decide(m: F.Column) -> F.Column:
+            # struct compare: plen, then is_allow (allow wins tie)
+            return F.when(F.size(m) == 0, F.lit(True)).otherwise(
+                F.array_max(m)["is_allow"] == 1
+            )
+
+        return TX.bind_once(matched, decide)
+
+    allowed = F.when(F.col("_rules").isNull(), F.lit(True)).otherwise(
+        TX.bind_once(url_path_expr(F.col(url_col)), verdict)
     )
-    best = F.array_max(matched)  # struct compare: plen, then is_allow (allow wins tie)
-    allowed = F.when(
-        F.col("_rules").isNull() | (F.size(matched) == 0), F.lit(True)
-    ).otherwise(best["is_allow"] == 1)
     return joined.withColumn("robots_allowed", allowed).drop("_rhost", "_rules")
 
 
