@@ -15,6 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from thecrowler_spark.functions import fingerprints as FP
 from thecrowler_spark.functions import text as TX
 from thecrowler_spark.functions import urls as U
 from thecrowler_spark.operators import content_type as CT
@@ -1413,6 +1414,131 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", TX.fingerprint_md5(F.col("text")).alias("fingerprint"))
 
 
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's fingerprint factory family over documents
+    (pkg/fingerprints factory.go:54-83): md5 class (JA3/JA3S/HASSH/
+    HASSHServer), sha256 class (SHA256/CustomTLS), and the TLSH
+    byte-histogram variant (tlsh.go:36-52).
+
+    The TLSH columns expose the 512-hex-char histogram (the
+    fingerprint's entire information content) plus sha256 over that
+    hex string: DuckDB's sha256 is VARCHAR-only, so the raw-count-byte
+    digest of tlsh_hex itself is verified against hashlib in
+    tests/test_fingerprints.py instead. All pure Column expressions.
+    """
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    out = docs.select(
+        "doc_id",
+        FP.md5_hex(F.col("text")).alias("fp_md5"),
+        FP.sha256_hex(F.col("text")).alias("fp_sha256"),
+        FP.tlsh_histogram_hex(F.col("text")).alias("tlsh_histogram"),
+    )
+    return out.withColumn(
+        "histogram_digest", F.sha2(F.col("tlsh_histogram").cast("binary"), 256)
+    )
+
+
+def q_jarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JARM fuzzy TLS-handshake hash (jarm.go:33-108) over
+    deterministic synthetic handshake-details rows.
+
+    Raw synthesis (mirrored in the oracle) exercises every code path:
+    md5-derived cipher picks hit the found / not-found (count=70) /
+    empty branches, version digits hit the 'abcdef' letters and the
+    out-of-range '0', and every 50th doc gets the canonical all-empty
+    raw that short-circuits to 62 zeros. The hash itself is the pure
+    Column pipeline of functions.fingerprints.jarm_hash.
+    """
+    docs = _load(spark, sf_dir, "documents")["documents"]
+
+    def handshake(k: int):
+        m = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f"#jarm{k}")))
+        idx = F.conv(F.substring(m, 1, 4), 16, 10).cast("int") % 80
+        ciphers = F.array(*[F.lit(x) for x in FP.JARM_CIPHERS])
+        cipher = (
+            F.when(idx % 13 == 0, F.lit(""))
+            .when(idx < len(FP.JARM_CIPHERS), F.element_at(ciphers, idx + 1))
+            .otherwise(F.lit("beef"))
+        )
+        d = F.conv(F.substring(m, 5, 2), 16, 10).cast("int") % 10
+        ver = F.when(idx % 11 == 0, F.lit("")).otherwise(
+            F.substring(F.lit("0123456789"), d + 1, 1)
+        )
+        alpn = F.concat(F.lit("a"), F.substring(m, 7, 2))
+        ext = F.concat(F.lit("e"), F.substring(m, 9, 2))
+        return F.concat_ws("|", cipher, ver, alpn, ext)
+
+    raw = F.when(
+        F.col("doc_id") % 50 == 0, F.lit(FP.JARM_EMPTY_RAW)
+    ).otherwise(F.concat_ws(",", *[handshake(k) for k in range(1, 11)]))
+    return docs.select(
+        "doc_id", raw.alias("jarm_raw")
+    ).withColumn("jarm", FP.jarm_hash(F.col("jarm_raw")))
+
+
+def _jarm_oracle_sql() -> str:
+    """DuckDB mirror of q_jarm, generated from the SAME constants
+    (fingerprints.JARM_CIPHERS / JARM_EMPTY_RAW) as the Spark path so
+    the engines cannot drift: identical raw synthesis (md5-derived
+    cipher/version picks), then jarm.go's cipherBytes / versionByte /
+    sha256[:32] chain in SQL lambdas."""
+    ciphers = "[" + ", ".join(f"'{c}'" for c in FP.JARM_CIPHERS) + "]"
+    n = len(FP.JARM_CIPHERS)
+
+    def hs(k: int) -> str:
+        m = f"md5(doc_id::VARCHAR || '#jarm{k}')"
+        idx = f"(('0x' || substr({m}, 1, 4))::INT % 80)"
+        d = f"(('0x' || substr({m}, 5, 2))::INT % 10)"
+        cipher = (
+            f"CASE WHEN {idx} % 13 = 0 THEN '' "
+            f"WHEN {idx} < {n} THEN {ciphers}[{idx} + 1] "
+            f"ELSE 'beef' END"
+        )
+        ver = (
+            f"CASE WHEN {idx} % 11 = 0 THEN '' "
+            f"ELSE substr('0123456789', {d} + 1, 1) END"
+        )
+        return (
+            f"({cipher} || '|' || {ver} || '|a' || substr({m}, 7, 2)"
+            f" || '|e' || substr({m}, 9, 2))"
+        )
+
+    raw_expr = " || ',' || ".join(hs(k) for k in range(1, 11))
+    comp = "string_split(h, '|')"
+    cb = (
+        f"CASE WHEN coalesce({comp}[1], '') = '' THEN '00' "
+        f"ELSE printf('%02x', CASE WHEN list_position({ciphers}, {comp}[1]) = 0 "
+        f"THEN {n + 1} ELSE list_position({ciphers}, {comp}[1]) END) END"
+    )
+    vb = (
+        f"CASE WHEN coalesce({comp}[2], '') = '' THEN '0' "
+        f"WHEN ascii(right({comp}[2], 1)) - 48 BETWEEN 0 AND 5 "
+        f"THEN substr('abcdef', ascii(right({comp}[2], 1)) - 48 + 1, 1) "
+        f"ELSE '0' END"
+    )
+    return f"""
+        WITH raws AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 50 = 0 THEN '{FP.JARM_EMPTY_RAW}'
+                      ELSE {raw_expr} END AS raw
+          FROM documents
+        ),
+        fz AS (
+          SELECT doc_id, raw,
+                 array_to_string(list_transform(string_split(raw, ','),
+                                                h -> {cb} || {vb}), '') AS fuzzy,
+                 array_to_string(list_transform(string_split(raw, ','),
+                                                h -> coalesce({comp}[3], '') || coalesce({comp}[4], '')),
+                                 '') AS alpns
+          FROM raws
+        )
+        SELECT doc_id, raw AS jarm_raw,
+               CASE WHEN raw = '{FP.JARM_EMPTY_RAW}' THEN repeat('0', 62)
+                    ELSE fuzzy || substr(sha256(alpns), 1, 32) END AS jarm
+        FROM fz
+    """
+
+
 def q_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level top-100 bigram occurrence counts (pretraining
     corpus statistics / boilerplate discovery at phrase granularity —
@@ -2400,6 +2526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detected_tech": q_detected_tech,
         "url_canonical": q_url_canonical,
         "winnow_pairs": q_winnow_pairs,
+        "fingerprints": q_fingerprints,
+        "jarm": q_jarm,
         # --- (a) changed this round: re-prove -------------------------
         "crawl_counters": q_crawl_counters,        # oracle HUGEINT cast fix
         "embedding_neardup": q_embedding_neardup,  # de-vacuoused (planted pairs)
@@ -4129,6 +4257,31 @@ def oracle_sql() -> dict[str, str]:
         "crawl_bfs": _crawl_bfs_oracle_sql(),
         "detected_tech": _detected_tech_oracle_sql(),
         "url_canonical": _url_canonical_oracle_sql(),
+        "fingerprints": """
+            WITH p AS (
+              SELECT doc_id, text,
+                     regexp_extract_all(upper(hex(encode(text))), '..') AS pairs
+              FROM documents
+            ),
+            cnt AS (
+              SELECT doc_id, text,
+                     list_transform(range(0, 256),
+                                    i -> len(list_filter(pairs, x -> x = printf('%02X', i)))) AS cs
+              FROM p
+            ),
+            body AS (
+              SELECT doc_id, text,
+                     array_to_string(list_transform(cs, n -> printf('%02x', n % 256)), '') AS hist
+              FROM cnt
+            )
+            SELECT doc_id,
+                   md5(text) AS fp_md5,
+                   sha256(text) AS fp_sha256,
+                   hist AS tlsh_histogram,
+                   sha256(hist) AS histogram_digest
+            FROM body
+        """,
+        "jarm": _jarm_oracle_sql(),
     }
 
 
