@@ -1539,6 +1539,21 @@ def _jarm_oracle_sql() -> str:
     """
 
 
+def q_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail quality bucketing with the
+    integer-exact unigram-LM familiarity proxy (operators/lm.py):
+    top-500 vocab by (count desc, token) — small enough that the sf0.01
+    corpus has real out-of-vocabulary occurrences scoring 0 — then
+    occurrence-weighted integer mean score per doc, then the two-phase
+    distributed ntile (no single-task global window). Oracle mirrors
+    the whole chain: row_number vocab cutoff, DIV scores, native
+    ntile over the same total order."""
+    from thecrowler_spark.operators import lm as LM
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return LM.quality_buckets(docs, k=3, vocab_size=500)
+
+
 def q_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level top-100 bigram occurrence counts (pretraining
     corpus statistics / boilerplate discovery at phrase granularity —
@@ -2528,6 +2543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "fingerprints": q_fingerprints,
         "jarm": q_jarm,
+        "lm_buckets": q_lm_buckets,
         # --- (a) changed this round: re-prove -------------------------
         "crawl_counters": q_crawl_counters,        # oracle HUGEINT cast fix
         "embedding_neardup": q_embedding_neardup,  # de-vacuoused (planted pairs)
@@ -4282,6 +4298,42 @@ def oracle_sql() -> dict[str, str]:
             FROM body
         """,
         "jarm": _jarm_oracle_sql(),
+        "lm_buckets": f"""
+            WITH occ AS (
+              SELECT doc_id, unnest({sw_filter.replace("text", "text")}) AS token
+              FROM documents
+            ),
+            counts AS (SELECT token, count(*)::BIGINT AS cnt FROM occ GROUP BY token),
+            total AS (SELECT sum(cnt)::BIGINT AS t FROM counts),
+            vocab AS (
+              SELECT token, ((cnt * 1000000) // (SELECT t FROM total))::BIGINT AS score
+              FROM (SELECT token, cnt,
+                           row_number() OVER (ORDER BY cnt DESC, token) AS rn
+                    FROM counts)
+              WHERE rn <= 500
+            ),
+            per_doc AS (
+              SELECT o.doc_id, count(*)::BIGINT AS n_tokens,
+                     (sum(coalesce(v.score, 0))::BIGINT // count(*))::BIGINT AS lm_score
+              FROM occ o LEFT JOIN vocab v USING (token)
+              GROUP BY o.doc_id
+            ),
+            alldocs AS (
+              SELECT d.doc_id,
+                     coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+                     coalesce(p.lm_score, 0)::BIGINT AS lm_score
+              FROM documents d LEFT JOIN per_doc p USING (doc_id)
+            ),
+            tiled AS (
+              SELECT doc_id, n_tokens, lm_score,
+                     ntile(3) OVER (ORDER BY lm_score DESC, doc_id)::INT AS bucket
+              FROM alldocs
+            )
+            SELECT doc_id, n_tokens, lm_score, bucket,
+                   CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                               ELSE 'tail' END AS bucket_label
+            FROM tiled
+        """,
     }
 
 
