@@ -1554,6 +1554,33 @@ def q_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LM.quality_buckets(docs, k=3, vocab_size=500)
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dataset-mixture sampling (sampling.mixture_sample):
+    three md5-derived synthetic sources with 70/25/5 integer weights
+    share a 30k-token budget; each source contributes docs in md5 order
+    until its integer budget is crossed. The budget forces real
+    exclusions at sf0.01. Oracle mirrors the source synthesis, the
+    integer budget split, and the per-source take-while window."""
+    from thecrowler_spark.operators.sampling import mixture_sample
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    src_bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#src"))), 1, 2), 16, 10)
+        .cast("int") % 10
+    )
+    source = (
+        F.when(src_bucket < 7, F.lit("web"))
+        .when(src_bucket < 9, F.lit("books"))
+        .otherwise(F.lit("code"))
+    )
+    sized = docs.select(
+        "doc_id", source.alias("source"), TX.token_count(F.col("text")).alias("n_tokens")
+    )
+    return mixture_sample(
+        sized, weights={"web": 70, "books": 25, "code": 5}, budget_tokens=30_000
+    )
+
+
 def q_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level top-100 bigram occurrence counts (pretraining
     corpus statistics / boilerplate discovery at phrase granularity —
@@ -2544,6 +2571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "jarm": q_jarm,
         "lm_buckets": q_lm_buckets,
+        "mixture_sample": q_mixture_sample,
         # --- (a) changed this round: re-prove -------------------------
         "crawl_counters": q_crawl_counters,        # oracle HUGEINT cast fix
         "embedding_neardup": q_embedding_neardup,  # de-vacuoused (planted pairs)
@@ -4333,6 +4361,34 @@ def oracle_sql() -> dict[str, str]:
                    CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                                ELSE 'tail' END AS bucket_label
             FROM tiled
+        """,
+        "mixture_sample": f"""
+            WITH sized AS (
+              SELECT doc_id,
+                     CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || '#src'), 1, 2))::INT % 10 < 7 THEN 'web'
+                          WHEN ('0x' || substr(md5(doc_id::VARCHAR || '#src'), 1, 2))::INT % 10 < 9 THEN 'books'
+                          ELSE 'code' END AS source,
+                     len({sw_filter})::INT AS n_tokens
+              FROM documents
+            ),
+            budgeted AS (
+              SELECT *,
+                     (30000::BIGINT * (CASE source WHEN 'web' THEN 70
+                                                   WHEN 'books' THEN 25
+                                                   ELSE 5 END)::BIGINT // 100)::BIGINT AS source_budget,
+                     md5(doc_id::VARCHAR || '@mix42') AS _ok
+              FROM sized
+            ),
+            cum AS (
+              SELECT doc_id, source, n_tokens, source_budget,
+                     (sum(n_tokens) OVER (PARTITION BY source ORDER BY _ok, doc_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - n_tokens)::BIGINT AS cum_before
+              FROM budgeted
+            )
+            SELECT doc_id, source, n_tokens, source_budget, cum_before,
+                   cum_before < source_budget AS included
+            FROM cum
         """,
     }
 

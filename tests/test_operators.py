@@ -222,3 +222,41 @@ def test_pack_documents_budget_bounds(spark):
         for r in pack_documents(docs.repartition(13), budget=budget, buckets=8).collect()
     }
     assert again == {(r["doc_id"], r["pack_id"]) for r in packed.collect()}
+
+
+def test_mixture_sample_budgets_and_stability(spark):
+    """Integer budget split, per-source take-while, and the
+    deterministic-growth property (adding docs never reshuffles the
+    kept set — only the hash-order tail moves)."""
+    from thecrowler_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "web" if i % 2 == 0 else "books", 10) for i in range(1, 21)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_tokens int")
+    out = mixture_sample(docs, weights={"web": 3, "books": 1}, budget_tokens=80)
+    got = {r["doc_id"]: r for r in out.collect()}
+
+    # budgets: web = 80*3 DIV 4 = 60 -> 6 docs of 10; books = 20 -> 2 docs
+    for r in got.values():
+        assert r["source_budget"] == (60 if r["source"] == "web" else 20)
+        assert r["included"] == (r["cum_before"] < r["source_budget"])
+    n_web = sum(1 for r in got.values() if r["source"] == "web" and r["included"])
+    n_books = sum(1 for r in got.values() if r["source"] == "books" and r["included"])
+    assert (n_web, n_books) == (6, 2)
+
+    # unknown source -> budget 0, nothing included
+    docs2 = docs.withColumn(
+        "source", F.when(F.col("doc_id") <= 4, F.lit("mystery")).otherwise(F.col("source"))
+    )
+    out2 = mixture_sample(docs2, weights={"web": 3, "books": 1}, budget_tokens=80)
+    assert out2.filter((F.col("source") == "mystery") & F.col("included")).count() == 0
+
+    # growth stability: doubling the corpus keeps every previously-kept
+    # doc's relative hash order; kept set of the grown corpus restricted
+    # to old ids is a PREFIX of the old kept order (tail displacement only)
+    rows_grown = rows + [(i, "web" if i % 2 == 0 else "books", 10) for i in range(21, 41)]
+    grown = spark.createDataFrame(rows_grown, "doc_id long, source string, n_tokens int")
+    out3 = mixture_sample(grown, weights={"web": 3, "books": 1}, budget_tokens=80)
+    kept_old = {r["doc_id"] for r in out.collect() if r["included"]}
+    kept_new = {r["doc_id"] for r in out3.collect() if r["included"]}
+    # any old doc kept in the grown run was kept in the original run
+    assert (kept_new & set(range(1, 21))) <= kept_old

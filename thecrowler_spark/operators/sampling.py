@@ -57,6 +57,61 @@ def sample_flag(key: Column | str, fraction: float, seed: int = 42) -> Column:
     return hash_bucket(key, seed) < int(round(fraction * BUCKETS))
 
 
+def mixture_sample(
+    docs,
+    weights: dict[str, int],
+    budget_tokens: int,
+    source_col: str = "source",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    seed: int = 42,
+):
+    """Deterministic dataset-mixture sampling (the Pile/DoReMi-style
+    assembly step): give each source an integer weight; source s gets a
+    token budget of ``(budget_tokens * w_s) DIV sum(w)`` (integer-exact)
+    and contributes its documents in deterministic md5 order until the
+    running token sum reaches the budget — same take-while convention
+    as :func:`pack_documents`: a doc is IN while the sum BEFORE it is
+    under budget, so each source lands in [budget, budget+max_doc).
+    Unknown sources (no weight entry) get budget 0.
+
+    Deterministic in (doc key, seed): regrowing a source only displaces
+    docs at its hash-order tail, never reshuffles the kept set wholesale
+    — the property random sampling per run does not have.
+
+    Scale shape: one hash-partition window per source (mixtures have
+    bounded source counts — domains-as-sources should pre-aggregate or
+    reuse pack_documents' bucket spreading). Output: input +
+    (source_budget, cum_before, included).
+    """
+    from pyspark.sql import Window
+
+    total_w = sum(weights.values())
+    wmap = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in kv]
+    )
+    budget = F.expr(
+        f"CAST({budget_tokens} AS BIGINT) * CAST(_w AS BIGINT) DIV {total_w}"
+    )
+    order_key = F.md5(F.concat(_col(id_col).cast("string"), F.lit(f"@mix{seed}")))
+    df = (
+        docs.withColumn("_w", F.coalesce(wmap[_col(source_col)], F.lit(0)))
+        .withColumn("source_budget", budget)
+        .withColumn("_ok", order_key)
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy("_ok", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_before = F.sum(_col(token_col)).over(w) - _col(token_col)
+    return (
+        df.withColumn("cum_before", cum_before.cast("long"))
+        .withColumn("included", F.col("cum_before") < F.col("source_budget"))
+        .drop("_w", "_ok")
+    )
+
+
 def pack_documents(
     docs,
     token_col: str = "n_tokens",
