@@ -33,9 +33,17 @@ def global_row_number(
     order_by: list[Column],
     out_col: str = "rn",
     num_partitions: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Append a 1-based global row number under ``order_by`` (which must
     be a deterministic TOTAL order — include a unique tie-break key).
+
+    ``materialize`` localCheckpoints the ranked partitions: the table is
+    consumed twice here (per-partition counts + final join) and callers
+    like ntile_distributed add a third consumer, so without it the
+    INPUT plan executes 3× — ruinous when the input is itself an
+    expensive chain (e.g. lm_buckets' corpus scoring). It also pins the
+    monotonically_increasing_id assignment to one physical execution.
     """
     if num_partitions:
         part = df.repartitionByRange(num_partitions, *order_by)
@@ -49,6 +57,8 @@ def global_row_number(
         .withColumn("_lrn", F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)) + 1)
         .drop("_mid")
     )
+    if materialize:
+        local = local.localCheckpoint(eager=True)
     counts = local.groupBy("_pid").agg(F.count("*").alias("_n"))
     woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn(
