@@ -25,6 +25,12 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# the headline+pipeline session drives 32 concurrent tasks with stage
+# caches live; 8g leaves the execution pool thin enough that hash-agg
+# page acquisition can fail under a cache-heavy moment (seen once at
+# 200k-doc pipeline scale). The pinned crawl subprocesses set their own
+# scaled heap (0.75g/core) and are unaffected by this default.
+os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
 CRAWL_DOCS = int(os.environ.get("BENCH_CRAWL_DOCS", "1000000"))
 PIPELINE_DOCS = int(os.environ.get("BENCH_PIPELINE_DOCS", "200000"))
 

@@ -84,7 +84,20 @@ def run_pipeline(spark, args) -> dict:
         return df
 
     def drop(df, reason):
-        dropped_parts.append(df.select("doc_id").withColumn("reason", F.lit(reason)))
+        # materialize the (small, id-only) drop set NOW, while its parent
+        # stage cache is hot — this is what lets retire() release the big
+        # text-bearing caches as the pipeline advances instead of holding
+        # every stage in memory until the final dropped/ write replays it
+        part = df.select("doc_id").withColumn("reason", F.lit(reason)).persist()
+        part.count()
+        cached.append(part)
+        dropped_parts.append(part)
+
+    def retire(df):
+        # stage cache no later action reads again: free its storage
+        # immediately (holding all ~7 full-text stage caches at once
+        # starves the execution-memory pool under 32 concurrent tasks)
+        df.unpersist()
 
     # 1. exact dedup — keep the min doc_id per canonical content key
     keymap = DD.exact_dedup(docs, text_col="text", id_col="doc_id")
@@ -93,6 +106,7 @@ def run_pipeline(spark, args) -> dict:
     ))
     drop(docs.join(survivors.select("doc_id"), "doc_id", "left_anti"), "exact_dup")
     manifest["stages"]["exact_dedup"] = survivors.count()
+    retire(docs)
 
     # 2. fuzzy dedup — LSH candidates → exact-Jaccard verification at
     #    --minhash-threshold → components → keep component min. With
@@ -107,20 +121,27 @@ def run_pipeline(spark, args) -> dict:
         k=3, threshold=args.minhash_threshold,
     )
     comp = DD.connected_components(pairs)
-    fuzzy_losers = comp.filter(F.col("id") != F.col("component")).select(
+    # cache the (tiny, id-only) loser set: it is read twice (anti-join +
+    # dropped/ audit) and recomputing it replays the whole LSH chain
+    fuzzy_losers = stage(comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias("doc_id")
-    )
+    ))
+    exact_survivors = survivors
     survivors = stage(survivors.join(fuzzy_losers, "doc_id", "left_anti"))
     drop(fuzzy_losers, "fuzzy_dup")
     manifest["stages"]["fuzzy_dedup"] = survivors.count()
+    retire(exact_survivors)
+    retire(fuzzy_losers)
 
     # 3. CCNet boilerplate-line removal (hash-keyed shuffle)
-    cleaned = stage(DD.dedup_lines(
+    cleaned_all = stage(DD.dedup_lines(
         survivors, text_col="text", id_col="doc_id", max_count=args.line_max_count
     ).select("doc_id", F.col("text_dedup").alias("text")))
-    drop(cleaned.filter(F.length("text") == 0), "all_boilerplate")
-    cleaned = cleaned.filter(F.length("text") > 0)
+    drop(cleaned_all.filter(F.length("text") == 0), "all_boilerplate")
+    fuzzy_survivors = survivors
+    cleaned = cleaned_all.filter(F.length("text") > 0)
     manifest["stages"]["line_dedup"] = cleaned.count()
+    retire(fuzzy_survivors)
 
     # 4. quality filter (integer-exact verdicts)
     verdicts = stage(quality_filter_verdict(cleaned))
@@ -128,13 +149,18 @@ def run_pipeline(spark, args) -> dict:
     drop(verdicts.filter(~F.col("keep")).select("doc_id"), "quality")
     survivors = stage(cleaned.join(kept, "doc_id", "inner"))
     manifest["stages"]["quality"] = survivors.count()
+    retire(cleaned_all)
+    retire(verdicts)
+    quality_cache = survivors
 
     # 5. decontamination (optional)
     if args.benchmark:
         bench = spark.read.parquet(args.benchmark).select("doc_id", "text")
-        flags = DD.contamination_flags(survivors, bench, text_col="text", id_col="doc_id")
-        drop(flags.select("doc_id"), "contaminated")
-        survivors = survivors.join(flags.select("doc_id"), "doc_id", "left_anti")
+        flags = stage(DD.contamination_flags(
+            survivors, bench, text_col="text", id_col="doc_id"
+        ).select("doc_id"))
+        drop(flags, "contaminated")
+        survivors = survivors.join(flags, "doc_id", "left_anti")
         manifest["stages"]["decontaminated"] = survivors.count()
 
     # 6. language ID + per-language stats
@@ -154,6 +180,7 @@ def run_pipeline(spark, args) -> dict:
         buckets=args.buckets,
     ))
     manifest["stages"]["packed"] = packed.count()
+    retire(quality_cache)
 
     out = args.output
     packed.write.mode("overwrite").parquet(f"{out}/documents")
