@@ -2564,7 +2564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the back. Goal: every oracled query has ≥1 driver-green row across
     rounds."""
     return {
-        # --- new in r4 -------------------------------------------------
+        # --- r4 window: new this round (gate-green, never driver-graded) --
         "detected_tech": q_detected_tech,
         "url_canonical": q_url_canonical,
         "winnow_pairs": q_winnow_pairs,
@@ -2572,69 +2572,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jarm": q_jarm,
         "lm_buckets": q_lm_buckets,
         "mixture_sample": q_mixture_sample,
-        # --- (a) changed this round: re-prove -------------------------
-        "crawl_counters": q_crawl_counters,        # oracle HUGEINT cast fix
-        "embedding_neardup": q_embedding_neardup,  # de-vacuoused (planted pairs)
-        "dedup_lines": q_dedup_lines,              # xxhash64 shuffle key
-        "customer_quartiles": q_customer_quartiles,  # two-phase ntile
-        "text_langid": q_text_langid,              # 24-language markers
-        "text_langmap": q_text_langmap,            # never graded + map breadth
-        "corpus_stats": q_corpus_stats,            # embeds the langid CASE
-        "robots_filter": q_robots_filter,          # robots_verdict now shared w/ engine
-        "robots_wildcard": q_robots_wildcard,      # new in r3: RFC 9309 * and $
-        "events_asof_bucketed": q_events_asof_bucketed,  # new in r3: mega-key-safe asof
-        "hits": q_hits,  # new in r3: fixed-point hubs/authorities
-        # --- new in r3 ------------------------------------------------
-        "search_netinfo": q_search_netinfo,
-        "search_httpinfo": q_search_httpinfo,
-        "ann_lsh": q_ann_lsh,                      # gained an exact oracle
-        "ann_ivf": q_ann_ivf,                      # gained an exact oracle
-        # --- (b) oracled but never driver-graded ----------------------
-        "dataset_split": q_dataset_split,
-        "dataset_pack": q_dataset_pack,
-        "pack_interleaved": q_pack_interleaved,  # new in r3
-        "text_ngrams": q_text_ngrams,  # new in r3
-        "text_winnow": q_text_winnow,  # new in r3
-        "text_repetition": q_text_repetition,
-        "text_quality_filter": q_text_quality_filter,
-        "text_tfidf": q_text_tfidf,
-        "text_pii_redact": q_text_pii_redact,
-        "search_snippets": q_search_snippets,
-        "robots_parse": q_robots_parse,
-        # --- (c) r1-green, displaced from the r2 window ---------------
-        "text_quality": q_text_quality,
-        "text_tokens": q_text_tokens,
-        "text_tokens_bpe": q_text_tokens_bpe,
-        "text_fingerprint": q_text_fingerprint,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_frames": q_multimodal_frames,
-        "attr_index": q_attr_index,
-        "attr_correlation": q_attr_correlation,
-        "url_fuzzing": q_url_fuzzing,
-        "normalizers": q_normalizers,
-        "search_fts_rank": q_search_fts_rank,
-        "email_frontier": q_email_frontier,
-        "pricing_summary": q_pricing_summary,
-        "streaming_window_counts": q_streaming_window_counts,
+        # --- changed this round: re-prove (crawl_bfs gained its oracle;
+        # langid family rewritten script-aware; winnow token caps; hits
+        # checkpointed iteration; two-phase rank materialization; robots
+        # rule-lambda binding) ----------------------------------------
         "crawl_bfs": q_crawl_bfs,
-        # --- (d) refresh slots (single-green r2 entries; engine paths
-        # touched this round first) ------------------------------------
-        "url_seen_cuckoo": q_url_seen_cuckoo,
-        "politeness_budget": q_politeness_budget,
-        "frontier_claim_intervals": q_frontier_claim_intervals,
-        "frontier_dedup_first": q_frontier_dedup_first,
-        "search_webobjects": q_search_webobjects,
-        "search_screenshots": q_search_screenshots,
-        "correlated_sites": q_correlated_sites,
-        "decontaminate": q_decontaminate,
+        "text_langid": q_text_langid,
+        "text_langmap": q_text_langmap,
+        "corpus_stats": q_corpus_stats,
+        "text_winnow": q_text_winnow,
+        "hits": q_hits,
+        "customer_quartiles": q_customer_quartiles,
+        "robots_wildcard": q_robots_wildcard,
+        # --- driver rows date to r1/r2 — rotate in so every oracled
+        # query has a green within the last two rounds ----------------
         "sources_scd2": q_sources_scd2,
         "events_asof": q_events_asof,
         "scd2_interval_join": q_scd2_interval_join,
         "events_sessionize": q_events_sessionize,
         "events_props": q_events_props,
         "events_pivot": q_events_pivot,
-        # ---------------- slot 51+ (double-passed stalwarts) ----------
         "events_rollup": q_events_rollup,
         "regional_revenue": q_regional_revenue,
         "linkgraph_degrees": q_linkgraph_degrees,
@@ -2664,6 +2621,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        # ---------------- slot 51+ (r3-window greens) -----------------
+        "crawl_counters": q_crawl_counters,
+        "embedding_neardup": q_embedding_neardup,
+        "dedup_lines": q_dedup_lines,
+        "robots_filter": q_robots_filter,
+        "events_asof_bucketed": q_events_asof_bucketed,
+        "search_netinfo": q_search_netinfo,
+        "search_httpinfo": q_search_httpinfo,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "dataset_split": q_dataset_split,
+        "dataset_pack": q_dataset_pack,
+        "pack_interleaved": q_pack_interleaved,
+        "text_ngrams": q_text_ngrams,
+        "text_repetition": q_text_repetition,
+        "text_quality_filter": q_text_quality_filter,
+        "text_tfidf": q_text_tfidf,
+        "text_pii_redact": q_text_pii_redact,
+        "search_snippets": q_search_snippets,
+        "robots_parse": q_robots_parse,
+        "text_quality": q_text_quality,
+        "text_tokens": q_text_tokens,
+        "text_tokens_bpe": q_text_tokens_bpe,
+        "text_fingerprint": q_text_fingerprint,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
+        "attr_index": q_attr_index,
+        "attr_correlation": q_attr_correlation,
+        "url_fuzzing": q_url_fuzzing,
+        "normalizers": q_normalizers,
+        "search_fts_rank": q_search_fts_rank,
+        "email_frontier": q_email_frontier,
+        "pricing_summary": q_pricing_summary,
+        "streaming_window_counts": q_streaming_window_counts,
+        "url_seen_cuckoo": q_url_seen_cuckoo,
+        "politeness_budget": q_politeness_budget,
+        "frontier_claim_intervals": q_frontier_claim_intervals,
+        "frontier_dedup_first": q_frontier_dedup_first,
+        "search_webobjects": q_search_webobjects,
+        "search_screenshots": q_search_screenshots,
+        "correlated_sites": q_correlated_sites,
+        "decontaminate": q_decontaminate,
     }
 
 
