@@ -1186,6 +1186,41 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.connected_components(pairs)
 
 
+def q_text_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear classifier inference: a synthetic
+    exported model (deterministic sparse integer weights over 4096
+    md5-hash buckets) scores every document via broadcast join +
+    per-doc margin sum — the model-based filtering stage of a
+    pretraining pipeline, zero Python in the hot path."""
+    from thecrowler_spark.operators import classifier as CL
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    weights = (
+        spark.range(4096)
+        .filter((F.col("id") % 3) != 0)
+        .select(
+            F.col("id").cast("int").alias("bucket"),
+            ((F.col("id") * 37) % 21 - 10).cast("long").alias("weight"),
+        )
+    )
+    return CL.classify_docs(docs.select("doc_id", "text"), weights, n_buckets=4096)
+
+
+def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same canonical groups as dedup_components, computed by the
+    alternating large-star/small-star algorithm (Kiveris et al. 2014,
+    O(log n) rounds — the 10^10-edge web-graph path where min-label's
+    O(diameter) rounds die on long chains). Cross-validated on the
+    identical recursive-CTE oracle."""
+    docs = (
+        _load(spark, sf_dir, "documents")["documents"]
+        .filter(F.col("doc_id") < 300)
+        .filter(F.size(TX.tokens(F.col("text"))) >= 3)
+    )
+    pairs = DD.minhash_lsh_candidates(docs, text_col="text", id_col="doc_id", n_hashes=8, bands=4, k=3)
+    return DD.connected_components_star(pairs)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs.
 
@@ -2119,6 +2154,18 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.dedup_lines(synth, max_count=4)
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup (Lee et al. 2021, token-windowed):
+    corpus-repeated 8-gram windows removed from every document and the
+    text reassembled — the span-level sibling of dedup_lines (strips
+    duplicated mid-line runs: licence boilerplate, quoted replies,
+    templated sentences). Gram counting keys on xxhash64 internally
+    (8-byte shuffle keys); the oracle groups by the gram string —
+    identical modulo hash collisions, the dedup_lines precedent."""
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return DD.repeated_span_dedup(docs.select("doc_id", "text"), w=8, max_count=1)
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media plumbing: payload synth + mapInPandas decode stub."""
     _load(spark, sf_dir, "part")
@@ -2572,6 +2619,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jarm": q_jarm,
         "lm_buckets": q_lm_buckets,
         "mixture_sample": q_mixture_sample,
+        "dedup_spans": q_dedup_spans,
+        "dedup_components_star": q_dedup_components_star,
+        "text_classifier": q_text_classifier,
         # --- changed this round: re-prove (crawl_bfs gained its oracle;
         # langid family rewritten script-aware; winnow token caps; hits
         # checkpointed iteration; two-phase rank materialization; robots
@@ -2582,8 +2632,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "text_winnow": q_text_winnow,
         "hits": q_hits,
-        "customer_quartiles": q_customer_quartiles,
-        "robots_wildcard": q_robots_wildcard,
         # --- driver rows date to r1/r2 — rotate in so every oracled
         # query has a green within the last two rounds ----------------
         "sources_scd2": q_sources_scd2,
@@ -2600,7 +2648,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "url_normalize": q_url_normalize,
         "url_validity": q_url_validity,
-        "url_combine": q_url_combine,
         "url_external": q_url_external,
         "frontier_claim": q_frontier_claim,
         "url_seen_antijoin": q_url_seen_antijoin,
@@ -2622,6 +2669,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         # ---------------- slot 51+ (r3-window greens) -----------------
+        "robots_wildcard": q_robots_wildcard,
+        "url_combine": q_url_combine,
+        "customer_quartiles": q_customer_quartiles,
         "crawl_counters": q_crawl_counters,
         "embedding_neardup": q_embedding_neardup,
         "dedup_lines": q_dedup_lines,
@@ -3098,7 +3148,7 @@ def oracle_sql() -> dict[str, str]:
     sw_filter = (
         "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
     )
-    return {
+    out = {
         "url_normalize": f"""
             WITH urls AS ({_DUCK_URLS})
             SELECT id, url,
@@ -4287,6 +4337,85 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(r.n_kept, 0) AS INT) AS n_kept
             FROM input i LEFT JOIN t USING (doc_id) LEFT JOIN r USING (doc_id)
         """,
+        "dedup_spans": """
+            WITH tk AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+              FROM documents
+            ),
+            ge AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks) - 8 + 2),
+                            i -> struct_pack(gpos := i - 1,
+                                             gram := array_to_string(toks[i:i+7], ' ')))) AS s
+              FROM tk WHERE len(toks) >= 8
+            ),
+            g AS (SELECT doc_id, s.gpos AS gpos, s.gram AS gram FROM ge),
+            c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+            m AS (SELECT g.doc_id, g.gpos FROM g JOIN c USING (gram)),
+            cov AS (SELECT DISTINCT doc_id, p
+                    FROM (SELECT doc_id, unnest(range(gpos, gpos + 8)) AS p FROM m)),
+            te AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks) + 1),
+                            i -> struct_pack(pos := i - 1, tok := toks[i]))) AS s
+              FROM tk
+            ),
+            t2 AS (SELECT doc_id, s.pos AS pos, s.tok AS tok FROM te),
+            k AS (
+              SELECT t2.doc_id, t2.pos, t2.tok
+              FROM t2 LEFT JOIN cov ON t2.doc_id = cov.doc_id AND t2.pos = cov.p
+              WHERE cov.p IS NULL
+            ),
+            r AS (
+              SELECT doc_id,
+                     array_to_string(list_transform(
+                         list_sort(list(struct_pack(pos := pos, tok := tok))),
+                         s -> s.tok), ' ') AS text_clean,
+                     count(*) AS n_kept
+              FROM k GROUP BY doc_id
+            ),
+            t AS (SELECT doc_id, len(toks) AS n_tokens FROM tk)
+            SELECT d.doc_id,
+                   coalesce(r.text_clean, '') AS text_clean,
+                   CAST(t.n_tokens AS INT) AS n_tokens,
+                   CAST(t.n_tokens - coalesce(r.n_kept, 0) AS INT) AS n_removed
+            FROM documents d JOIN t USING (doc_id) LEFT JOIN r USING (doc_id)
+        """,
+        "text_classifier": """
+            WITH w AS (
+              SELECT CAST(b AS INT) AS bucket,
+                     CAST((b * 37) % 21 - 10 AS BIGINT) AS weight
+              FROM range(0, 4096) t(b) WHERE b % 3 <> 0
+            ),
+            tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                        x -> x <> '')) AS token
+              FROM documents
+            ),
+            f AS (
+              SELECT doc_id,
+                     CAST(CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 4096 AS INT) AS bucket
+              FROM tok
+            ),
+            s AS (
+              SELECT f.doc_id, count(*) AS n_tokens,
+                     sum(coalesce(w.weight, 0)) AS margin
+              FROM f LEFT JOIN w USING (bucket) GROUP BY f.doc_id
+            ),
+            m AS (
+              SELECT d.doc_id,
+                     CAST(coalesce(s.n_tokens, 0) AS INT) AS n_tokens,
+                     CAST(coalesce(s.margin, 0) AS BIGINT) AS margin,
+                     CAST(CASE WHEN coalesce(s.n_tokens, 0) > 0
+                               THEN s.margin // s.n_tokens ELSE 0 END AS BIGINT) AS mean_margin
+              FROM documents d LEFT JOIN s USING (doc_id)
+            )
+            SELECT doc_id, n_tokens, margin, mean_margin,
+                   CASE WHEN mean_margin >= 0 THEN 'keep' ELSE 'toss' END AS label
+            FROM m
+        """,
         "robots_parse": """
             SELECT concat('h', CAST(n_nationkey AS VARCHAR), '.example.com') AS host,
                    r.rule_type,
@@ -4391,6 +4520,10 @@ def oracle_sql() -> dict[str, str]:
             FROM cum
         """,
     }
+    # same ground truth, different distributed algorithm on the Spark
+    # side (alternating large-star/small-star vs min-label propagation)
+    out["dedup_components_star"] = out["dedup_components"]
+    return out
 
 
 def entry(spark: SparkSession) -> DataFrame:

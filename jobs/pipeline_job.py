@@ -10,6 +10,7 @@ prep chain, each stage an operator from this repo, all JVM-side:
                            verification at --minhash-threshold →
                            connected components → keep min-id per group)
     3. boilerplate strip  (CCNet duplicated-line removal, xxhash64 keys)
+       + optional --span-w: exact-substring span dedup (Lee et al. 2021)
     4. quality filter     (Gopher-style integer-exact verdicts)
     5. decontamination    (cross-corpus shingle join vs a benchmark set)
     6. language ID + stats(24-marker argmax; per-lang accounting)
@@ -51,6 +52,9 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                    help="fuzzy-dup Jaccard threshold (LSH candidates verified)")
     p.add_argument("--line-max-count", type=int, default=4,
                    help="CCNet: lines occurring more often are boilerplate")
+    p.add_argument("--span-w", type=int, default=0,
+                   help="exact-substring dedup window (tokens); 0 = stage off. "
+                        "Removes every corpus-repeated w-token run (Lee et al. 2021)")
     p.add_argument("--budget", type=int, default=2048, help="tokens per pack")
     p.add_argument("--buckets", type=int, default=64, help="packing streams")
     p.add_argument("--train", type=float, default=0.98)
@@ -142,6 +146,20 @@ def run_pipeline(spark, args) -> dict:
     cleaned = cleaned_all.filter(F.length("text") > 0)
     manifest["stages"]["line_dedup"] = cleaned.count()
     retire(fuzzy_survivors)
+
+    # 3b. exact-substring span dedup (optional, --span-w > 0): strip
+    #     corpus-repeated w-token runs line dedup can't see (mid-line
+    #     licence boilerplate, quoted replies, templated sentences)
+    if args.span_w > 0:
+        spanned = stage(DD.repeated_span_dedup(
+            cleaned, text_col="text", id_col="doc_id", w=args.span_w
+        ).select("doc_id", F.col("text_clean").alias("text")))
+        drop(spanned.filter(F.length("text") == 0), "all_duplicated")
+        line_cache = cleaned_all
+        cleaned = spanned.filter(F.length("text") > 0)
+        manifest["stages"]["span_dedup"] = cleaned.count()
+        retire(line_cache)
+        cleaned_all = spanned  # the cache retire() frees after stage 4
 
     # 4. quality filter (integer-exact verdicts)
     verdicts = stage(quality_filter_verdict(cleaned))

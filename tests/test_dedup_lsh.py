@@ -181,3 +181,83 @@ def test_winnow_token_cap_property(spark):
     fps = {r["id"]: r["f"] for r in out}
     assert fps[1] == fps[2]          # capped big doc ≡ its 5k-token prefix
     assert 0 < len(fps[1]) <= 5_000
+
+
+def test_repeated_span_dedup_planted(spark):
+    """Exact-substring span dedup: a shared 8-token run planted in two
+    docs is removed from BOTH (no canonical copy kept), unique text
+    survives untouched, and short docs (< w tokens) pass through."""
+    from thecrowler_spark.operators.dedup import repeated_span_dedup, repeated_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, f"unique one prefix {shared} unique one suffix tail"),
+        (2, f"second doc intro {shared} second doc outro words"),
+        (3, "completely different text with no repeats at all here"),
+        (4, "tiny doc"),
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in repeated_span_dedup(docs, w=8, max_count=1).collect()}
+
+    assert len(out) == 5
+    for d in (1, 2):
+        for tok in shared.split():
+            assert tok not in out[d]["text_clean"].split(), (d, tok)
+        assert out[d]["n_removed"] == 8
+    assert out[1]["text_clean"] == "unique one prefix unique one suffix tail"
+    assert out[2]["text_clean"] == "second doc intro second doc outro words"
+    assert out[3]["text_clean"] == rows[2][1] and out[3]["n_removed"] == 0
+    assert out[4]["text_clean"] == "tiny doc" and out[4]["n_tokens"] == 2
+    assert out[5]["text_clean"] == "" and out[5]["n_tokens"] == 0
+
+    marks = repeated_spans(docs, w=8, max_count=1).collect()
+    assert {(r["doc_id"], r["gpos"]) for r in marks} == {(1, 3), (2, 3)}
+
+
+def test_repeated_span_dedup_overlapping_spans_merge(spark):
+    """Overlapping repeated windows union their covered positions: a
+    9-token shared run yields two marked 8-gram starts whose covered
+    sets merge to exactly 9 removed tokens."""
+    from thecrowler_spark.operators.dedup import repeated_span_dedup
+
+    shared = "a1 b2 c3 d4 e5 f6 g7 h8 i9"  # 9 tokens -> grams at offsets 0,1
+    docs = spark.createDataFrame(
+        [(1, f"x {shared} y"), (2, f"p q {shared} r")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repeated_span_dedup(docs, w=8, max_count=1).collect()}
+    assert out[1]["text_clean"] == "x y" and out[1]["n_removed"] == 9
+    assert out[2]["text_clean"] == "p q r" and out[2]["n_removed"] == 9
+
+
+def test_connected_components_star_matches_minlabel(spark):
+    """large-star/small-star ≡ min-label propagation on a seeded random
+    graph (cross-validation of two independent algorithms)."""
+    import random
+
+    from thecrowler_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    pairs = [(rng.randrange(120), rng.randrange(120)) for _ in range(150)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    minlabel = {(r["id"], r["component"]) for r in connected_components(df).collect()}
+    star = {(r["id"], r["component"]) for r in connected_components_star(df).collect()}
+    assert star == minlabel
+
+
+def test_connected_components_star_long_chain(spark):
+    """A 200-link chain: min-label needs O(diameter)=200 rounds (its
+    default max_iter=25 leaves it UNconverged), large-star/small-star
+    collapses it in O(log n) — every node labels to 0."""
+    from thecrowler_spark.operators.dedup import connected_components_star
+
+    chain = [(i, i + 1) for i in range(200)]
+    df = spark.createDataFrame(chain, ["id_a", "id_b"])
+    out = connected_components_star(df, max_iter=15).collect()
+    assert len(out) == 201
+    assert all(r["component"] == 0 for r in out)

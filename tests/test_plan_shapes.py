@@ -1,0 +1,79 @@
+"""Machine-checked plan shapes: the scale claims in the operator
+docstrings ("broadcast join", "8-byte shuffle key", "no all-pairs")
+asserted against the actual physical plans, so a refactor that quietly
+degrades a broadcast into a cartesian product fails CI, not the
+100 TB run."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+
+
+def test_classifier_broadcasts_weights(spark):
+    from thecrowler_spark.operators.classifier import classify_docs
+
+    weights = spark.range(4096).select(
+        F.col("id").cast("int").alias("bucket"), F.lit(1).cast("long").alias("weight")
+    )
+    plan = _plan(classify_docs(_docs(spark), weights))
+    assert "CartesianProduct" not in plan
+    # the token stream must never shuffle on the token/bucket key: the
+    # model side is broadcast
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_span_dedup_no_cartesian_and_hash_keys(spark):
+    from thecrowler_spark.operators.dedup import repeated_span_dedup
+
+    plan = _plan(repeated_span_dedup(_docs(spark), w=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # gram counting shuffles on the 8-byte xxhash64 key, not the gram text
+    assert "hashpartitioning(ghash" in plan
+
+
+def test_lsh_candidates_no_cartesian(spark):
+    from thecrowler_spark.operators.dedup import minhash_lsh_candidates
+
+    plan = _plan(minhash_lsh_candidates(_docs(spark), n_hashes=8, bands=4, k=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_lines_shuffles_hash_not_strings(spark):
+    from thecrowler_spark.operators.dedup import dedup_lines
+
+    plan = _plan(dedup_lines(_docs(spark)))
+    assert "hashpartitioning(line_hash" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_two_phase_rank_has_no_global_sort(spark):
+    from thecrowler_spark.operators.ranking import ntile_distributed
+
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_custkey", F.col("c_acctbal").alias("v")
+    )
+    from thecrowler_spark.operators.ranking import global_row_number
+
+    # phase 1 (materialize=False exposes the lineage): the data takes
+    # ONE range exchange with partition-local sorts — no global Sort,
+    # no SinglePartition exchange of the row stream
+    order = [F.col("v"), F.col("c_custkey")]
+    p1 = _plan(global_row_number(cust, order, materialize=False))
+    assert "rangepartitioning" in p1
+    assert "Sort [v" in p1 and "], true, " not in p1  # no global Sort anywhere
+    # full ntile: a regression to the native global window would
+    # reintroduce an ntile window function over the row stream
+    plan = _plan(ntile_distributed(cust, 4, order_by=order))
+    assert "ntile(" not in plan

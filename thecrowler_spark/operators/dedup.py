@@ -529,6 +529,88 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 40,
+) -> DataFrame:
+    """Alternating large-star / small-star connected components
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond") — the O(log n)-round scale path promised by
+    :func:`connected_components`'s docstring, same (id, component)
+    interface and the same DuckDB oracle.
+
+    Why a second algorithm: min-label propagation converges in
+    O(diameter) rounds — fine for the shallow star/clique graphs
+    near-dup candidates form, quadratic-ish pain on a 10^10-edge web
+    graph with long chains (a 200-link chain needs 200 rounds; this
+    needs ~8). Each round is two shuffles (per-node min groupBy +
+    edge equi-join), edge set localCheckpointed per round so lineage
+    stays flat; the fixed point is star graphs centered at component
+    minima.
+
+    large-star: every node links its LARGER neighbors to its smallest
+    known node (min of neighborhood ∪ self) — safe in any orientation
+    because edges only ever point downhill toward the minimum.
+    small-star: orient every edge big→small, then link each node's
+    smaller neighbors (and itself) to the neighborhood minimum.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("u").alias("id"))
+        .unionByName(edges.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        bidir = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = bidir.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        return (
+            bidir.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        oriented = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        linked = oriented.join(mins, "u")
+        return (
+            linked.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    for _ in range(max_iter):
+        new_edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        changed = (
+            new_edges.exceptAll(edges).count() + edges.exceptAll(new_edges).count()
+        )
+        edges = new_edges
+        if changed == 0:
+            break
+    return (
+        nodes.join(
+            edges.groupBy("u").agg(F.min("v").alias("c")).withColumnRenamed("u", "id"),
+            "id",
+            "left",
+        )
+        .select("id", F.coalesce("c", F.col("id")).alias("component"))
+    )
+
+
 # ------------------------------------------------- line-level (CCNet)
 
 
@@ -618,6 +700,132 @@ def dedup_lines(
             F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
         )
     )
+
+
+# ------------------------------------- span-level (exact-substring dedup)
+
+
+def _ws_tokens(c, max_tokens: int | None = None):
+    """Whitespace tokens of the RAW text (case/punctuation preserved —
+    unlike :func:`functions.text.tokens` these reassemble back into
+    readable text), empties filtered, optionally capped."""
+    toks = F.filter(F.split(F.col(c) if isinstance(c, str) else c, r"\s+"),
+                    lambda t: t != "")
+    if max_tokens is not None:
+        toks = F.slice(toks, 1, max_tokens)
+    return toks
+
+
+def repeated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+    max_count: int = 1,
+    max_tokens: int | None = None,
+) -> DataFrame:
+    """Corpus-wide repeated w-token spans per document (the candidate
+    generator for exact-substring dedup, Lee et al. 2021 "Deduplicating
+    Training Data Makes Language Models Better" — token-windowed rather
+    than suffix-array, which is the Spark-native formulation: the
+    suffix array's global sort becomes a gram-hash partial-agg count).
+
+    Plan: per-doc w-gram hash array (JVM ``transform`` over a
+    :func:`bind_once` token array — O(tokens·w) like winnow, same
+    ``max_tokens`` executor guard) → posexplode → global gram counts
+    keyed on ``xxhash64(gram)`` (shuffle 1, partial agg, 8-byte keys —
+    a hot boilerplate gram is ONE row on the build side; the probe-side
+    fan-out is the required output, linear, AQE skew-split applies) →
+    equi-join positions to counts → filter ``cnt > max_count``.
+
+    Returns (doc_id, gpos, n_occurrences): token position ``gpos``
+    starts a w-gram that appears more than ``max_count`` times in the
+    corpus. Collisions: identical to grouping by the gram string modulo
+    xxhash64 (~2^-64 per pair); the DuckDB oracle groups by the string.
+    """
+
+    def gram_hashes(toks):
+        n = F.size(toks)
+        idx = F.sequence(F.lit(0), n - w)
+        return F.when(
+            n >= w,
+            F.transform(idx, lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, w), " "))),
+        ).otherwise(F.array().cast("array<bigint>"))
+
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(TX.bind_once(_ws_tokens(text_col, max_tokens), gram_hashes)).alias(
+            "gpos", "ghash"
+        ),
+    )
+    counts = grams.groupBy("ghash").agg(F.count("*").alias("n_occurrences"))
+    return (
+        grams.join(counts.filter(F.col("n_occurrences") > max_count), "ghash")
+        .select(id_col, "gpos", "n_occurrences")
+    )
+
+
+def repeated_span_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+    max_count: int = 1,
+    max_tokens: int | None = None,
+) -> DataFrame:
+    """Remove every token covered by a corpus-repeated w-gram and
+    reassemble the document (exact-substring dedup; the span-level
+    sibling of :func:`dedup_lines` — C4/CCNet strip duplicated LINES,
+    this strips duplicated mid-line runs: licence boilerplate, quoted
+    reply chains, templated sentences).
+
+    Plan: :func:`repeated_spans` → per-doc mark list (shuffle 2,
+    groupBy ``doc_id``, int positions only — no strings travel) → join
+    back to docs (shuffle 3 on ``doc_id``; both sides one row per doc)
+    → covered-index expansion, removal, and reassembly as pure JVM
+    array ops: ``covered = distinct(flatten(transform(marks, p →
+    sequence(p, p+w-1))))``, ``kept = array_except(sequence(0, n-1),
+    covered)`` (hash-set O(n+m), order-preserving), token gather, and a
+    single ``concat_ws``. Exact-dup pairs collapse to text_clean = ''
+    (every gram of both copies repeats — removal keeps no canonical
+    copy, matching the dedup_lines max_count contract).
+
+    Output: (doc_id, text_clean, n_tokens, n_removed). Whitespace is
+    normalized to single spaces (token-level rewrite, same loss as any
+    token-windowed substring dedup).
+    """
+    marks = (
+        repeated_spans(docs, text_col, id_col, w=w, max_count=max_count, max_tokens=max_tokens)
+        .groupBy(id_col)
+        .agg(F.collect_list("gpos").alias("marks"))
+    )
+
+    def rebuild(toks):
+        n = F.size(toks)
+        covered = F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.coalesce(F.col("marks"), F.array().cast("array<int>")),
+                    lambda p: F.sequence(p, p + w - 1),
+                )
+            )
+        )
+        idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(F.array().cast("array<int>"))
+        kept = F.array_except(idx, covered)
+        return F.struct(
+            F.concat_ws(" ", F.transform(kept, lambda i: F.element_at(toks, i + 1))).alias("text_clean"),
+            n.cast("int").alias("n_tokens"),
+            (n - F.size(kept)).cast("int").alias("n_removed"),
+        )
+
+    rebuilt = (
+        docs.join(marks, id_col, "left")
+        .select(
+            F.col(id_col),
+            TX.bind_once(_ws_tokens(text_col, max_tokens), rebuild).alias("r"),
+        )
+    )
+    return rebuilt.select(id_col, "r.text_clean", "r.n_tokens", "r.n_removed")
 
 
 # -------------------------------------------- benchmark decontamination
