@@ -28,6 +28,14 @@ Outputs under --output: documents/ (curated, split + pack columns),
 dropped/ (doc_id + reason — auditable filtering, never silent),
 stats/ (per-language accounting), manifest.json (stage row counts).
 
+--state DIR turns on incremental (continuous-feed) mode: LakeTable
+snapshots carry seen content hashes (cross-batch exact dedup), full
+minhash-signature keys (cross-batch fuzzy dedup, signature-equality
+rule), and cumulative line counts (a footer below the boilerplate
+threshold in every single batch still trips it cumulatively) — the
+pipeline twin of the crawl engine's chained visited set. Shipped
+batches are never retro-edited.
+
 Scale notes: every stage is shuffle-bounded the same way the graded
 queries are (band-key equi-joins for LSH, hash-keyed line dedup,
 broadcast benchmark shingles, hash-bucketed packing streams — no
@@ -55,6 +63,12 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--span-w", type=int, default=0,
                    help="exact-substring dedup window (tokens); 0 = stage off. "
                         "Removes every corpus-repeated w-token run (Lee et al. 2021)")
+    p.add_argument("--state", default=None,
+                   help="incremental-mode state dir (LakeTable snapshots): "
+                        "cross-batch exact dedup (seen content hashes), "
+                        "cross-batch fuzzy dedup (full-signature keys), and "
+                        "cumulative boilerplate line counts — the continuous-"
+                        "feed twin of the crawl engine's chained visited set")
     p.add_argument("--budget", type=int, default=2048, help="tokens per pack")
     p.add_argument("--buckets", type=int, default=64, help="packing streams")
     p.add_argument("--train", type=float, default=0.98)
@@ -103,6 +117,43 @@ def run_pipeline(spark, args) -> dict:
         # starves the execution-memory pool under 32 concurrent tasks)
         df.unpersist()
 
+    # incremental state (--state): prior-batch knowledge arrives as
+    # LakeTable snapshots. Commit order at the end is hashes → sigs →
+    # line counts; hash/sig replays are idempotent (distinct unions),
+    # a line-count replay over-counts (counts only grow, so boilerplate
+    # can only trip the threshold EARLIER — the conservative direction).
+    lake_hashes = lake_sigs = lake_lines = None
+    prior_hashes = prior_sigs = prior_lines = None
+    new_hashes = new_sigs = batch_lines = None
+    if args.state:
+        from thecrowler_spark.sources.lake import LakeTable
+
+        lake_hashes = LakeTable(spark, f"{args.state}/seen_hashes")
+        lake_sigs = LakeTable(spark, f"{args.state}/sig_keys")
+        lake_lines = LakeTable(spark, f"{args.state}/line_counts")
+        if lake_hashes.current_snapshot() is not None:
+            prior_hashes = lake_hashes.read()
+        if lake_sigs.current_snapshot() is not None:
+            prior_sigs = lake_sigs.read()
+        if lake_lines.current_snapshot() is not None:
+            prior_lines = lake_lines.read()
+
+    _content_hash = F.sha2(TX.normalize_text("text"), 256)
+
+    # 0b. cross-batch exact dedup: content already shipped by a prior
+    #     batch leaves now, before within-batch grouping
+    if prior_hashes is not None:
+        prior_dups = (
+            docs.withColumn("content_hash", _content_hash)
+            .join(prior_hashes.select("content_hash"), "content_hash", "left_semi")
+            .select("doc_id")
+        )
+        drop(prior_dups, "exact_dup_prior")
+        pre = docs
+        docs = stage(docs.join(prior_dups, "doc_id", "left_anti"))
+        manifest["stages"]["exact_dedup_prior"] = docs.count()
+        retire(pre)
+
     # 1. exact dedup — keep the min doc_id per canonical content key
     keymap = DD.exact_dedup(docs, text_col="text", id_col="doc_id")
     survivors = stage(docs.join(
@@ -110,6 +161,14 @@ def run_pipeline(spark, args) -> dict:
     ))
     drop(docs.join(survivors.select("doc_id"), "doc_id", "left_anti"), "exact_dup")
     manifest["stages"]["exact_dedup"] = survivors.count()
+    if lake_hashes is not None:
+        # snapshot the batch's shipped content hashes while the stage
+        # cache is hot; committed after the output writes succeed
+        new_hashes = (
+            survivors.select(_content_hash.alias("content_hash"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
     retire(docs)
 
     # 2. fuzzy dedup — LSH candidates → exact-Jaccard verification at
@@ -137,9 +196,42 @@ def run_pipeline(spark, args) -> dict:
     retire(exact_survivors)
     retire(fuzzy_losers)
 
-    # 3. CCNet boilerplate-line removal (hash-keyed shuffle)
+    # 2b. cross-batch fuzzy dedup: a doc whose FULL minhash signature
+    #     equals a prior-batch survivor's is a near-certain near-dup
+    #     (all 8 permuted minima agree ⇒ Jaccard ≈ 1 w.h.p.) — the only
+    #     cross-batch rule available without storing prior text, and
+    #     deliberately conservative: band-level collisions never drop
+    #     across batches because they can't be Jaccard-verified.
+    if lake_sigs is not None:
+        sigs = DD.minhash_signatures(survivors, text_col="text", id_col="doc_id",
+                                     n_hashes=8, k=3)
+        keyed = sigs.select(
+            F.col("id").alias("doc_id"),
+            F.md5(F.concat_ws("|", *[f"mh{i}" for i in range(8)])).alias("sig_key"),
+        ).localCheckpoint(eager=True)
+        if prior_sigs is not None:
+            prior_fuzzy = (
+                keyed.join(prior_sigs.select("sig_key"), "sig_key", "left_semi")
+                .select("doc_id")
+            )
+            drop(prior_fuzzy, "fuzzy_dup_prior")
+            prev = survivors
+            survivors = stage(survivors.join(prior_fuzzy, "doc_id", "left_anti"))
+            manifest["stages"]["fuzzy_dedup_prior"] = survivors.count()
+            retire(prev)
+            new_sigs = keyed.join(prior_fuzzy, "doc_id", "left_anti").select("sig_key")
+        else:
+            new_sigs = keyed.select("sig_key")
+
+    # 3. CCNet boilerplate-line removal (hash-keyed shuffle); with
+    #    --state the threshold sees cumulative cross-batch counts
+    if lake_lines is not None:
+        batch_lines = DD.line_hash_counts(
+            survivors, text_col="text", id_col="doc_id"
+        ).localCheckpoint(eager=True)
     cleaned_all = stage(DD.dedup_lines(
-        survivors, text_col="text", id_col="doc_id", max_count=args.line_max_count
+        survivors, text_col="text", id_col="doc_id", max_count=args.line_max_count,
+        prior_counts=prior_lines,
     ).select("doc_id", F.col("text_dedup").alias("text")))
     drop(cleaned_all.filter(F.length("text") == 0), "all_boilerplate")
     fuzzy_survivors = survivors
@@ -209,6 +301,28 @@ def run_pipeline(spark, args) -> dict:
             d = d.unionByName(part)
         d.write.mode("overwrite").parquet(f"{out}/dropped")
         manifest["dropped_rows"] = spark.read.parquet(f"{out}/dropped").count()
+
+    # state commits last, each a LakeTable snapshot (outputs already on
+    # disk; see replay note above)
+    if lake_hashes is not None and new_hashes is not None:
+        merged = new_hashes if prior_hashes is None else (
+            prior_hashes.select("content_hash").unionByName(new_hashes).distinct()
+        )
+        manifest["state_seen_hashes"] = lake_hashes.write(merged)
+    if lake_sigs is not None and new_sigs is not None:
+        merged = new_sigs if prior_sigs is None else (
+            prior_sigs.select("sig_key").unionByName(new_sigs).distinct()
+        )
+        manifest["state_sig_keys"] = lake_sigs.write(merged)
+    if lake_lines is not None and batch_lines is not None:
+        merged = batch_lines if prior_lines is None else (
+            prior_lines.select("line_hash", "n_occurrences")
+            .unionByName(batch_lines)
+            .groupBy("line_hash")
+            .agg(F.sum("n_occurrences").alias("n_occurrences"))
+        )
+        manifest["state_line_counts"] = lake_lines.write(merged)
+
     for df in cached:
         df.unpersist()
     return manifest

@@ -76,3 +76,74 @@ def test_pipeline_stages_and_audit(spark, tmp_path):
 
     stats = spark.read.parquet(out + "/stats")
     assert stats.count() >= 1  # per-language accounting present
+
+
+def test_pipeline_incremental_state(spark, tmp_path):
+    """--state mode: cross-batch exact dup, cross-batch sig-equal fuzzy
+    dup, and a boilerplate line below the threshold in each batch but
+    above it cumulatively — each caught in batch 2, none retro-edits
+    batch 1's shipped output."""
+    footer = "subscribe to our newsletter today please friends"
+    bodies = {
+        1: "a healthy article with plenty of distinct informative tokens "
+           "covering many separate topics like rivers mountains forests "
+           "deserts oceans climates seasons minerals animals and plants",
+        2: "an entirely separate essay describing how glaciers carve wide "
+           "valleys through ancient granite over countless winters "
+           "leaving moraines and polished stone behind the melting ice",
+        3: "completely different document about spark query planning with "
+           "many distinct useful tokens covering shuffles joins windows "
+           "aggregates partitions codegen pushdown pruning skew salting",
+        23: "a fresh fourth piece on tidal estuaries where brackish water "
+            "mixes daily nutrients feeding migratory birds crabs oysters "
+            "and seagrass meadows along the shifting muddy channels",
+    }
+
+    def doc(i, n_footer=0):
+        return (i, "\n".join([bodies[i]] + [footer] * n_footer))
+
+    b1 = spark.createDataFrame(
+        [doc(1, 1), doc(2, 1), doc(3, 1)],
+        "doc_id long, text string",
+    )
+    state = str(tmp_path / "state")
+    out1, out2 = str(tmp_path / "out1"), str(tmp_path / "out2")
+    in1, in2 = str(tmp_path / "in1"), str(tmp_path / "in2")
+    b1.write.parquet(in1)
+
+    m1 = run_pipeline(spark, parse_args(
+        ["--input", in1, "--output", out1, "--state", state,
+         "--budget", "64", "--buckets", "2"]
+    ))
+    assert m1["stages"]["exact_dedup"] == 3 and "state_line_counts" in m1
+    # footer count 3 <= 4: batch 1 ships it
+    t1 = {r["doc_id"]: r["text"] for r in
+          spark.read.parquet(out1 + "/documents").select("doc_id", "text").collect()}
+    assert all(footer in t for t in t1.values())
+
+    # batch 2: 21 = exact copy of b1 doc 1; 22 = b1 doc 2 text + ' &'
+    # (different content hash, identical token stream -> identical
+    # minhash signature); 23 = new doc carrying the footer twice
+    # (cumulative 3+2=5 > 4 -> boilerplate NOW)
+    d1_text = b1.filter("doc_id = 1").collect()[0]["text"]
+    d2_text = b1.filter("doc_id = 2").collect()[0]["text"]
+    b2 = spark.createDataFrame(
+        [(21, d1_text), (22, d2_text + " &"), doc(23, 2)],
+        "doc_id long, text string",
+    )
+    b2.write.parquet(in2)
+    m2 = run_pipeline(spark, parse_args(
+        ["--input", in2, "--output", out2, "--state", state,
+         "--budget", "64", "--buckets", "2"]
+    ))
+    assert m2["stages"]["exact_dedup_prior"] == 2   # 21 gone
+    assert m2["stages"]["fuzzy_dedup_prior"] == 1   # 22 gone
+    dropped = {(r["doc_id"], r["reason"]) for r in
+               spark.read.parquet(out2 + "/dropped").collect()}
+    assert (21, "exact_dup_prior") in dropped
+    assert (22, "fuzzy_dup_prior") in dropped
+    t2 = {r["doc_id"]: r["text"] for r in
+          spark.read.parquet(out2 + "/documents").select("doc_id", "text").collect()}
+    assert set(t2) == {23}
+    assert footer not in t2[23]          # cumulative threshold fired
+    assert "fresh fourth piece" in t2[23]  # the real content survived

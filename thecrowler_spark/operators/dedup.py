@@ -645,6 +645,20 @@ def line_counts(
     return _count_lines(_doc_lines(docs, text_col, id_col))
 
 
+def line_hash_counts(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(line_hash, n_occurrences) — the 8-byte-keyed form of
+    :func:`line_counts` used as carry-over state by the incremental
+    pipeline (the key :func:`dedup_lines` shuffles on)."""
+    return (
+        _doc_lines(docs, text_col, id_col)
+        .withColumn("line_hash", F.xxhash64("line"))
+        .groupBy("line_hash")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+
+
 def _count_lines(lines: DataFrame) -> DataFrame:
     return lines.groupBy("line").agg(F.count("*").alias("n_occurrences"))
 
@@ -654,11 +668,19 @@ def dedup_lines(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_count: int = 4,
+    prior_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Remove boilerplate lines with ≥ ``max_count + 1`` occurrences
     across the corpus and reassemble each document (CCNet's
     duplicated-line filter — cookie banners, copyright footers,
     share-bar text).
+
+    ``prior_counts`` (line_hash, n_occurrences) carries CUMULATIVE
+    counts from earlier batches of a continuous feed: this batch's
+    counts merge in before the threshold, so a footer that appeared
+    3× last month and 2× today is boilerplate today even though
+    neither batch alone crosses ``max_count`` (incremental pipeline
+    mode — already-shipped batches are never retro-edited).
 
     Plan: explode → global line counts keyed on ``xxhash64(line)``
     (shuffle 1, partial agg — the group/shuffle key is a fixed 8-byte
@@ -677,6 +699,12 @@ def dedup_lines(
         "line_hash", F.xxhash64("line")
     )
     counts = lines.groupBy("line_hash").agg(F.count("*").alias("n_occurrences"))
+    if prior_counts is not None:
+        counts = (
+            counts.unionByName(prior_counts.select("line_hash", "n_occurrences"))
+            .groupBy("line_hash")
+            .agg(F.sum("n_occurrences").alias("n_occurrences"))
+        )
     kept = lines.join(counts, "line_hash").filter(F.col("n_occurrences") <= max_count)
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
