@@ -12,6 +12,7 @@ prep chain, each stage an operator from this repo, all JVM-side:
     3. boilerplate strip  (CCNet duplicated-line removal, xxhash64 keys)
        + optional --span-w: exact-substring span dedup (Lee et al. 2021)
     4. quality filter     (Gopher-style integer-exact verdicts)
+       + optional --model-weights: hashed linear classifier filter
     5. decontamination    (cross-corpus shingle join vs a benchmark set)
     6. language ID + stats(24-marker argmax; per-lang accounting)
     7. split + pack       (deterministic hash split; token-budget packs)
@@ -63,6 +64,12 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--span-w", type=int, default=0,
                    help="exact-substring dedup window (tokens); 0 = stage off. "
                         "Removes every corpus-repeated w-token run (Lee et al. 2021)")
+    p.add_argument("--model-weights", default=None,
+                   help="parquet of (bucket:int, weight:bigint) — enables the "
+                        "model-based filter stage (fastText-style hashed linear "
+                        "classifier; docs with mean margin < --model-threshold drop)")
+    p.add_argument("--model-buckets", type=int, default=4096)
+    p.add_argument("--model-threshold", type=int, default=0)
     p.add_argument("--state", default=None,
                    help="incremental-mode state dir (LakeTable snapshots): "
                         "cross-batch exact dedup (seen content hashes), "
@@ -262,6 +269,26 @@ def run_pipeline(spark, args) -> dict:
     retire(cleaned_all)
     retire(verdicts)
     quality_cache = survivors
+
+    # 4b. model-based filter (optional, --model-weights): fastText-style
+    #     hashed linear classifier inference — model arrives as data,
+    #     scoring is a broadcast join, labels integer-exact
+    if args.model_weights:
+        from thecrowler_spark.operators.classifier import classify_docs
+
+        weights = spark.read.parquet(args.model_weights)
+        scored = stage(classify_docs(
+            survivors, weights, n_buckets=args.model_buckets,
+            threshold=args.model_threshold,
+        ))
+        kept_ids = scored.filter(F.col("label") == "keep").select("doc_id")
+        drop(scored.filter(F.col("label") != "keep").select("doc_id"), "model_filter")
+        prev = survivors
+        survivors = stage(survivors.join(kept_ids, "doc_id", "inner"))
+        manifest["stages"]["model_filter"] = survivors.count()
+        retire(prev)
+        retire(scored)
+        quality_cache = survivors
 
     # 5. decontamination (optional)
     if args.benchmark:

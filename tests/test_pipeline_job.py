@@ -147,3 +147,51 @@ def test_pipeline_incremental_state(spark, tmp_path):
     assert set(t2) == {23}
     assert footer not in t2[23]          # cumulative threshold fired
     assert "fresh fourth piece" in t2[23]  # the real content survived
+
+
+def test_pipeline_model_filter_and_span_stage(spark, tmp_path):
+    """--model-weights drops exactly the doc the classifier scores
+    negative; --span-w strips a corpus-repeated token run from both
+    carriers without dropping them."""
+    import hashlib
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 4096
+
+    shared = "omega phi chi psi rho sigma tau upsilon"  # 8-token repeated run
+    rows = [
+        (1, "an entirely separate essay describing how glaciers carve wide "
+            f"valleys through ancient granite {shared} over countless winters "
+            "leaving moraines and polished stone behind the melting ice"),
+        (2, "completely different document about spark query planning with "
+            f"many distinct useful tokens {shared} covering shuffles joins "
+            "windows aggregates partitions codegen pushdown pruning skew"),
+        (3, "a third healthy piece about tidal estuaries where brackish "
+            "water mixes daily nutrients feeding migratory birds crabs "
+            "oysters and seagrass meadows along shifting muddy channels "
+            "badtoken badtoken badtoken badtoken badtoken badtoken"),
+    ]
+    inp, out, model = (str(tmp_path / p) for p in ("in", "out", "model"))
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(inp)
+    # badtoken weighted hard negative; everything else unweighted (0)
+    spark.createDataFrame(
+        [(bucket("badtoken"), -100)], "bucket int, weight long"
+    ).write.parquet(model)
+
+    m = run_pipeline(spark, parse_args(
+        ["--input", inp, "--output", out, "--span-w", "8",
+         "--model-weights", model, "--model-threshold", "-1",
+         "--budget", "64", "--buckets", "2"]
+    ))
+    assert m["stages"]["span_dedup"] == 3      # nobody fully duplicated
+    assert m["stages"]["model_filter"] == 2    # doc 3 gone
+    dropped = {(r["doc_id"], r["reason"]) for r in
+               spark.read.parquet(out + "/dropped").collect()}
+    assert (3, "model_filter") in dropped
+    texts = {r["doc_id"]: r["text"] for r in
+             spark.read.parquet(out + "/documents").select("doc_id", "text").collect()}
+    assert set(texts) == {1, 2}
+    for t in texts.values():
+        assert "omega" not in t and "sigma" not in t  # shared run stripped
