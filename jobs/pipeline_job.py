@@ -85,7 +85,10 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     return p.parse_args(argv)
 
 
-def run_pipeline(spark, args) -> dict:
+def run_pipeline(spark, args, docs_df=None) -> dict:
+    """Run the full stage chain. ``docs_df`` (doc_id, text) overrides
+    ``--input`` — the hook streaming ingest uses to feed a micro-batch
+    directly (streaming/curation.py) without a detour through disk."""
     from pyspark.sql import functions as F
 
     from thecrowler_spark.functions import text as TX
@@ -93,7 +96,8 @@ def run_pipeline(spark, args) -> dict:
     from thecrowler_spark.operators.sampling import assign_split, pack_documents
     from thecrowler_spark.operators.terms import quality_filter_verdict
 
-    docs = spark.read.parquet(args.input).select("doc_id", "text").persist()
+    src = docs_df if docs_df is not None else spark.read.parquet(args.input)
+    docs = src.select("doc_id", "text").persist()
     manifest: dict = {"input_rows": docs.count(), "stages": {}}
     dropped_parts = []
     cached = [docs]
