@@ -1206,6 +1206,45 @@ def q_text_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CL.classify_docs(docs.select("doc_id", "text"), weights, n_buckets=4096)
 
 
+def q_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation rollup (RefinedWeb-style domain triage): doc
+    count, total tokens, summed classifier margin, per-token mean
+    margin (integer DIV), and keep-share — the aggregation that feeds
+    mixture weights and domain allow/deny decisions. Composes the
+    hashed-classifier inference with the source dimension; one
+    broadcast join + two shuffles (per-doc margin agg, per-source
+    rollup), all integer-exact."""
+    from thecrowler_spark.operators import classifier as CL
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    weights = (
+        spark.range(4096)
+        .filter((F.col("id") % 3) != 0)
+        .select(
+            F.col("id").cast("int").alias("bucket"),
+            ((F.col("id") * 37) % 21 - 10).cast("long").alias("weight"),
+        )
+    )
+    scored = CL.classify_docs(docs.select("doc_id", "text"), weights, n_buckets=4096)
+    return (
+        docs.select("doc_id", "source")
+        .join(scored, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("margin").cast("long").alias("sum_margin"),
+            F.sum(F.when(F.col("label") == "keep", 1).otherwise(0))
+            .cast("long")
+            .alias("n_keep"),
+        )
+        .withColumn(
+            "margin_per_1k_tokens",
+            F.expr("(sum_margin * 1000) div greatest(total_tokens, 1)").cast("long"),
+        )
+    )
+
+
 def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same canonical groups as dedup_components, computed by the
     alternating large-star/small-star algorithm (Kiveris et al. 2014,
@@ -2622,6 +2661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "dedup_components_star": q_dedup_components_star,
         "text_classifier": q_text_classifier,
+        "source_quality": q_source_quality,
         # --- changed this round: re-prove (crawl_bfs gained its oracle;
         # langid family rewritten script-aware; winnow token caps; hits
         # checkpointed iteration; two-phase rank materialization; robots
@@ -2662,7 +2702,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attr_selfjoin": q_attr_selfjoin,
         "upsert_coalesce": q_upsert_coalesce,
         "webobjects_dedup": q_webobjects_dedup,
-        "events_recent": q_events_recent,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_sig": q_dedup_minhash_sig,
@@ -2671,6 +2710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---------------- slot 51+ (r3-window greens) -----------------
         "robots_wildcard": q_robots_wildcard,
         "url_combine": q_url_combine,
+        "events_recent": q_events_recent,
         "customer_quartiles": q_customer_quartiles,
         "crawl_counters": q_crawl_counters,
         "embedding_neardup": q_embedding_neardup,
@@ -4415,6 +4455,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, margin, mean_margin,
                    CASE WHEN mean_margin >= 0 THEN 'keep' ELSE 'toss' END AS label
             FROM m
+        """,
+        "source_quality": """
+            WITH w AS (
+              SELECT CAST(b AS INT) AS bucket,
+                     CAST((b * 37) % 21 - 10 AS BIGINT) AS weight
+              FROM range(0, 4096) t(b) WHERE b % 3 <> 0
+            ),
+            tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                        x -> x <> '')) AS token
+              FROM documents
+            ),
+            f AS (
+              SELECT doc_id,
+                     CAST(CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 4096 AS INT) AS bucket
+              FROM tok
+            ),
+            s AS (
+              SELECT f.doc_id, count(*) AS n_tokens,
+                     sum(coalesce(w.weight, 0)) AS margin
+              FROM f LEFT JOIN w USING (bucket) GROUP BY f.doc_id
+            ),
+            m AS (
+              SELECT d.doc_id, d.source,
+                     CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+                     CAST(coalesce(s.margin, 0) AS BIGINT) AS margin,
+                     CASE WHEN coalesce(s.n_tokens, 0) > 0
+                          THEN s.margin // s.n_tokens ELSE 0 END AS mean_margin
+              FROM documents d LEFT JOIN s USING (doc_id)
+            )
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(sum(margin) AS BIGINT) AS sum_margin,
+                   CAST(sum(CASE WHEN mean_margin >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+                   CAST((sum(margin) * 1000) // greatest(sum(n_tokens), 1) AS BIGINT) AS margin_per_1k_tokens
+            FROM m GROUP BY source
         """,
         "robots_parse": """
             SELECT concat('h', CAST(n_nationkey AS VARCHAR), '.example.com') AS host,
