@@ -1206,6 +1206,31 @@ def q_text_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CL.classify_docs(docs.select("doc_id", "text"), weights, n_buckets=4096)
 
 
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor-text corpus (retrieval-training supervision):
+    synthetic inbound links from orders, two-phase aggregation —
+    (dst, anchor) partial-agg count collapses occurrence volume before
+    the bounded per-target top-k window."""
+    from thecrowler_spark.operators.linkgraph import anchor_texts
+
+    _load(spark, sf_dir, "orders")
+    links = spark.sql(
+        """
+        SELECT concat('https://h', CAST(o_orderkey % 97 AS STRING), '.example.com/') AS dst,
+               concat('click ', CAST(o_orderkey % 13 AS STRING),
+                      CASE WHEN o_orderkey % 3 = 0 THEN ' now' ELSE '' END) AS anchor
+        FROM orders
+        """
+    )
+    out = anchor_texts(links, k=5)
+    # rank-ordered top anchors serialized to one string column: the
+    # driver's value hash has a proven contract for scalars, not arrays
+    return out.select(
+        "dst", "n_links", "n_unique_anchors",
+        F.array_join("top_anchors", " | ").alias("top_anchors"),
+    )
+
+
 def q_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source curation rollup (RefinedWeb-style domain triage): doc
     count, total tokens, summed classifier margin, per-token mean
@@ -2662,6 +2687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components_star": q_dedup_components_star,
         "text_classifier": q_text_classifier,
         "source_quality": q_source_quality,
+        "anchor_texts": q_anchor_texts,
         # --- changed this round: re-prove (crawl_bfs gained its oracle;
         # langid family rewritten script-aware; winnow token caps; hits
         # checkpointed iteration; two-phase rank materialization; robots
@@ -2701,7 +2727,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correlation_union": q_correlation_union,
         "attr_selfjoin": q_attr_selfjoin,
         "upsert_coalesce": q_upsert_coalesce,
-        "webobjects_dedup": q_webobjects_dedup,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_sig": q_dedup_minhash_sig,
@@ -2711,6 +2736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_wildcard": q_robots_wildcard,
         "url_combine": q_url_combine,
         "events_recent": q_events_recent,
+        "webobjects_dedup": q_webobjects_dedup,
         "customer_quartiles": q_customer_quartiles,
         "crawl_counters": q_crawl_counters,
         "embedding_neardup": q_embedding_neardup,
@@ -4493,6 +4519,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN mean_margin >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
                    CAST((sum(margin) * 1000) // greatest(sum(n_tokens), 1) AS BIGINT) AS margin_per_1k_tokens
             FROM m GROUP BY source
+        """,
+        "anchor_texts": """
+            WITH l AS (
+              SELECT concat('https://h', CAST(o_orderkey % 97 AS VARCHAR), '.example.com/') AS dst,
+                     concat('click ', CAST(o_orderkey % 13 AS VARCHAR),
+                            CASE WHEN o_orderkey % 3 = 0 THEN ' now' ELSE '' END) AS anchor
+              FROM orders
+            ),
+            c AS (SELECT dst, anchor, count(*) AS n FROM l GROUP BY dst, anchor),
+            r AS (
+              SELECT dst, anchor, n,
+                     row_number() OVER (PARTITION BY dst ORDER BY n DESC, anchor) AS rk
+              FROM c
+            ),
+            t AS (
+              SELECT dst,
+                     list_transform(list_sort(list(struct_pack(rk := rk, a := anchor))),
+                                    s -> s.a) AS top_anchors
+              FROM r WHERE rk <= 5 GROUP BY dst
+            ),
+            s AS (
+              SELECT dst, CAST(sum(n) AS BIGINT) AS n_links,
+                     CAST(count(*) AS BIGINT) AS n_unique_anchors
+              FROM c GROUP BY dst
+            )
+            SELECT s.dst, s.n_links, s.n_unique_anchors,
+                   array_to_string(t.top_anchors, ' | ') AS top_anchors
+            FROM s JOIN t USING (dst)
         """,
         "robots_parse": """
             SELECT concat('h', CAST(n_nationkey AS VARCHAR), '.example.com') AS host,

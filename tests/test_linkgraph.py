@@ -113,3 +113,20 @@ def test_deep_iteration_auto_persist(spark):
     h = hits_fixedpoint(edges, n_iter=20, scale=1_000_000)
     tot = h.agg(F.sum("hub_fp").alias("t")).first()["t"]
     assert 0 < tot < 2_000_000
+
+
+def test_anchor_texts_topk_and_counts(spark):
+    """Per-target anchor aggregation: counts, distinct counts, and the
+    (n desc, anchor asc) top-k order on a hand-checkable graph."""
+    from thecrowler_spark.operators.linkgraph import anchor_texts
+
+    links = spark.createDataFrame(
+        [("t1", a) for a in ["home", "home", "home", "docs", "docs", "api", "blog"]]
+        + [("t2", a) for a in ["zz", "aa"]],  # tie on n=1 -> anchor asc
+        "dst string, anchor string",
+    )
+    out = {r["dst"]: r for r in anchor_texts(links, k=3).collect()}
+    assert out["t1"]["n_links"] == 7 and out["t1"]["n_unique_anchors"] == 4
+    assert out["t1"]["top_anchors"] == ["home", "docs", "api"]  # blog cut by k=3
+    assert out["t2"]["n_links"] == 2
+    assert out["t2"]["top_anchors"] == ["aa", "zz"]

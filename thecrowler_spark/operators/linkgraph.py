@@ -190,3 +190,47 @@ def hits_fixedpoint(
             a = a.localCheckpoint(eager=True)
             h = h.localCheckpoint(eager=True)
     return h.join(a, "node").select("node", "hub_fp", "auth_fp")
+
+
+def anchor_texts(
+    links: DataFrame,
+    dst_col: str = "dst",
+    anchor_col: str = "anchor",
+    k: int = 5,
+) -> DataFrame:
+    """Per-target anchor-text aggregation — the link-context corpus
+    builder (anchor text is standard supervision for retrieval/ranking
+    training sets, and the reference's link extraction carries the
+    link text the engine's spans expose).
+
+    Scale shape: occurrence volume dies FIRST in a (dst, anchor)
+    partial-agg count — a page with 10^8 inbound links arrives at its
+    reducer as one row per DISTINCT anchor string, not per link — then
+    a per-target window ranks anchors by (count desc, anchor asc; a
+    total order) and keeps the top ``k``. The window partition is
+    bounded by distinct-anchor cardinality per target, which the
+    count stage already collapsed.
+
+    Returns (dst, n_links, n_unique_anchors, top_anchors) where
+    top_anchors is the rank-ordered top-k anchor list.
+    """
+    from pyspark.sql import Window
+
+    counts = links.groupBy(dst_col, anchor_col).agg(F.count("*").alias("n"))
+    w = Window.partitionBy(dst_col).orderBy(F.desc("n"), F.col(anchor_col))
+    tops = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .groupBy(dst_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rk", F.col(anchor_col).alias("a")))),
+                lambda s: s["a"],
+            ).alias("top_anchors")
+        )
+    )
+    stats = counts.groupBy(dst_col).agg(
+        F.sum("n").cast("long").alias("n_links"),
+        F.count("*").cast("long").alias("n_unique_anchors"),
+    )
+    return stats.join(tops, dst_col)
