@@ -775,6 +775,12 @@ def repeated_spans(
     def gram_hashes(toks):
         n = F.size(toks)
         idx = F.sequence(F.lit(0), n - w)
+        # slice+join+xxhash64 per window, MEASURED as the faster kernel:
+        # the hash-each-token-once + chained-xxhash64 fold alternative
+        # (aggregate HOF over w token hashes) benched 5.3-5.5 s vs this
+        # form's 4.8-5.1 s on 2000 docs x 2000 tokens — Catalyst's
+        # per-element HOF call overhead costs more than building the
+        # short gram string once and hashing it whole
         return F.when(
             n >= w,
             F.transform(idx, lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, w), " "))),
