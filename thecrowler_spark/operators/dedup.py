@@ -593,14 +593,33 @@ def connected_components_star(
             .distinct()
         )
 
+    def _fingerprint(e: DataFrame) -> tuple:
+        # set-equality proxy for the convergence check: (cardinality,
+        # two independently-salted order-independent hash sums). A
+        # shuffle-FREE partial-agg scan per round, vs exceptAll's two
+        # full shuffles of both edge sets — the difference between
+        # O(1) and O(edges) network per round at web-graph scale.
+        # Hashes are folded mod 2^31 before summing so 10^10 edges sum
+        # within int64 under ANSI; false convergence needs BOTH salted
+        # sums to collide between consecutive different sets (~2^-62,
+        # the same class of risk as the xxhash64 keying accepted
+        # across this module).
+        m = F.lit(2**31)
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.sum(F.pmod(F.xxhash64("u", "v"), m)).alias("h1"),
+            F.sum(F.pmod(F.xxhash64("u", "v", F.lit(1)), m)).alias("h2"),
+        ).collect()[0]
+        return (row["n"], row["h1"], row["h2"])
+
+    prev = _fingerprint(edges)
     for _ in range(max_iter):
         new_edges = small_star(large_star(edges)).localCheckpoint(eager=True)
-        changed = (
-            new_edges.exceptAll(edges).count() + edges.exceptAll(new_edges).count()
-        )
+        cur = _fingerprint(new_edges)
         edges = new_edges
-        if changed == 0:
+        if cur == prev:
             break
+        prev = cur
     return (
         nodes.join(
             edges.groupBy("u").agg(F.min("v").alias("c")).withColumnRenamed("u", "id"),
