@@ -58,7 +58,16 @@ def _fresh_spark(cores: int):
         active.stop()
     from thecrowler_spark.session import get_spark
 
-    s = get_spark(app_name=f"bench-c{cores}", cores=cores, shuffle_partitions=2 * cores)
+    # storageFraction down from the 0.5 default: bench lanes are batch
+    # throughput with transient caches — giving execution the larger
+    # share (and letting caches spill) is what prevents a cache-heavy
+    # moment from starving hash-agg page acquisition under 32 tasks
+    s = get_spark(
+        app_name=f"bench-c{cores}",
+        cores=cores,
+        shuffle_partitions=2 * cores,
+        extra_conf={"spark.memory.storageFraction": "0.3"},
+    )
     s.sparkContext.setLogLevel("ERROR")
     return s
 
@@ -274,7 +283,13 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
     total = round(sum(timings.values()), 3)
-    pipeline_res = pipeline_throughput(spark, PIPELINE_DOCS)
+    # drop any cache/localCheckpoint blocks the headline queries left
+    # behind before the memory-hungry pipeline lane starts
+    spark.catalog.clearCache()
+    try:
+        pipeline_res = pipeline_throughput(spark, PIPELINE_DOCS)
+    except Exception as exc:  # one bad lane must not kill the whole bench
+        pipeline_res = {"error": f"{type(exc).__name__}: {str(exc)[:200]}"}
     spark.stop()
 
     # crawl throughput at CPU-pinned parallelism levels.
