@@ -58,6 +58,29 @@ def test_dedup_lines_shuffles_hash_not_strings(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_mixture_sample_no_single_source_window(spark):
+    """One dominant source must not serialize onto one task: the doc
+    stream's running sum partitions on (source, range-bucket), never on
+    source alone, and the offsets side comes back as a broadcast."""
+    import re
+
+    from thecrowler_spark.operators.sampling import mixture_sample
+
+    docs = _docs(spark).select(
+        "doc_id",
+        F.when(F.length("text") % 10 < 8, F.lit("web")).otherwise(F.lit("books")).alias("source"),
+        (F.length("text") / 4).cast("long").alias("n_tokens"),
+    )
+    plan = _plan(mixture_sample(docs, {"web": 3, "books": 1}, 10_000))
+    assert "CartesianProduct" not in plan
+    # a window whose spec starts (source, _ok ...) = the old per-source
+    # single-task running sum; the two-phase shape orders the doc window
+    # by (source, _rb, _ok ...) instead
+    assert not re.search(r"windowspecdefinition\(source#\d+, _ok#", plan)
+    assert re.search(r"hashpartitioning\(source#\d+, _rb#", plan)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_two_phase_rank_has_no_global_sort(spark):
     from thecrowler_spark.operators.ranking import ntile_distributed
 

@@ -65,6 +65,7 @@ def mixture_sample(
     token_col: str = "n_tokens",
     id_col: str = "doc_id",
     seed: int = 42,
+    buckets: int = 64,
 ):
     """Deterministic dataset-mixture sampling (the Pile/DoReMi-style
     assembly step): give each source an integer weight; source s gets a
@@ -79,10 +80,28 @@ def mixture_sample(
     docs at its hash-order tail, never reshuffles the kept set wholesale
     — the property random sampling per run does not have.
 
-    Scale shape: one hash-partition window per source (mixtures have
-    bounded source counts — domains-as-sources should pre-aggregate or
-    reuse pack_documents' bucket spreading). Output: input +
-    (source_budget, cum_before, included).
+    Scale shape — two-phase prefix sum, NO per-source window: real
+    mixtures are dominated by one source ("web" is ~80% of a 100 TB
+    corpus), so a ``partitionBy(source)`` running-sum window would
+    serialize that source onto one task. Instead each source's
+    hash-ordered stream is split into ``buckets`` contiguous ranges —
+    the md5 order key is uniform, so its first-4-hex-chars numeric
+    prefix IS a range bucketing, monotone in the sort order and
+    computed as a narrow expression (no range exchange, no
+    monotonically_increasing_id):
+
+    1. local running sums within (source, range-bucket) — the ONE data
+       shuffle, ``hashpartitioning(source, _rb)``, group size bounded
+       by ~|source|/buckets regardless of source skew;
+    2. per-bucket token totals (map-side partial agg, reuses the same
+       partitioning — no second exchange of the doc stream);
+    3. prefix-sum offsets over the tiny (#sources × buckets)-row totals
+       table, broadcast-joined back:
+       ``cum_before = bucket_offset + local_cum_before``.
+
+    Bit-identical to the single-window formulation (the buckets are
+    contiguous slices of the same (md5, id) total order). Output:
+    input + (source_budget, cum_before, included).
     """
     from pyspark.sql import Window
 
@@ -94,21 +113,45 @@ def mixture_sample(
         f"CAST({budget_tokens} AS BIGINT) * CAST(_w AS BIGINT) DIV {total_w}"
     )
     order_key = F.md5(F.concat(_col(id_col).cast("string"), F.lit(f"@mix{seed}")))
+    # range bucket = numeric prefix of the order key: floor(v*buckets/2^16)
+    # over v = first 4 hex chars — monotone in the _ok string order, so
+    # per-source concatenation of buckets in _rb order is the global order
+    rbucket = F.floor(
+        F.conv(F.substring(F.col("_ok"), 1, 4), 16, 10).cast("long")
+        * buckets / 65536
+    ).cast("int")
     df = (
         docs.withColumn("_w", F.coalesce(wmap[_col(source_col)], F.lit(0)))
         .withColumn("source_budget", budget)
         .withColumn("_ok", order_key)
+        .withColumn("_rb", rbucket)
     )
-    w = (
-        Window.partitionBy(source_col)
+    w_local = (
+        Window.partitionBy(source_col, "_rb")
         .orderBy("_ok", id_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum_before = F.sum(_col(token_col)).over(w) - _col(token_col)
+    local = df.withColumn(
+        "_lcum_before",
+        (F.sum(_col(token_col)).over(w_local) - _col(token_col)).cast("long"),
+    )
+    # tiny: one row per (source, bucket); window is over ≤ buckets rows
+    totals = local.groupBy(source_col, "_rb").agg(
+        F.sum(_col(token_col)).cast("long").alias("_bt")
+    )
+    w_off = (
+        Window.partitionBy(source_col)
+        .orderBy("_rb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_bt").over(w_off), F.lit(0)).cast("long")
+    ).select(source_col, "_rb", "_off")
     return (
-        df.withColumn("cum_before", cum_before.cast("long"))
+        local.join(F.broadcast(offsets), [source_col, "_rb"])
+        .withColumn("cum_before", (F.col("_off") + F.col("_lcum_before")).cast("long"))
         .withColumn("included", F.col("cum_before") < F.col("source_budget"))
-        .drop("_w", "_ok")
+        .select(*docs.columns, "source_budget", "cum_before", "included")
     )
 
 
