@@ -276,6 +276,14 @@ def main() -> None:
 
     spark.range(1_000_000).select(F.sum("id")).collect()
     spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    # headline-lane host self-diagnosis: the same fixed spin workload
+    # (CPUS procs × constant iterations) measured immediately before and
+    # after the suite. Wall-seconds for constant work are directly
+    # comparable across bench windows, so a degraded window carries its
+    # own exculpation (quiet-host reference is recorded in BENCH.md) —
+    # no cross-referencing builder reruns needed to separate "plan
+    # regressed" from "host was slow".
+    spin_before = round(_raw_cpu_time(CPUS), 3)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
@@ -283,6 +291,7 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
     total = round(sum(timings.values()), 3)
+    spin_after = round(_raw_cpu_time(CPUS), 3)
     # drop any cache/localCheckpoint blocks the headline queries left
     # behind before the memory-hungry pipeline lane starts
     spark.catalog.clearCache()
@@ -332,6 +341,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "headline_host_spin_sec": {"before": spin_before, "after": spin_after,
+                                   "procs": CPUS},
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "pipeline": pipeline_res,
         "crawl": {
