@@ -1461,13 +1461,64 @@ def _nonlatin_inject_sql() -> str:
     """
 
 
+def _langid_injected(docs: DataFrame) -> DataFrame:
+    """Graded langid corpus, round 5: the non-Latin injection of
+    :func:`_nonlatin_injected` (doc_id % 4 == 1) PLUS short Latin
+    samples at doc_id % 4 == 3 cycling over trigram.LATIN_SAMPLES
+    (labels set) — the trigram detector is graded over a corpus where
+    25% of docs are non-Latin and 25% are short, close-pair Latin
+    (es/pt/ca, cs/sk/sl/hr, id/ms …) that the 5-marker argmax
+    demonstrably misclassifies. Mirrored in SQL by
+    :func:`_langid_inject_sql` from the same dicts."""
+    from thecrowler_spark.functions.trigram import LATIN_SAMPLES
+
+    langs = list(LATIN_SAMPLES)
+    texts = [LATIN_SAMPLES[k] for k in langs]
+    idx = (F.floor(F.col("doc_id") / 4) % len(langs)).cast("int") + 1
+    is_lat = F.col("doc_id") % 4 == 3
+    base = _nonlatin_injected(docs)
+    return base.withColumn(
+        "text",
+        F.when(is_lat, F.element_at(F.array(*[F.lit(s) for s in texts]), idx)).otherwise(
+            F.col("text")
+        ),
+    ).withColumn(
+        "lang",
+        F.when(is_lat, F.element_at(F.array(*[F.lit(k) for k in langs]), idx)).otherwise(
+            F.col("lang")
+        ),
+    )
+
+
+def _langid_inject_sql() -> str:
+    """DuckDB mirror of :func:`_langid_injected` (same dicts, same
+    doc_id arithmetic) as a CTE body over ``documents``."""
+    from thecrowler_spark.functions.trigram import LATIN_SAMPLES
+
+    langs = list(LATIN_SAMPLES)
+    t_arr = ", ".join("'" + LATIN_SAMPLES[k].replace("'", "''") + "'" for k in langs)
+    l_arr = ", ".join(f"'{k}'" for k in langs)
+    idx = f"CAST((doc_id // 4) % {len(langs)} AS INT) + 1"
+    return f"""
+          SELECT * REPLACE (
+            CASE WHEN doc_id % 4 = 3 THEN ([{t_arr}])[{idx}] ELSE text END AS text,
+            CASE WHEN doc_id % 4 = 3 THEN ([{l_arr}])[{idx}] ELSE lang END AS lang
+          ) FROM ({_nonlatin_inject_sql()})
+    """
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Script-then-language ID: codepoint-range script pre-classifier
-    (CJK/kana/Hangul/Cyrillic/Arabic/Devanagari/Greek/Hebrew/Thai) then
-    in-script marker argmax (24 Latin languages + 4 Cyrillic), graded
-    over a corpus where 25% of docs are non-Latin slices."""
-    docs = _nonlatin_injected(_load(spark, sf_dir, "documents")["documents"])
-    return docs.select("doc_id", TX.detect_lang_expr(F.col("text")).alias("lang_pred"))
+    """Script-then-language ID, trigram quality path (r4 VERDICT item
+    3): codepoint-range script pre-classifier, then — within the Latin
+    script — trigram-profile scoring against a broadcast (trigram,
+    lang, weight, priority) table derived from authored seed corpora
+    (whatlanggo shape, web.go:3370-3401); Cyrillic and single-language
+    scripts resolve as before. Graded over a corpus where 25% of docs
+    are non-Latin and 25% are short close-pair Latin samples."""
+    from thecrowler_spark.operators.langid import detect_language
+
+    docs = _langid_injected(_load(spark, sf_dir, "documents")["documents"])
+    return detect_language(docs).select("doc_id", "lang_pred")
 
 
 def q_text_langmap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2074,14 +2125,17 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     and char totals (the 'what is in my training set' report). One
     groupBy with map-side partial aggregation — at 100 TB this is a
     single shuffle of ~n_languages rows per map task."""
-    docs = _nonlatin_injected(_load(spark, sf_dir, "documents")["documents"])
+    from thecrowler_spark.operators.langid import detect_language
+
+    docs = _langid_injected(_load(spark, sf_dir, "documents")["documents"])
     return (
-        docs.groupBy("lang")
+        detect_language(docs)
+        .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum(TX.token_count(F.col("text"))).alias("total_tokens"),
             F.sum(F.length("text")).alias("total_chars"),
-            F.sum(F.when(TX.detect_lang_expr(F.col("text")) == F.col("lang"), 1).otherwise(0)).alias(
+            F.sum(F.when(F.col("lang_pred") == F.col("lang"), 1).otherwise(0)).alias(
                 "langid_agree"
             ),
         )
@@ -3071,56 +3125,117 @@ def _langid_hits_and_case() -> tuple[str, str]:
     hits = ",\n                     ".join(cols)
 
     latin_case = _argmax_case("h_", langs, "'unknown'")
-    cyr_case = _argmax_case("ch_", clangs, "'ru'")
-    dom = ["latin", "cjk", "hangul", "cyrillic", "arabic", "devanagari", "greek", "hebrew", "thai"]
-    branch = {
-        "latin": latin_case,
+    branch = _script_branches(latin_case)
+    whens = [f"WHEN {cond} THEN {branch[s]}" for s, cond in _script_conds()]
+    return hits, f"CASE {' '.join(whens)} ELSE {latin_case} END"
+
+
+def _script_conds() -> "list[tuple[str, str]]":
+    """[(script, condition SQL)] in dominance order — the argmax over
+    codepoint counts with declaration-order tie-break, generated from
+    text.SCRIPT_DOMINANCE (shared by the marker and trigram oracles so
+    the script phase cannot drift between them)."""
+    dom = list(TX.SCRIPT_DOMINANCE)
+    cexpr = {s: ("(c_han + c_kana)" if s == "cjk" else f"c_{s}") for s in dom}
+    out = []
+    for i, s in enumerate(dom):
+        conds = [f"{cexpr[s]} > 0"] + [f"{cexpr[s]} >= {cexpr[o]}" for o in dom[i + 1:]]
+        out.append((s, " AND ".join(conds)))
+    return out
+
+
+def _script_branches(latin_sql: str) -> "dict[str, str]":
+    """script → language-resolution SQL; the Latin branch is the
+    caller's choice (marker argmax or trigram COALESCE)."""
+    cyr_case = _argmax_case("ch_", list(TX.CYRILLIC_MARKERS), "'ru'")
+    return {
+        "latin": latin_sql,
         "cjk": "CASE WHEN c_kana > 0 THEN 'ja' ELSE 'zh' END",
         "cyrillic": cyr_case,
         **{s: f"'{code}'" for s, code in TX.SCRIPT_LANG.items()},
     }
-    cexpr = {s: ("(c_han + c_kana)" if s == "cjk" else f"c_{s}") for s in dom}
-    whens = []
-    for i, s in enumerate(dom):
-        conds = [f"{cexpr[s]} > 0"] + [f"{cexpr[s]} >= {cexpr[o]}" for o in dom[i + 1:]]
-        whens.append(f"WHEN {' AND '.join(conds)} THEN {branch[s]}")
-    return hits, f"CASE {' '.join(whens)} ELSE {latin_case} END"
+
+
+def _trigram_pred_ctes() -> str:
+    """CTE chain computing the TRIGRAM per-doc prediction over a CTE
+    named ``inj`` (doc_id, lang, text, …) — mirrors
+    operators.langid.detect_language and is generated from the SAME
+    profile rows the engine broadcasts (functions/trigram.py). Emits
+    CTEs ending in ``pred`` (doc_id, lang, text, lang_pred)."""
+    from thecrowler_spark.functions import trigram as TRI
+
+    hits, _ = _langid_hits_and_case()
+    script_case = (
+        "CASE "
+        + " ".join(f"WHEN {cond} THEN '{s}'" for s, cond in _script_conds())
+        + " ELSE 'latin' END"
+    )
+    branch = _script_branches("COALESCE(b.tri_pred, 'unknown')")
+    final = (
+        "CASE "
+        + " ".join(
+            f"WHEN scr.script = '{s}' THEN {sql}"
+            for s, sql in branch.items()
+            if s != "latin"
+        )
+        + f" ELSE {branch['latin']} END"
+    )
+    return f"""
+        h AS (SELECT *, {hits} FROM inj),
+        scr AS (SELECT *, {script_case} AS script FROM h),
+        nrm AS (
+          SELECT doc_id, {TRI.normalize_sql("text")} AS s
+          FROM scr WHERE script = 'latin'
+        ),
+        tidx AS (
+          SELECT doc_id, s,
+                 unnest(generate_series(1, greatest(length(s) - 2, 1))) AS i
+          FROM nrm
+        ),
+        tris AS (
+          SELECT doc_id, substring(s, CAST(i AS INT), 3) AS tri FROM tidx
+          WHERE length(s) >= 3
+        ),
+        prof(tri, plang, w, prio) AS (VALUES {TRI.profile_values_sql()}),
+        tsc AS (
+          SELECT t.doc_id, p.plang, p.prio, sum(p.w) AS score
+          FROM tris t JOIN prof p USING (tri) GROUP BY ALL
+        ),
+        tbest AS (
+          SELECT doc_id, first(plang ORDER BY score DESC, prio DESC) AS tri_pred
+          FROM tsc GROUP BY doc_id
+        ),
+        pred AS (
+          SELECT scr.doc_id, scr.lang, scr.text, {final} AS lang_pred
+          FROM scr LEFT JOIN tbest b USING (doc_id)
+        )"""
 
 
 def _corpus_stats_oracle_sql() -> str:
-    """Per-language accounting mirror — langid CASE generated from the
-    same LANG_MARKERS dict as the Spark expression."""
-    hits, case_sql = _langid_hits_and_case()
+    """Per-language accounting mirror — trigram langid CTEs generated
+    from the same profile table as the Spark broadcast."""
     sw_filter = (
         "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
     )
     return f"""
-        WITH inj AS ({_nonlatin_inject_sql()}),
-        h AS (
-          SELECT doc_id, lang, text, {hits}
-          FROM inj
-        ), p AS (
-          SELECT lang, text, {case_sql} AS lang_pred FROM h
-        )
+        WITH inj AS ({_langid_inject_sql()}),
+        {_trigram_pred_ctes()}
         SELECT lang, count(*) AS n_docs,
                CAST(sum(len({sw_filter})) AS BIGINT) AS total_tokens,
                CAST(sum(length(text)) AS BIGINT) AS total_chars,
                CAST(sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS langid_agree
-        FROM p GROUP BY lang
+        FROM pred GROUP BY lang
     """
 
 
 def _langid_oracle_sql() -> str:
-    """DuckDB mirror of text.detect_lang_expr, generated from the SAME
-    LANG_MARKERS dict (argmax with dict-order tie-break)."""
-    hits, case_sql = _langid_hits_and_case()
+    """DuckDB mirror of operators.langid.detect_language: script CASE
+    from the same SCRIPT_* dicts, Latin branch scored against the same
+    (trigram, lang, weight, prio) rows the engine broadcasts."""
     return f"""
-        WITH inj AS ({_nonlatin_inject_sql()}),
-        h AS (
-          SELECT doc_id, {hits}
-          FROM inj
-        )
-        SELECT doc_id, {case_sql} AS lang_pred FROM h
+        WITH inj AS ({_langid_inject_sql()}),
+        {_trigram_pred_ctes()}
+        SELECT doc_id, lang_pred FROM pred
     """
 
 

@@ -1,0 +1,110 @@
+"""Trigram-profile language ID (operators/langid.py): accuracy floor
+on planted close-pair Latin docs, parity of the three renderings
+(Column / pure-Python / DuckDB), and the broadcast plan shape.
+
+The accuracy test is the r4 VERDICT item-3 doneness bar: the planted
+samples are texts the 5-marker argmax DEMONSTRABLY misclassifies
+(shared 'je/se' Slavic markers, pt markers inside the es sample, …),
+so marker accuracy is asserted strictly below trigram accuracy."""
+
+from __future__ import annotations
+
+import duckdb
+import pyspark.sql.functions as F
+import pytest
+
+from thecrowler_spark.functions import text as TX
+from thecrowler_spark.functions import trigram as TRI
+
+
+def _sample_df(spark):
+    rows = [(i, lang, txt) for i, (lang, txt) in enumerate(TRI.LATIN_SAMPLES.items())]
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def _py_classify(text: str) -> str:
+    """Pure-Python reference of the Latin trigram argmax."""
+    prof = TRI.profiles()
+    langs = list(TRI.LATIN_SEEDS)
+    prio = {L: len(langs) - i for i, L in enumerate(langs)}
+    tris = TRI.trigrams_py(text)
+    scores = {L: sum(p.get(t, 0) for t in tris) for L, p in prof.items()}
+    lang, score = max(scores.items(), key=lambda kv: (kv[1], prio[kv[0]]))
+    return lang if score > 0 else "unknown"
+
+
+def test_trigram_accuracy_floor_and_marker_gap(spark):
+    """Trigram detector classifies every planted short close-pair doc;
+    the marker argmax fails a large fraction of the same set."""
+    from thecrowler_spark.operators.langid import detect_language
+
+    df = _sample_df(spark)
+    out = detect_language(df).select("lang", "lang_pred").collect()
+    tri_acc = sum(r.lang == r.lang_pred for r in out) / len(out)
+
+    marker = df.select(
+        "lang", TX.detect_lang_expr(F.col("text")).alias("p")
+    ).collect()
+    mk_acc = sum(r.lang == r.p for r in marker) / len(marker)
+
+    assert tri_acc == 1.0, [
+        (r.lang, r.lang_pred) for r in out if r.lang != r.lang_pred
+    ]
+    # the whole point of the upgrade: these texts defeat marker argmax
+    assert mk_acc < 0.6 < tri_acc
+
+
+def test_trigram_engine_matches_python_reference(spark):
+    """Column rendering ≡ pure-Python model on samples AND seeds
+    (longer texts exercise the TRI_MAX_CHARS cap path)."""
+    from thecrowler_spark.operators.langid import detect_language
+
+    rows = [
+        (i, lang, txt)
+        for i, (lang, txt) in enumerate(
+            list(TRI.LATIN_SAMPLES.items()) + list(TRI.LATIN_SEEDS.items())
+        )
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r.doc_id: r.lang_pred for r in detect_language(df).collect()}
+    for i, _, txt in rows:
+        assert out[i] == _py_classify(txt), (i, txt[:40])
+
+
+def test_trigram_duckdb_oracle_matches_engine(spark):
+    """The generated DuckDB CTE chain (the driver's oracle) agrees
+    with the engine doc-by-doc, including non-Latin scripts and an
+    empty/punctuation-only doc."""
+    import __spark_entry__ as E
+    from thecrowler_spark.operators.langid import detect_language
+
+    extra = [
+        (1000, "zh", "这是一个测试文档"),
+        (1001, "ru", "это тестовый документ и не что как"),
+        (1002, "unknown", "1234 --- !!! ..."),
+        (1003, "unknown", ""),
+    ]
+    rows = [
+        (i, lang, txt) for i, (lang, txt) in enumerate(TRI.LATIN_SAMPLES.items())
+    ] + extra
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    eng = {r.doc_id: r.lang_pred for r in detect_language(df).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, lang VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?,?,?)", rows)
+    sql = f"WITH inj AS (SELECT * FROM docs), {E._trigram_pred_ctes()} SELECT doc_id, lang_pred FROM pred"
+    ora = dict(con.execute(sql).fetchall())
+    assert eng == ora
+
+
+def test_langid_plan_broadcasts_profiles(spark):
+    """The profile join must be a broadcast — the doc stream never
+    shuffles on the trigram key."""
+    from thecrowler_spark.operators.langid import detect_language
+
+    df = _sample_df(spark)
+    plan = detect_language(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -243,6 +243,48 @@ def script_counts(c: Column | str) -> dict[str, Column]:
     }
 
 
+#: dominant-script pooling order — declaration order is the tie-break
+#: (latin first: an all-zero count vector falls through to Latin).
+#: Han + kana pool as 'cjk'; the rest are their own class.
+SCRIPT_DOMINANCE: tuple[str, ...] = (
+    "latin", "cjk", "hangul", "cyrillic", "arabic",
+    "devanagari", "greek", "hebrew", "thai",
+)
+
+
+def dominant_script(c: Column | str) -> Column:
+    """Dominant script name via codepoint-range count argmax
+    (declaration-order tie-break per SCRIPT_DOMINANCE)."""
+    cnt = script_counts(c)
+    pooled = {**cnt, "cjk": cnt["han"] + cnt["kana"]}
+    entries = [
+        F.struct(
+            pooled[name].alias("h"),
+            F.lit(len(SCRIPT_DOMINANCE) - i).alias("prio"),
+            F.lit(name).alias("s"),
+        )
+        for i, name in enumerate(SCRIPT_DOMINANCE)
+    ]
+    return F.array_max(F.array(*entries))["s"]
+
+
+def nonlatin_lang_expr(c: Column | str, script: Column) -> Column:
+    """Language for the NON-Latin script branches (NULL when the
+    script is Latin — the caller picks the Latin strategy: marker
+    argmax for the inline fast path, trigram profiles for the
+    operators.langid quality path). CJK → 'ja' if any kana else 'zh';
+    single-language scripts via SCRIPT_LANG; Cyrillic → marker argmax."""
+    cnt = script_counts(c)
+    cyr_best = _marker_argmax(tokens_cls(c, CYR_TOKEN_CLASS), CYRILLIC_MARKERS, "ru")
+    expr = F.when(
+        script == F.lit("cjk"),
+        F.when(cnt["kana"] > 0, F.lit("ja")).otherwise(F.lit("zh")),
+    )
+    for name, code in SCRIPT_LANG.items():
+        expr = expr.when(script == F.lit(name), F.lit(code))
+    return expr.when(script == F.lit("cyrillic"), cyr_best)
+
+
 def detect_lang_expr(c: Column | str) -> Column:
     """Deterministic script-then-language ID (the whatlanggo shape,
     /root/reference/pkg/crawler/web.go:3370-3401).
@@ -256,34 +298,16 @@ def detect_lang_expr(c: Column | str) -> Column:
     argmax over LANG_MARKERS (24 languages, fallback 'unknown').
     All pure Column expressions; the DuckDB oracle is generated from
     the same dicts so the engines cannot drift.
+
+    This is the inline FAST path (one expression, no joins) used where
+    langid rides along another projection (span page-info). The
+    quality path — trigram profiles within the Latin script, the part
+    marker words get wrong on close pairs — is
+    :func:`thecrowler_spark.operators.langid.detect_language`.
     """
-    cnt = script_counts(c)
-    dom = [
-        ("latin", cnt["latin"]),
-        ("cjk", cnt["han"] + cnt["kana"]),
-        ("hangul", cnt["hangul"]),
-        ("cyrillic", cnt["cyrillic"]),
-        ("arabic", cnt["arabic"]),
-        ("devanagari", cnt["devanagari"]),
-        ("greek", cnt["greek"]),
-        ("hebrew", cnt["hebrew"]),
-        ("thai", cnt["thai"]),
-    ]
-    entries = [
-        F.struct(h.alias("h"), F.lit(len(dom) - i).alias("prio"), F.lit(name).alias("s"))
-        for i, (name, h) in enumerate(dom)
-    ]
-    script = F.array_max(F.array(*entries))["s"]
+    script = dominant_script(c)
     latin_best = _marker_argmax(tokens(c), LANG_MARKERS, "unknown")
-    cyr_best = _marker_argmax(tokens_cls(c, CYR_TOKEN_CLASS), CYRILLIC_MARKERS, "ru")
-    expr = F.when(
-        script == F.lit("cjk"),
-        F.when(cnt["kana"] > 0, F.lit("ja")).otherwise(F.lit("zh")),
-    )
-    for name, code in SCRIPT_LANG.items():
-        expr = expr.when(script == F.lit(name), F.lit(code))
-    expr = expr.when(script == F.lit("cyrillic"), cyr_best)
-    return expr.otherwise(latin_best)
+    return F.coalesce(nonlatin_lang_expr(c, script), latin_best)
 
 
 def iso_lang_code(c: Column | str) -> Column:
