@@ -2550,7 +2550,24 @@ def q_crawl_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.run(dfs["seeds"]).crawl_order
 
 
-def _crawl_bfs_oracle_sql(max_depth: int = 2, spec=None) -> str:
+def q_crawl_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full BFS graded across ALL FIVE restriction levels (r4
+    VERDICT item 4): the hand-authored multi-domain levels corpus
+    (2 SLDs × 2 TLDs) crawled at max_depth=3 by five seeds sharing one
+    start URL with ``restricted`` 0..4 — level 0 never enters the loop,
+    1 follows only the URL-prefix chain, 2 stays on the SLD, 3 on the
+    TLD (the oracle branch levels 2/3 used to lump together), 4 roams.
+    Oracle: the same depth-unrolled CTE replay over the authored hrefs,
+    now with the explicit TLD arm in the skip CASE."""
+    from thecrowler_spark.operators.frontier import CrawlConfig, CrawlEngine
+    from thecrowler_spark.sources.corpus import corpus_to_spark, levels_corpus
+
+    dfs = corpus_to_spark(spark, levels_corpus())
+    eng = CrawlEngine(spark, dfs["documents"], cfg=CrawlConfig(max_depth=3, max_rounds=8))
+    return eng.run(dfs["seeds"]).crawl_order
+
+
+def _crawl_bfs_oracle_sql(max_depth: int = 2, spec=None, corpus=None) -> str:
     """DuckDB oracle for q_crawl_bfs: the PageRank/HITS unrolled-CTE
     technique applied to the BFS itself.
 
@@ -2572,7 +2589,7 @@ def _crawl_bfs_oracle_sql(max_depth: int = 2, spec=None) -> str:
     """
     from thecrowler_spark.sources.corpus import CorpusSpec, small_corpus
 
-    corpus = small_corpus(spec or CorpusSpec(n_hosts=2, pages_per_host=8))
+    corpus = corpus or small_corpus(spec or CorpusSpec(n_hosts=2, pages_per_host=8))
     doc_vals = ", ".join(f"('{d['doc_id']}')" for d in corpus["documents"])
     link_rows = []
     for d in corpus["documents"]:
@@ -2593,6 +2610,12 @@ def _crawl_bfs_oracle_sql(max_depth: int = 2, spec=None) -> str:
         # substring_index(host, '.', -2) with whole-host fallback
         h = f"regexp_extract(trim({col}), '{host_re}', 1)"
         return f"coalesce(nullif(regexp_extract({h}, '([^.]+[.][^.]+)$', 1), ''), {h})"
+
+    def tld(col: str) -> str:
+        # substring_index(host, '.', -1): last label, whole host when
+        # dotless — getDomainParts level 3 (crawler.go:2175-2187)
+        h = f"regexp_extract(trim({col}), '{host_re}', 1)"
+        return f"regexp_extract({h}, '([^.]*)$', 1)"
 
     body = f"""
         WITH docs(doc_id) AS (VALUES {doc_vals}),
@@ -2654,6 +2677,7 @@ def _crawl_bfs_oracle_sql(max_depth: int = 2, spec=None) -> str:
                       AND CASE WHEN starts_with(trim(url_link), '/') THEN FALSE
                                WHEN restricted = 0 THEN trim(source_url) <> trim(url_link)
                                WHEN restricted = 1 THEN NOT starts_with(trim(url_link), trim(source_url))
+                               WHEN restricted = 3 THEN {tld('source_url')} <> {tld('url_link')}
                                ELSE {sld('source_url')} <> {sld('url_link')} END)
                   OR url_link = source_url) AS is_skip
           FROM lv{k}
@@ -2719,6 +2743,12 @@ def _crawl_bfs_oracle_sql(max_depth: int = 2, spec=None) -> str:
     return body
 
 
+def _crawl_bfs_levels_oracle_sql() -> str:
+    from thecrowler_spark.sources.corpus import levels_corpus
+
+    return _crawl_bfs_oracle_sql(max_depth=3, corpus=levels_corpus())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the grading order: the driver grades the first
     50 entries only, so the window is curated per round (r2 verdict
@@ -2747,6 +2777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # checkpointed iteration; two-phase rank materialization; robots
         # rule-lambda binding) ----------------------------------------
         "crawl_bfs": q_crawl_bfs,
+        "crawl_bfs_levels": q_crawl_bfs_levels,
         "text_langid": q_text_langid,
         "text_langmap": q_text_langmap,
         "corpus_stats": q_corpus_stats,
@@ -4675,6 +4706,7 @@ def oracle_sql() -> dict[str, str]:
             FROM nation, (VALUES ('disallow'), ('allow'), ('crawl_delay')) AS r(rule_type)
         """,
         "crawl_bfs": _crawl_bfs_oracle_sql(),
+        "crawl_bfs_levels": _crawl_bfs_levels_oracle_sql(),
         "detected_tech": _detected_tech_oracle_sql(),
         "url_canonical": _url_canonical_oracle_sql(),
         "fingerprints": """

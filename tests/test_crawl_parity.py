@@ -417,3 +417,37 @@ def test_crawl_bfs_duckdb_oracle_generalizes(spark):
     )
     assert got == want
     assert len(got) > 20  # non-vacuous: a real multi-round crawl
+
+
+def test_levels_corpus_monotone_breadth(spark):
+    """crawl_bfs_levels semantics: over the multi-domain corpus the
+    five restriction levels produce strictly nested fetch sets, with
+    the SLD/TLD boundaries exactly where isExternalLink
+    (crawler.go:2131-2172) puts them. Level 2 vs 3 differ — the case
+    the r4 oracle's skip CASE could not see."""
+    from thecrowler_spark.sources.corpus import levels_corpus
+
+    corpus = levels_corpus()
+    dfs = corpus_to_spark(spark, corpus)
+    eng = CrawlEngine(spark, dfs["documents"], cfg=CrawlConfig(max_depth=3, max_rounds=8))
+    rows = eng.run(dfs["seeds"]).crawl_order.collect()
+    by_level: dict[int, set[str]] = {}
+    for r in rows:
+        by_level.setdefault(r.source_id - 1, set()).add(r.url)
+
+    seed = "https://www.alpha-site.com/p0"
+    assert by_level[0] == {seed}  # level 0 never enters the BFS
+    # level 1: only the string-prefix chain p0 -> p05 -> p052
+    assert by_level[1] == {seed, f"{seed}5", f"{seed}52"}
+    # strictly nested breadth
+    for a, b in ((0, 1), (1, 2), (2, 3), (3, 4)):
+        assert by_level[a] < by_level[b], (a, b)
+    # the SLD boundary: level 2 reaches docs.alpha-site.com, never beta/gamma
+    assert any("docs.alpha-site.com" in u for u in by_level[2])
+    assert not any("beta-site" in u or "gamma-site" in u for u in by_level[2])
+    # the TLD boundary: level 3 adds beta (.com) but still not gamma (.org)
+    assert any("beta-site.com" in u for u in by_level[3])
+    assert not any("gamma-site" in u for u in by_level[3])
+    # unrestricted: gamma reached, at depth up to 3
+    assert any("gamma-site.org" in u for u in by_level[4])
+    assert max(r.depth for r in rows) == 3

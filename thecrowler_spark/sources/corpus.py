@@ -242,6 +242,86 @@ def small_corpus(spec: CorpusSpec | None = None) -> dict[str, Any]:
     }
 
 
+def levels_corpus() -> dict[str, Any]:
+    """Hand-authored multi-domain corpus grading ALL FIVE restriction
+    levels through the full BFS (r4 VERDICT item 4): four hosts across
+    two SLDs and two TLDs, five seeds at the SAME start URL with
+    ``restricted`` 0..4. Reference semantics per level
+    (``isExternalLink`` /root/reference/pkg/crawler/crawler.go:2131-2172):
+
+    - 0: only the seed URL itself (and the source never enters the BFS
+      loop, crawler.go:414);
+    - 1: links string-prefixed by the source URL (the /p0 → /p05 →
+      /p052 chain);
+    - 2: same SLD (alpha-site.com: www + docs hosts);
+    - 3: same TLD (.com: alpha + beta, NOT gamma .org);
+    - 4: unrestricted (gamma too).
+
+    Deterministic, RNG-free; includes a self-link (same-as-source
+    skip), a trailing-slash dup, a case-variant dead fetch, an invalid
+    href, and a 3-deep chain so ``max_depth=3`` is exercised.
+    """
+    A = "https://www.alpha-site.com"
+    B = "https://docs.alpha-site.com"
+    C = "https://www.beta-site.com"
+    D = "https://www.gamma-site.org"
+    pages: dict[str, list[str]] = {
+        f"{A}/p0": ["/p05", f"{A}/p1", f"{B}/p0", f"{C}/p0", f"{D}/p0", f"{A}/p0", "   "],
+        f"{A}/p05": [f"{A}/p052", f"{A}/p2", f"{C}/p1"],
+        f"{A}/p052": [f"{A}/p1"],
+        f"{A}/p1": [f"{B}/p1", f"{A}/p0/", f"{D}/p1"],
+        f"{A}/p2": [f"{A}/P1", "ht tp://broken.example.com/x"],
+        f"{B}/p0": [f"{A}/p2", f"{C}/p0"],
+        f"{B}/p1": [f"{B}/p0", f"{B}/p2"],
+        f"{B}/p2": [],
+        f"{C}/p0": [f"{C}/p1", f"{D}/p0"],
+        f"{C}/p1": [],
+        f"{D}/p0": [f"{D}/p1"],
+        f"{D}/p1": [],
+    }
+    docs = []
+    for url, hrefs in pages.items():
+        spans = [{"kind": "title", "text": f"Page {url}", "media_ref": "", "offset": 0}]
+        for i, href in enumerate(hrefs):
+            spans.append(
+                {"kind": "link", "text": f"link {i}", "media_ref": href, "offset": i + 1}
+            )
+        docs.append({"doc_id": url, "spans": spans})
+
+    from datetime import datetime, timezone
+
+    seeds = [
+        {
+            "source_id": lvl + 1,
+            "source_uid": f"uid-lvl{lvl}",
+            "url": f"{A}/p0",
+            "priority": "high",
+            "status": "new",
+            "restricted": lvl,
+            "disabled": False,
+            "flags": 0,
+            "config": "{}",
+            "created_at": datetime(2026, 1, 1, 0, 0, lvl, tzinfo=timezone.utc),
+        }
+        for lvl in range(5)
+    ]
+    hosts = ["www.alpha-site.com", "docs.alpha-site.com", "www.beta-site.com", "www.gamma-site.org"]
+    robots = [
+        {"host": h, "rule_type": "disallow", "path_prefix": "/private", "crawl_delay": None}
+        for h in hosts
+    ]
+    budgets = [
+        {"host": h, "max_fetches_per_round": 8, "interval_seconds": 3.0} for h in hosts
+    ]
+    return {
+        "documents": docs,
+        "seeds": seeds,
+        "robots_rules": robots,
+        "politeness_budgets": budgets,
+        "page_set": set(pages),
+    }
+
+
 def corpus_to_spark(spark: SparkSession, corpus: dict[str, Any]) -> dict[str, DataFrame]:
     """Materialize the python corpus as Spark DataFrames (typed schemas)."""
     docs_rows = [
