@@ -3,12 +3,18 @@
 Media objects ride as opaque ``binary`` columns with typed metadata —
 the Spark rendering of the reference's WebObjects blob store
 (/root/reference/pkg/crawler/crawler.go:1504-1543, content typing
-pkg/crawler/types.go:324-413). The decode/feature-extract step is a
-STUB (image/audio libs are not in this container): the Spark-side
-plumbing — schema, ``mapInPandas`` batch shape, partitioning — is real
-and tested; ``decode_image_batch`` computes deterministic fake features
-(size, sha256, fake dims) and raises ``NotImplementedError`` only if a
-real decode is requested.
+pkg/crawler/types.go:324-413).
+
+Since round 5 the decode path touches REAL bytes for uncompressed
+formats: PPM (P6, incl. multi-image streams standing in for video
+frames), 24-bit BI_RGB BMP, and PCM16 WAV are decoded by the
+pure-numpy codecs in functions/codecs.py inside Arrow-batched
+``mapInPandas`` — real dimensions, real sample counts, content hashes
+of the decoded pixels/samples. Compressed formats (png/jpeg/mp4/…)
+remain behind the honest ``NotImplementedError`` guard (no
+pillow/libav in this container); the stub path
+(``real_decode=False``) keeps the original fake-feature contract for
+the plumbing-only queries.
 """
 
 from __future__ import annotations
@@ -27,6 +33,8 @@ EXT_TYPE_MAP = {
     "jpeg": "image/jpeg",
     "gif": "image/gif",
     "webp": "image/webp",
+    "ppm": "image/x-portable-pixmap",
+    "bmp": "image/bmp",
     "mp3": "audio/mpeg",
     "wav": "audio/wav",
     "mp4": "video/mp4",
@@ -67,22 +75,244 @@ def attach_payloads(media_refs: DataFrame, ref_col: str = "media_ref") -> DataFr
     )
 
 
+#: formats the numpy codecs decode for real; everything else raises
+#: under real_decode=True (the honest compressed-format guard)
+REAL_DECODABLE = {"image/x-portable-pixmap", "image/bmp", "audio/wav"}
+
+#: fixture variants for the real-decode graded queries: (fmt, params).
+#: Odd widths exercise BMP row padding; dims/rates vary; seed = index.
+#: The oracle VALUES are generated from the SAME list (entry file).
+REAL_VARIANTS: "list[tuple[str, tuple[int, ...]]]" = [
+    ("ppm", (8, 6)),
+    ("ppm", (5, 7)),
+    ("ppm", (16, 9)),
+    ("ppm", (1, 1)),
+    ("bmp", (6, 4)),
+    ("bmp", (3, 5)),
+    ("bmp", (7, 2)),
+    ("bmp", (12, 8)),
+    ("wav", (64, 8000)),
+    ("wav", (100, 16000)),
+    ("wav", (7, 8000)),
+    ("wav", (441, 44100)),
+]
+
+#: multi-image PPM stream variants for frame sampling: (w, h, frames)
+FRAME_VARIANTS: "list[tuple[int, int, int]]" = [(4, 3, 2), (5, 4, 3), (8, 2, 4)]
+
+
+def variant_payload(variant: int) -> bytes:
+    """Encoded fixture bytes for a REAL_VARIANTS index (seed = index)."""
+    from thecrowler_spark.functions import codecs as C
+
+    fmt, params = REAL_VARIANTS[variant]
+    if fmt == "ppm":
+        return C.make_ppm(params[0], params[1], seed=variant)
+    if fmt == "bmp":
+        return C.make_bmp(params[0], params[1], seed=variant)
+    return C.make_wav(params[0], params[1], seed=variant)
+
+
+def variant_ext(variant: int) -> str:
+    return REAL_VARIANTS[variant][0]
+
+
+def attach_real_payloads(refs: DataFrame, variant_col: str = "variant") -> DataFrame:
+    """Attach REAL encoded media bytes (PPM/BMP/WAV per REAL_VARIANTS)
+    via an Arrow-batched pandas UDF — the binary-column fixture source
+    for the real-decode queries."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def synth(v: pd.Series) -> pd.Series:
+        return v.map(lambda i: variant_payload(int(i)))
+
+    return refs.withColumn("payload", synth(F.col(variant_col))).withColumn(
+        "media_type", media_type_expr(F.col("media_ref"))
+    )
+
+
+def frame_variant_payload(variant: int) -> bytes:
+    """Multi-image P6 stream for a FRAME_VARIANTS index (seed =
+    100 + variant; frame f uses seed + f)."""
+    from thecrowler_spark.functions import codecs as C
+
+    w, h, n = FRAME_VARIANTS[variant]
+    return C.make_ppm(w, h, seed=100 + variant, frames=n)
+
+
+def attach_frame_payloads(refs: DataFrame, variant_col: str = "variant") -> DataFrame:
+    """Attach multi-frame PPM stream bytes per FRAME_VARIANTS."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def synth(v: pd.Series) -> pd.Series:
+        return v.map(lambda i: frame_variant_payload(int(i)))
+
+    return refs.withColumn("payload", synth(F.col(variant_col))).withColumn(
+        "media_type", media_type_expr(F.col("media_ref"))
+    )
+
+
+DECODED_REAL_SCHEMA = (
+    "media_ref string, media_type string, n_bytes long, width int, height int, "
+    "channels int, sample_rate int, n_samples long, content_sha256 string"
+)
+
+
+def decode_media_real(df: DataFrame) -> DataFrame:
+    """REAL decode via mapInPandas: PPM/BMP → (width, height, channels,
+    sha256 of the decoded RGB bytes); WAV → (sample_rate, n_samples,
+    sha256 of the decoded PCM bytes). A compressed media_type in the
+    batch raises NotImplementedError — the guard the stub used to
+    apply to everything."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from thecrowler_spark.functions import codecs as C
+
+        for pdf in it:
+            w, h, ch, rate, ns, sha = [], [], [], [], [], []
+            for payload, mtype in zip(pdf["payload"], pdf["media_type"]):
+                b = bytes(payload)
+                if mtype == "image/x-portable-pixmap":
+                    frames = C.decode_ppm(b)
+                    img = frames[0]
+                    w.append(img.shape[1]); h.append(img.shape[0]); ch.append(3)
+                    rate.append(None); ns.append(None)
+                    sha.append(hashlib.sha256(b"".join(f.tobytes() for f in frames)).hexdigest())
+                elif mtype == "image/bmp":
+                    img = C.decode_bmp(b)
+                    w.append(img.shape[1]); h.append(img.shape[0]); ch.append(3)
+                    rate.append(None); ns.append(None)
+                    sha.append(hashlib.sha256(img.tobytes()).hexdigest())
+                elif mtype == "audio/wav":
+                    r, c, samples = C.decode_wav(b)
+                    w.append(None); h.append(None); ch.append(c)
+                    rate.append(r); ns.append(len(samples))
+                    sha.append(hashlib.sha256(samples.tobytes()).hexdigest())
+                else:
+                    raise NotImplementedError(
+                        f"real decode of {mtype} requires pillow/libav — not in this container"
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "width": pd.array(w, dtype="Int32"),
+                    "height": pd.array(h, dtype="Int32"),
+                    "channels": pd.array(ch, dtype="Int32"),
+                    "sample_rate": pd.array(rate, dtype="Int32"),
+                    "n_samples": pd.array(ns, dtype="Int64"),
+                    "content_sha256": sha,
+                }
+            )
+
+    return df.mapInPandas(batches, DECODED_REAL_SCHEMA)
+
+
+RESIZED_REAL_SCHEMA = (
+    "media_ref string, media_type string, width int, height int, "
+    "target_w int, target_h int, resized_sha256 string"
+)
+
+
+def resize_media_real(df: DataFrame, target_w: int = 16, target_h: int = 12) -> DataFrame:
+    """REAL resize: decode (PPM/BMP), deterministic nearest-neighbor
+    resample, sha256 of the resized RGB bytes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from thecrowler_spark.functions import codecs as C
+
+        for pdf in it:
+            w, h, sha = [], [], []
+            for payload, mtype in zip(pdf["payload"], pdf["media_type"]):
+                b = bytes(payload)
+                if mtype == "image/x-portable-pixmap":
+                    img = C.decode_ppm(b)[0]
+                elif mtype == "image/bmp":
+                    img = C.decode_bmp(b)
+                else:
+                    raise NotImplementedError(f"real resize of {mtype} unsupported")
+                w.append(img.shape[1]); h.append(img.shape[0])
+                out = C.resize_nearest(img, target_w, target_h)
+                sha.append(hashlib.sha256(out.tobytes()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "media_type": pdf["media_type"],
+                    "width": pd.array(w, dtype="Int32"),
+                    "height": pd.array(h, dtype="Int32"),
+                    "target_w": pd.array([target_w] * len(w), dtype="Int32"),
+                    "target_h": pd.array([target_h] * len(w), dtype="Int32"),
+                    "resized_sha256": sha,
+                }
+            )
+
+    return df.mapInPandas(batches, RESIZED_REAL_SCHEMA)
+
+
+FRAMES_REAL_SCHEMA = (
+    "media_ref string, frame_idx int, frame_ts_ms long, width int, height int, "
+    "frame_sha256 string"
+)
+
+
+def sample_frames_real(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL frame sampling over multi-image P6 streams (the Netpbm
+    spec allows concatenated images — the uncompressed stand-in for a
+    video container): one row per decoded frame with its own pixel
+    hash."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from thecrowler_spark.functions import codecs as C
+
+        for pdf in it:
+            refs, idxs, tss, ws, hs, shas = [], [], [], [], [], []
+            for ref, payload, mtype in zip(pdf["media_ref"], pdf["payload"], pdf["media_type"]):
+                if mtype != "image/x-portable-pixmap":
+                    raise NotImplementedError(f"real frame sampling of {mtype} unsupported")
+                for i, img in enumerate(C.decode_ppm(bytes(payload))):
+                    refs.append(ref)
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    ws.append(img.shape[1])
+                    hs.append(img.shape[0])
+                    shas.append(hashlib.sha256(img.tobytes()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_ref": pd.Series(refs, dtype="object"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_ts_ms": pd.Series(tss, dtype="int64"),
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "frame_sha256": pd.Series(shas, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(batches, FRAMES_REAL_SCHEMA)
+
+
 def decode_media(df: DataFrame, real_decode: bool = False) -> DataFrame:
     """Decode/feature-extract via mapInPandas (Arrow batches).
 
-    The batch shape and schema are the production contract; the decode
-    body is a deterministic stub. ``real_decode=True`` raises
-    NotImplementedError (no image/audio libs in this container).
+    ``real_decode=True`` routes to :func:`decode_media_real` (numpy
+    codecs, REAL_DECODABLE formats only — compressed formats raise).
+    The default body is the deterministic plumbing stub.
     """
+    if real_decode:
+        return decode_media_real(df)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in it:
-            if real_decode:
-                raise NotImplementedError(
-                    "real image/audio decode requires pillow/libav — not in this container"
-                )
             payloads = pdf["payload"]
             n_bytes = payloads.map(len)
             sha = payloads.map(lambda b: hashlib.sha256(bytes(b)).hexdigest())
