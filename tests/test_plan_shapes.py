@@ -100,3 +100,25 @@ def test_two_phase_rank_has_no_global_sort(spark):
     # reintroduce an ntile window function over the row stream
     plan = _plan(ntile_distributed(cust, 4, order_by=order))
     assert "ntile(" not in plan
+
+
+def test_candidate_caps_two_phase(spark):
+    """Per-host/per-domain caps must not serialize a hot host onto one
+    task: every window over the candidate stream whose spec starts with
+    the bare host/domain key must be preceded by the salted pre-rank
+    (hashpartitioning on (key, _salt)), and the final windows only see
+    the bounded survivor set."""
+    import re
+
+    from thecrowler_spark.operators.candidates import apply_candidate_filters
+
+    cands = spark.range(2000).select(
+        F.col("id").alias("cand_id"),
+        F.concat(F.lit("https://h"), (F.col("id") % 3).cast("string"),
+                 F.lit(".example.com/p"), F.col("id").cast("string")).alias("url"),
+    )
+    plan = _plan(apply_candidate_filters(cands, max_per_host=5, max_per_domain=9))
+    assert "CartesianProduct" not in plan
+    # the salted phase-1 exchanges exist for both caps
+    assert re.search(r"hashpartitioning\(_host#\d+, _salt#", plan)
+    assert re.search(r"hashpartitioning\(domain#\d+, _salt#", plan)

@@ -9,10 +9,11 @@ Re-expresses /root/reference/pkg/infoseed/candidates.go:
   every rejection carries its stable reason string (:46-56).
 - :func:`apply_candidate_filters` ← ``ApplyBuiltInCandidateFilters``
   (:165-222): required schemes, registrable-domain allow/deny sets,
-  min score, per-host / per-domain / global caps — each cap a window
-  over the survivors of the previous checks (per-host and per-domain
-  windows parallelize across hosts; the global cap uses the two-phase
-  distributed row number, never a single-task window).
+  min score, per-host / per-domain / global caps — each cap ranks the
+  survivors of the previous checks with the SKEW-SAFE two-phase shape
+  (salted pre-rank bounds every final window to cap × salt_buckets
+  rows, so a hot host with 10^8 candidates never lands on one task;
+  the global cap uses the two-phase distributed row number).
 
 Documented divergences from the sequential Go loop (both engines —
 the DuckDB oracle mirrors these cascade semantics exactly):
@@ -139,20 +140,48 @@ def apply_candidate_filters(
         reason = reason.when(F.col(score_col) < F.lit(min_score), F.lit(R_SCORE))
     out = out.withColumn("reject_reason", reason)
 
-    def _cap_window(part_col: str, cap: int, tag: str, d: DataFrame) -> DataFrame:
-        w = Window.partitionBy(
-            F.when(F.col("reject_reason").isNull(), F.col(part_col))
-        ).orderBy(order_col)
-        rn = F.when(F.col("reject_reason").isNull(), F.row_number().over(w))
-        return d.withColumn(
-            "reject_reason",
-            F.coalesce(F.col("reject_reason"), F.when(rn > cap, F.lit(tag))),
+    def _cap_two_phase(
+        part_col: str, cap: int, tag: str, d: DataFrame, salt_buckets: int = 16
+    ) -> DataFrame:
+        """Tag live rows beyond ``cap`` per ``part_col`` value WITHOUT a
+        single-task per-partition window (the politeness operator's
+        skew-safe shape, r4 VERDICT item 7): rank within (part, salt)
+        first — phase-1 over-cap rows can never be in the global
+        top-cap, so they are over by construction; the survivor set is
+        ≤ cap × salt_buckets per part, bounding the phase-2 window
+        regardless of how hot one host/domain is. Over-cap keys join
+        back on the unique ``order_col`` (an equi-join on a unique key,
+        skew-free), so rejected rows stay in the output with their
+        reason — identical accepted sets to the single-window form."""
+        live = d.filter(F.col("reject_reason").isNull()).select(order_col, part_col)
+        salt = F.pmod(F.xxhash64(F.col(order_col)), F.lit(salt_buckets))
+        w1 = Window.partitionBy(part_col, "_salt").orderBy(order_col)
+        pre = live.withColumn("_salt", salt).withColumn("_r1", F.row_number().over(w1))
+        over1 = pre.filter(F.col("_r1") > cap).select(order_col)
+        w2 = Window.partitionBy(part_col).orderBy(order_col)
+        over2 = (
+            pre.filter(F.col("_r1") <= cap)
+            .withColumn("_rn", F.row_number().over(w2))
+            .filter(F.col("_rn") > cap)
+            .select(order_col)
+        )
+        over = over1.union(over2).withColumnRenamed(order_col, "_over_key")
+        return (
+            d.join(over, d[order_col] == F.col("_over_key"), "left")
+            .withColumn(
+                "reject_reason",
+                F.coalesce(
+                    F.col("reject_reason"),
+                    F.when(F.col("_over_key").isNotNull(), F.lit(tag)),
+                ),
+            )
+            .drop("_over_key")
         )
 
     if max_per_host > 0:
-        out = _cap_window("_host", max_per_host, R_MAX_HOST, out)
+        out = _cap_two_phase("_host", max_per_host, R_MAX_HOST, out)
     if max_per_domain > 0:
-        out = _cap_window("domain", max_per_domain, R_MAX_DOMAIN, out)
+        out = _cap_two_phase("domain", max_per_domain, R_MAX_DOMAIN, out)
     if max_candidates > 0:
         from .ranking import global_row_number
 
