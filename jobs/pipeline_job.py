@@ -81,8 +81,41 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--train", type=float, default=0.98)
     p.add_argument("--val", type=float, default=0.01)
     p.add_argument("--test", type=float, default=0.01)
+    p.add_argument("--mixture", default=None,
+                   help="dataset-mixture sampling spec 'BUDGET:src=w,src=w' "
+                        "(e.g. 100000:web=3,books=1) — integer per-source token "
+                        "budgets in deterministic md5 order (two-phase prefix "
+                        "sum, skew-safe); requires a 'source' input column. "
+                        "Docs beyond their source's budget drop as "
+                        "'mixture_budget'")
+    p.add_argument("--links", default=None,
+                   help="crawl links parquet (src, dst, anchor) for --anchor-corpus")
+    p.add_argument("--anchor-corpus", action="store_true",
+                   help="write out/anchors: per-target top-k anchor-text corpus "
+                        "over --links restricted to curated survivor targets")
+    p.add_argument("--anchor-k", type=int, default=5)
+    p.add_argument("--source-rollup", action="store_true",
+                   help="write out/sources: RefinedWeb-style per-source triage "
+                        "(docs in/kept, kept tokens, keep share; classifier "
+                        "margin sums when --model-weights ran); requires a "
+                        "'source' input column")
     p.add_argument("--shuffle-partitions", type=int, default=None)
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if args.anchor_corpus and not args.links:
+        p.error("--anchor-corpus requires --links")
+    return args
+
+
+def parse_mixture(spec: str) -> "tuple[int, dict[str, int]]":
+    """'BUDGET:src=w,src=w' → (budget_tokens, weights)."""
+    budget_s, _, rest = spec.partition(":")
+    weights = {}
+    for kv in rest.split(","):
+        k, _, v = kv.partition("=")
+        weights[k.strip()] = int(v)
+    if not weights:
+        raise ValueError(f"empty mixture weights in spec {spec!r}")
+    return int(budget_s), weights
 
 
 def run_pipeline(spark, args, docs_df=None) -> dict:
@@ -97,6 +130,13 @@ def run_pipeline(spark, args, docs_df=None) -> dict:
     from thecrowler_spark.operators.terms import quality_filter_verdict
 
     src = docs_df if docs_df is not None else spark.read.parquet(args.input)
+    needs_source = bool(getattr(args, "mixture", None)) or getattr(args, "source_rollup", False)
+    sources_dim = None
+    if needs_source:
+        if "source" not in src.columns:
+            raise ValueError("--mixture/--source-rollup require a 'source' input column")
+        # slim (doc_id, source) dimension — read once per consumer stage
+        sources_dim = src.select("doc_id", "source").persist()
     docs = src.select("doc_id", "text").persist()
     manifest: dict = {"input_rows": docs.count(), "stages": {}}
     dropped_parts = []
@@ -277,6 +317,7 @@ def run_pipeline(spark, args, docs_df=None) -> dict:
     # 4b. model-based filter (optional, --model-weights): fastText-style
     #     hashed linear classifier inference — model arrives as data,
     #     scoring is a broadcast join, labels integer-exact
+    margins_by_source = None
     if args.model_weights:
         from thecrowler_spark.operators.classifier import classify_docs
 
@@ -290,6 +331,20 @@ def run_pipeline(spark, args, docs_df=None) -> dict:
         prev = survivors
         survivors = stage(survivors.join(kept_ids, "doc_id", "inner"))
         manifest["stages"]["model_filter"] = survivors.count()
+        if getattr(args, "source_rollup", False):
+            # tiny per-source margin sums (n_sources rows), pinned while
+            # the scored cache is hot so retire() below stays safe
+            margins_by_source = (
+                scored.join(sources_dim, "doc_id")
+                .groupBy("source")
+                .agg(
+                    F.sum("margin").cast("long").alias("sum_margin"),
+                    F.sum(F.when(F.col("label") == "keep", 1).otherwise(0))
+                    .cast("long")
+                    .alias("n_model_keep"),
+                )
+                .localCheckpoint(eager=True)
+            )
         retire(prev)
         retire(scored)
         quality_cache = survivors
@@ -311,10 +366,25 @@ def run_pipeline(spark, args, docs_df=None) -> dict:
         F.sum(TX.token_count(F.col("text"))).alias("total_tokens"),
     )
 
-    # 7. split + pack
-    weights = {"train": args.train, "val": args.val, "test": args.test}
+    # 6b. dataset-mixture sampling (optional, --mixture): integer
+    #     per-source token budgets in deterministic md5 order — the
+    #     Pile/DoReMi-style assembly step, two-phase prefix sum
+    #     (skew-safe even when one source is 80% of the corpus)
     survivors = stage(survivors)
     sized = survivors.withColumn("n_tokens", TX.token_count(F.col("text")))
+    if getattr(args, "mixture", None):
+        from thecrowler_spark.operators.sampling import mixture_sample
+
+        mix_budget, mix_weights = parse_mixture(args.mixture)
+        mixed = stage(mixture_sample(
+            sized.join(sources_dim, "doc_id"), mix_weights, mix_budget
+        ))
+        drop(mixed.filter(~F.col("included")).select("doc_id"), "mixture_budget")
+        sized = mixed.filter(F.col("included")).select(*sized.columns)
+        manifest["stages"]["mixture"] = sized.count()
+
+    # 7. split + pack
+    weights = {"train": args.train, "val": args.val, "test": args.test}
     packed = stage(pack_documents(
         sized.withColumn("split", assign_split(F.col("doc_id"), weights)),
         budget=args.budget,
@@ -326,6 +396,36 @@ def run_pipeline(spark, args, docs_df=None) -> dict:
     out = args.output
     packed.write.mode("overwrite").parquet(f"{out}/documents")
     stats.write.mode("overwrite").parquet(f"{out}/stats")
+
+    # 8. optional analytics outputs over the curated survivor set
+    if getattr(args, "anchor_corpus", False):
+        from thecrowler_spark.operators.linkgraph import anchor_texts
+
+        links = spark.read.parquet(args.links)
+        kept_targets = packed.select(F.col("doc_id").alias("dst"))
+        anchors = anchor_texts(
+            links.join(kept_targets, "dst", "left_semi"), k=args.anchor_k
+        )
+        anchors.write.mode("overwrite").parquet(f"{out}/anchors")
+        manifest["stages"]["anchor_corpus"] = spark.read.parquet(f"{out}/anchors").count()
+    if getattr(args, "source_rollup", False):
+        roll = (
+            sources_dim.join(packed.select("doc_id", "n_tokens"), "doc_id", "left")
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n_docs_in"),
+                F.count("n_tokens").alias("n_kept"),
+                F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("tokens_kept"),
+            )
+            .withColumn(
+                "keep_share_pct",
+                F.expr("CAST(n_kept * 100 DIV n_docs_in AS INT)"),
+            )
+        )
+        if margins_by_source is not None:
+            roll = roll.join(margins_by_source, "source", "left")
+        roll.write.mode("overwrite").parquet(f"{out}/sources")
+        manifest["stages"]["source_rollup"] = spark.read.parquet(f"{out}/sources").count()
     if dropped_parts:
         d = dropped_parts[0]
         for part in dropped_parts[1:]:
@@ -354,6 +454,8 @@ def run_pipeline(spark, args, docs_df=None) -> dict:
         )
         manifest["state_line_counts"] = lake_lines.write(merged)
 
+    if sources_dim is not None:
+        sources_dim.unpersist()
     for df in cached:
         df.unpersist()
     return manifest

@@ -195,3 +195,69 @@ def test_pipeline_model_filter_and_span_stage(spark, tmp_path):
     assert set(texts) == {1, 2}
     for t in texts.values():
         assert "omega" not in t and "sigma" not in t  # shared run stripped
+
+
+def test_pipeline_mixture_anchor_rollup_stages(spark, tmp_path):
+    """r4 VERDICT item 6: the r4 analytics reachable from the shippable
+    job — --mixture caps per-source tokens (planted budget keeps one
+    source whole and trims the other), --anchor-corpus writes the
+    per-target anchor corpus over surviving targets only, and
+    --source-rollup triages sources with exact counts."""
+    from pyspark.sql import functions as F
+
+    # disjoint per-doc vocabularies: exactly 40 tokens each, all 2-grams
+    # distinct (passes quality), zero shared shingles (no exact/fuzzy dup)
+    mk = lambda i, src: " ".join(f"{src}{i}tok{j}" for j in range(40))
+    rows = (
+        [(i, mk(i, "web"), "web") for i in range(1, 7)]
+        + [(i, mk(i, "books"), "books") for i in range(20, 23)]
+    )
+    docs_path = str(tmp_path / "docs.parquet")
+    links_path = str(tmp_path / "links.parquet")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(rows, "doc_id long, text string, source string").write.parquet(docs_path)
+    links = [(99, 1, "click here"), (98, 1, "click here"), (97, 1, "fox page"),
+             (96, 2, "web two"), (95, 4040, "dangling target")]
+    spark.createDataFrame(links, "src long, dst long, anchor string").write.parquet(links_path)
+
+    # each doc is exactly 40 tokens; web budget 3/4 * 320 = 240 keeps
+    # all 6 web docs (cum_before max 200 < 240); books 1/4 * 320 = 80
+    # keeps 2 of 3 (take-while: cum_before < budget) -> one budget drop
+    args = parse_args(
+        ["--input", docs_path, "--output", out, "--budget", "64", "--buckets", "4",
+         "--mixture", "320:web=3,books=1",
+         "--links", links_path, "--anchor-corpus", "--anchor-k", "2",
+         "--source-rollup"]
+    )
+    m = run_pipeline(spark, args)
+    assert m["input_rows"] == 9
+    assert 0 < m["stages"]["mixture"] < 9  # the budget genuinely trims
+
+    dropped = {r.doc_id: r.reason for r in spark.read.parquet(f"{out}/dropped").collect()}
+    assert "mixture_budget" in set(dropped.values())
+
+    # per-source budgets respected exactly (take-while convention:
+    # cum_before < budget), independently recomputed
+    docs_out = spark.read.parquet(f"{out}/documents").collect()
+    kept = {r.doc_id for r in docs_out}
+    srcmap = {i: s for i, _, s in rows}
+    for source, w in (("web", 3), ("books", 1)):
+        budget = 320 * w // 4
+        toks = sum(r.n_tokens for r in docs_out if srcmap[r.doc_id] == source)
+        max_doc = max(r.n_tokens for r in docs_out)
+        assert toks < budget + max_doc, (source, toks, budget)
+
+    # anchors: only surviving targets; dangling target never appears
+    anchors = {r.dst: r for r in spark.read.parquet(f"{out}/anchors").collect()}
+    assert set(anchors) <= kept and 4040 not in anchors
+    if 1 in anchors:
+        assert anchors[1].n_links == 3
+        assert anchors[1].top_anchors[0].startswith("click here")
+
+    # rollup: exact input counts per source, kept <= in
+    roll = {r.source: r for r in spark.read.parquet(f"{out}/sources").collect()}
+    assert roll["web"].n_docs_in == 6 and roll["books"].n_docs_in == 3
+    for r in roll.values():
+        assert 0 <= r.n_kept <= r.n_docs_in
+        assert r.keep_share_pct == r.n_kept * 100 // r.n_docs_in
+    assert m["stages"]["source_rollup"] == 2
