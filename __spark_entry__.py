@@ -2906,6 +2906,289 @@ def _crawl_bfs_levels_oracle_sql() -> str:
     return _crawl_bfs_oracle_sql(max_depth=3, corpus=levels_corpus())
 
 
+# ------------------------------------------- incremental pipeline (2 batches)
+#
+# Cross-batch curation state graded at the driver (r4 verdict item 9):
+# the SHIPPABLE job (jobs/pipeline_job.py, --state mode) runs twice over
+# two deterministic batches of the documents table; the oracle replays
+# the whole two-batch semantics in one DuckDB statement — prior-hash
+# exact drops, within-batch LSH→Jaccard-verified→CC fuzzy dedup,
+# sig-equality cross-batch fuzzy drops, CUMULATIVE boilerplate line
+# counts (a footer 3× per batch trips the >4 threshold only in batch 2),
+# and the Gopher quality gate. Plants make every cross-batch branch
+# fire: +10000 ids are exact replicas of batch-1 texts
+# (exact_dup_prior), +20000 ids append ' *' — the '*' survives
+# normalize_text's punctuation class so the content hash differs, but
+# tokenization drops it so the shingle set and therefore the FULL
+# minhash signature are unchanged (fuzzy_dup_prior).
+
+_PIPE_FOOTER = "join our weekly newsletter for updates"
+
+
+def q_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-batch incremental pipeline run: final per-doc outcome
+    (kept + token count after line-dedup, or the audited drop reason)
+    across both batches, with LakeTable state carrying seen hashes,
+    signature keys, and cumulative line counts between them."""
+    import os
+    import shutil
+    import sys
+    import tempfile
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from jobs.pipeline_job import parse_args, run_pipeline
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 300)
+    )
+    footer = F.lit("\n" + _PIPE_FOOTER)
+
+    def with_footer(df, ids):
+        return df.withColumn(
+            "text",
+            F.when(F.col("doc_id").isin(ids), F.concat(F.col("text"), footer))
+            .otherwise(F.col("text")),
+        )
+
+    b1 = with_footer(docs.filter(F.col("doc_id") < 150), [0, 1, 2])
+    replicas_exact = docs.filter(F.col("doc_id").isin([3, 4])).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    replicas_fuzzy = docs.filter(F.col("doc_id").isin([5, 6])).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" *")).alias("text"),
+    )
+    b2 = (
+        with_footer(docs.filter(F.col("doc_id") >= 150), [150, 151, 152])
+        .unionByName(replicas_exact)
+        .unionByName(replicas_fuzzy)
+    )
+
+    root = tempfile.mkdtemp(prefix="pipe_incr_")
+    parts = []
+    try:
+        for batch_no, batch in ((1, b1), (2, b2)):
+            out = f"{root}/out{batch_no}"
+            args = parse_args(
+                ["--input", "(docs_df)", "--output", out,
+                 "--state", f"{root}/state", "--buckets", "8", "--budget", "512"]
+            )
+            run_pipeline(spark, args, docs_df=batch)
+            b = F.lit(batch_no).cast("int")
+            kept = spark.read.parquet(f"{out}/documents").select(
+                b.alias("batch"),
+                "doc_id",
+                F.lit("kept").alias("reason"),
+                F.col("n_tokens").cast("int").alias("n_tokens"),
+            )
+            dropped = spark.read.parquet(f"{out}/dropped").select(
+                b.alias("batch"),
+                "doc_id",
+                "reason",
+                F.lit(-1).cast("int").alias("n_tokens"),
+            )
+            # pull to the driver NOW (bounded: ≤ 154 rows/batch) so the
+            # tmp parquet + lake state can be deleted before returning
+            parts.extend(kept.unionByName(dropped).collect())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        parts, "batch int, doc_id bigint, reason string, n_tokens int"
+    )
+
+
+_PIPE_CANON = """trim(regexp_replace(lower(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'),
+                          '[.,?!:;''"(){}<>\\-]', ' ', 'g')), '\\s+', ' ', 'g'))"""
+
+_PIPE_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+def _pipe_batch_ctes(p: str, prior: "dict | None") -> str:
+    """CTE chain replaying one run_pipeline batch over ``{p}in``:
+    [prior-hash drop] → exact dedup → LSH candidates → exact-Jaccard
+    verify (≥ 0.5) → recursive min-label components → fuzzy drop →
+    [prior-sig drop] → line dedup (cumulative counts) → quality gate.
+    ``prior`` names the previous batch's state CTEs (hashes/sigs/lines)
+    — exactly what the job's LakeTable snapshots carry."""
+    mh_cols = ",\n                     ".join(
+        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(8)
+    )
+    band_rows = "\n              UNION ALL ".join(
+        f"SELECT id, {b} AS band_idx, md5(mh{2 * b} || '|' || mh{2 * b + 1}) AS band_key FROM {p}sig"
+        for b in range(4)
+    )
+    sig_key = " || '|' || ".join(f"mh{i}" for i in range(8))
+    if prior:
+        prior_exact = f"""
+            {p}pd AS MATERIALIZED (SELECT doc_id FROM {p}c
+                      WHERE ctext IN (SELECT ctext FROM {prior["hashes"]})),
+            {p}a AS MATERIALIZED (SELECT * FROM {p}c
+                     WHERE doc_id NOT IN (SELECT doc_id FROM {p}pd)),"""
+        prior_fuzzy = f"""
+            {p}fpd AS MATERIALIZED (SELECT doc_id FROM {p}skey
+                       WHERE sig_key IN (SELECT sig_key FROM {prior["sigs"]})),
+            {p}fz AS MATERIALIZED (SELECT * FROM {p}fz0
+                      WHERE doc_id NOT IN (SELECT doc_id FROM {p}fpd)),"""
+        line_prior_join = f"LEFT JOIN {prior['lines']} pl USING (line)"
+        line_cnt = "c.cnt + coalesce(pl.cnt, 0)"
+    else:
+        prior_exact = f"""
+            {p}a AS MATERIALIZED (SELECT * FROM {p}c),"""
+        prior_fuzzy = f"""
+            {p}fz AS MATERIALIZED (SELECT * FROM {p}fz0),"""
+        line_prior_join = ""
+        line_cnt = "c.cnt"
+    keep_cond = ("n_tokens >= 20 AND n_tokens <= 100000 AND n_ngrams > 0 "
+                 "AND 100 * n_distinct >= 30 * n_ngrams "
+                 "AND 100 * top_count <= 20 * n_ngrams")
+    return f"""
+            {p}c AS MATERIALIZED (SELECT doc_id, text, {_PIPE_CANON} AS ctext FROM {p}in),
+            {prior_exact}
+            {p}keep AS MATERIALIZED (SELECT ctext, min(doc_id) AS keep_id FROM {p}a GROUP BY 1),
+            {p}ex AS MATERIALIZED (SELECT a.doc_id, a.text, a.ctext
+                      FROM {p}a a JOIN {p}keep k ON a.doc_id = k.keep_id),
+            {p}exd AS MATERIALIZED (SELECT doc_id FROM {p}a
+                       WHERE doc_id NOT IN (SELECT keep_id FROM {p}keep)),
+            {p}sh AS MATERIALIZED (
+              SELECT doc_id AS id, unnest(list_distinct(
+                       list_transform(generate_series(1, len(l) - 2),
+                                      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS shingle
+              FROM (SELECT doc_id, {_PIPE_TOKS} AS l FROM {p}ex)
+              WHERE len(l) >= 3
+            ),
+            {p}sig AS MATERIALIZED (
+              SELECT id, {mh_cols}
+              FROM {p}sh GROUP BY id
+            ),
+            {p}band AS MATERIALIZED (
+              {band_rows}
+            ),
+            {p}cand AS MATERIALIZED (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM {p}band a JOIN {p}band b
+                ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id
+            ),
+            {p}sz AS MATERIALIZED (SELECT id, count(*) AS n FROM {p}sh GROUP BY id),
+            {p}shr AS MATERIALIZED (
+              SELECT q.id_a, q.id_b, count(*) AS s
+              FROM {p}cand q
+              JOIN {p}sh a ON a.id = q.id_a
+              JOIN {p}sh b ON b.id = q.id_b AND b.shingle = a.shingle
+              GROUP BY 1, 2
+            ),
+            {p}ver AS MATERIALIZED (
+              SELECT r.id_a, r.id_b
+              FROM {p}shr r
+              JOIN {p}sz sa ON sa.id = r.id_a
+              JOIN {p}sz sb ON sb.id = r.id_b
+              WHERE round(r.s * 1.0 / (sa.n + sb.n - r.s), 6) >= 0.5
+            ),
+            {p}edges AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM {p}ver
+                         UNION SELECT id_b, id_a FROM {p}ver),
+            {p}nodes AS MATERIALIZED (SELECT DISTINCT u AS id FROM {p}edges),
+            {p}walk(id, comp) AS (
+              SELECT id, id AS comp FROM {p}nodes
+              UNION
+              SELECT e.u, w.comp FROM {p}walk w JOIN {p}edges e ON e.v = w.id
+            ),
+            {p}comp AS MATERIALIZED (SELECT id, min(comp) AS comp FROM {p}walk GROUP BY id),
+            {p}fzd AS MATERIALIZED (SELECT id AS doc_id FROM {p}comp WHERE id <> comp),
+            {p}fz0 AS MATERIALIZED (SELECT * FROM {p}ex
+                       WHERE doc_id NOT IN (SELECT doc_id FROM {p}fzd)),
+            {p}skey AS MATERIALIZED (
+              SELECT id AS doc_id, md5({sig_key}) AS sig_key
+              FROM {p}sig WHERE id IN (SELECT doc_id FROM {p}fz0)
+            ),
+            {prior_fuzzy}
+            {p}le AS MATERIALIZED (
+              SELECT doc_id, s.pos AS pos, s.line AS line FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ls) + 1),
+                              i -> struct_pack(pos := i, line := trim(ls[i])))) AS s
+                FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM {p}fz)
+              ) WHERE s.line <> ''
+            ),
+            {p}lc AS MATERIALIZED (SELECT line, count(*) AS cnt FROM {p}le GROUP BY 1),
+            {p}lk AS MATERIALIZED (
+              SELECT e.doc_id, e.pos, e.line
+              FROM {p}le e JOIN {p}lc c USING (line) {line_prior_join}
+              WHERE {line_cnt} <= 4
+            ),
+            {p}reb AS MATERIALIZED (
+              SELECT doc_id,
+                     array_to_string(list_transform(
+                         list_sort(list(struct_pack(pos := pos, line := line))),
+                         s -> s.line), chr(10)) AS rtext
+              FROM {p}lk GROUP BY doc_id
+            ),
+            {p}ld AS MATERIALIZED (SELECT f.doc_id, coalesce(r.rtext, '') AS rtext
+                      FROM {p}fz f LEFT JOIN {p}reb r USING (doc_id)),
+            {p}abd AS MATERIALIZED (SELECT doc_id FROM {p}ld WHERE rtext = ''),
+            {p}cl AS MATERIALIZED (SELECT doc_id, rtext AS text FROM {p}ld WHERE rtext <> ''),
+            {p}qg AS MATERIALIZED (
+              SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+                     CASE WHEN len(toks) >= 2
+                          THEN list_transform(range(1, len(toks)), i -> concat(toks[i], ' ', toks[i+1]))
+                          WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                          ELSE CAST([] AS VARCHAR[]) END AS grams
+              FROM (SELECT doc_id, {_PIPE_TOKS} AS toks FROM {p}cl)
+            ),
+            {p}qs AS MATERIALIZED (
+              SELECT doc_id, n_tokens,
+                     CAST(len(grams) AS INT) AS n_ngrams,
+                     CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
+                     CAST(CASE WHEN len(grams) > 0
+                          THEN list_max(list_transform(list_distinct(grams),
+                                                       d -> len(list_filter(grams, x -> x = d))))
+                          ELSE 0 END AS INT) AS top_count
+              FROM {p}qg
+            ),
+            {p}qk AS MATERIALIZED (SELECT doc_id, n_tokens FROM {p}qs WHERE {keep_cond}),
+            {p}qd AS MATERIALIZED (SELECT doc_id FROM {p}qs WHERE NOT ({keep_cond}))"""
+
+
+def _pipeline_incremental_oracle_sql() -> str:
+    """Replay of q_pipeline_incremental's two-batch job run: batch-1
+    chain feeds its exact-survivor canonicals, post-fuzzy signature
+    keys, and line counts into batch 2 — the SQL twin of the job's
+    LakeTable snapshots."""
+    footer_lit = _PIPE_FOOTER
+    return f"""
+        WITH RECURSIVE
+            base AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+            b1in AS MATERIALIZED (
+              SELECT doc_id,
+                     CASE WHEN doc_id IN (0, 1, 2)
+                          THEN text || chr(10) || '{footer_lit}' ELSE text END AS text
+              FROM base WHERE doc_id < 150
+            ),
+            b2in AS MATERIALIZED (
+              SELECT doc_id,
+                     CASE WHEN doc_id IN (150, 151, 152)
+                          THEN text || chr(10) || '{footer_lit}' ELSE text END AS text
+              FROM base WHERE doc_id >= 150
+              UNION ALL SELECT doc_id + 10000, text FROM base WHERE doc_id IN (3, 4)
+              UNION ALL SELECT doc_id + 20000, text || ' *' FROM base WHERE doc_id IN (5, 6)
+            ),
+            {_pipe_batch_ctes("b1", None)},
+            {_pipe_batch_ctes("b2", {"hashes": "b1ex", "sigs": "b1skey", "lines": "b1lc"})}
+        SELECT CAST(1 AS INT) AS batch, doc_id, 'kept' AS reason, n_tokens FROM b1qk
+        UNION ALL SELECT 1, doc_id, 'exact_dup', -1 FROM b1exd
+        UNION ALL SELECT 1, doc_id, 'fuzzy_dup', -1 FROM b1fzd
+        UNION ALL SELECT 1, doc_id, 'all_boilerplate', -1 FROM b1abd
+        UNION ALL SELECT 1, doc_id, 'quality', -1 FROM b1qd
+        UNION ALL SELECT 2, doc_id, 'kept', n_tokens FROM b2qk
+        UNION ALL SELECT 2, doc_id, 'exact_dup_prior', -1 FROM b2pd
+        UNION ALL SELECT 2, doc_id, 'exact_dup', -1 FROM b2exd
+        UNION ALL SELECT 2, doc_id, 'fuzzy_dup', -1 FROM b2fzd
+        UNION ALL SELECT 2, doc_id, 'fuzzy_dup_prior', -1 FROM b2fpd
+        UNION ALL SELECT 2, doc_id, 'all_boilerplate', -1 FROM b2abd
+        UNION ALL SELECT 2, doc_id, 'quality', -1 FROM b2qd
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the grading order: the driver grades the first
     50 entries only, so the window is curated per round (r2 verdict
@@ -2935,6 +3218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rule-lambda binding) ----------------------------------------
         "crawl_bfs": q_crawl_bfs,
         "crawl_bfs_levels": q_crawl_bfs_levels,
+        "pipeline_incremental": q_pipeline_incremental,
         "text_langid": q_text_langid,
         "text_langmap": q_text_langmap,
         "corpus_stats": q_corpus_stats,
@@ -4870,6 +5154,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "crawl_bfs": _crawl_bfs_oracle_sql(),
         "crawl_bfs_levels": _crawl_bfs_levels_oracle_sql(),
+        "pipeline_incremental": _pipeline_incremental_oracle_sql(),
         "detected_tech": _detected_tech_oracle_sql(),
         "url_canonical": _url_canonical_oracle_sql(),
         "fingerprints": """

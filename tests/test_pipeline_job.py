@@ -261,3 +261,44 @@ def test_pipeline_mixture_anchor_rollup_stages(spark, tmp_path):
         assert 0 <= r.n_kept <= r.n_docs_in
         assert r.keep_share_pct == r.n_kept * 100 // r.n_docs_in
     assert m["stages"]["source_rollup"] == 2
+
+
+def test_pipeline_incremental_query_planted_branches(spark):
+    """r4 VERDICT item 9: the driver-graded two-batch incremental query
+    exercises every cross-batch state branch — planted +10000 exact
+    replicas drop as exact_dup_prior, planted +20000 ' *'-suffixed
+    replicas (same shingle set, different content hash) drop as
+    fuzzy_dup_prior, and the 3×-per-batch footer survives batch 1 but
+    is stripped (cumulative count 6 > 4) from batch-2 carriers."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from thecrowler_spark.functions import text as TX
+
+    sf = "/root/testdata/sf0.001"
+    out = {(r.batch, r.doc_id): r for r in E.queries()["pipeline_incremental"](spark, sf).collect()}
+
+    for d in (10003, 10004):
+        assert out[(2, d)].reason == "exact_dup_prior", out[(2, d)]
+    for d in (20005, 20006):
+        assert out[(2, d)].reason == "fuzzy_dup_prior", out[(2, d)]
+
+    base = {
+        r.doc_id: r.n
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .filter(F.col("doc_id").isin([0, 1, 2, 150, 151, 152]))
+        .select("doc_id", TX.token_count("text").alias("n"))
+        .collect()
+    }
+    footer_tokens = len(E._PIPE_FOOTER.split())
+    for d in (0, 1, 2):  # batch 1: footer count 3 <= 4 -> kept in text
+        if out[(1, d)].reason == "kept":
+            assert out[(1, d)].n_tokens == base[d] + footer_tokens, (d, out[(1, d)])
+    stripped = [
+        d for d in (150, 151, 152)
+        if out[(2, d)].reason == "kept" and out[(2, d)].n_tokens == base[d]
+    ]
+    # cumulative 3 (batch1) + 3 (batch2) > 4 -> batch-2 carriers lose it
+    assert stripped, "footer never stripped in batch 2"
+    for d in stripped:
+        assert out[(2, d)].n_tokens == base[d]
