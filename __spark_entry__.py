@@ -395,6 +395,66 @@ def _tech_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEL_ELEM_TYPE = "array<struct<text:string,attrs:map<string,string>>>"
+
+
+def _tech_pages_selectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_tech_pages + a ``selectors`` column — the DOM extraction as
+    data (selector → matched elements with text + attributes), the
+    shape detection.go:492-514's ``doc.Find(key).Each`` consumes.
+    Plants: a Matomo tracking snippet in <script> text (two scripts on
+    doc_id%10==0 — element multiplicity), rotating script src attrs
+    (AngularJS / jQuery), and an attribute-exists-but-empty
+    ``data-v-app`` div (the '*' pattern form)."""
+    i = F.col("doc_id")
+    script_text = F.when(
+        i % 5 == 0, F.lit('_paq.push(["trackPageView"]);')
+    ).otherwise(F.lit('console.log("x");'))
+    script_attrs = F.map_filter(
+        F.create_map(
+            F.lit("src"),
+            F.when(i % 3 == 0, F.lit("/js/angular.min.js"))
+            .when(i % 3 == 1, F.lit("/js/jquery-3.6.0.min.js")),
+        ),
+        lambda k, v: v.isNotNull(),
+    )
+    e1 = F.struct(script_text.alias("text"), script_attrs.alias("attrs"))
+    e2 = F.struct(
+        F.lit('_paq.push(["enableLinkTracking"]);').alias("text"),
+        F.create_map(F.lit("src"), F.lit("/js/matomo.js")).alias("attrs"),
+    )
+    script_arr = F.when(i % 10 == 0, F.array(e1, e2)).otherwise(F.array(e1))
+    app_el = F.struct(
+        F.lit("loading").alias("text"),
+        F.create_map(F.lit("data-v-app"), F.lit("")).alias("attrs"),
+    )
+    app_arr = (
+        F.when(i % 7 == 0, F.array(app_el))
+        .otherwise(F.array().cast(_SEL_ELEM_TYPE))
+    )
+    return _tech_pages(spark, sf_dir).withColumn(
+        "selectors",
+        F.create_map(F.lit("script"), script_arr, F.lit("div#app"), app_arr),
+    )
+
+
+def q_detected_tech_selectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Technology detection over selector-bearing pages: the
+    CSS-selector signature branch (detection.go:492-514) composed with
+    every body/url/header/meta rule of q_detected_tech — element text
+    regexes, attribute-value regexes, attribute-exists '*' rules, and
+    per-element confidence multiplicity."""
+    from thecrowler_spark.operators.detection import (
+        DEFAULT_TECH_RULES,
+        SELECTOR_TECH_RULES,
+        detect_technologies,
+        tech_rules_df,
+    )
+
+    rules = tech_rules_df(spark, DEFAULT_TECH_RULES + SELECTOR_TECH_RULES)
+    return detect_technologies(_tech_pages_selectors(spark, sf_dir), rules)
+
+
 def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """infoseed candidate canonicalization (NormalizeURL +
     NormalizeCandidatesWithRejections + ApplyBuiltInCandidateFilters,
@@ -548,12 +608,40 @@ def _url_canonical_oracle_sql(max_per_host: int = 30) -> str:
     """
 
 
-def _detected_tech_oracle_sql() -> str:
-    """DuckDB mirror of q_detected_tech, generated from the SAME
-    DEFAULT_TECH_RULES + _TECH_PLANTS data (one UNION ALL leg per
-    rule; agg / implied / confidence CASE mirror detection.py)."""
-    from thecrowler_spark.operators.detection import DEFAULT_TECH_RULES
+#: selector-fixture attribute name → elems-CTE column (the oracle's
+#: flattened rendering of the selectors map)
+_SEL_ATTR_COLS = {"src": "a_src", "data-v-app": "a_datav"}
 
+_SEL_ELEMS_CTE = """
+          SELECT doc_id AS id, 'script' AS sel,
+                 CASE WHEN doc_id % 5 = 0 THEN '_paq.push(["trackPageView"]);'
+                      ELSE 'console.log("x");' END AS etext,
+                 CASE WHEN doc_id % 3 = 0 THEN '/js/angular.min.js'
+                      WHEN doc_id % 3 = 1 THEN '/js/jquery-3.6.0.min.js' END AS a_src,
+                 CAST(NULL AS VARCHAR) AS a_datav
+          FROM documents
+          UNION ALL
+          SELECT doc_id, 'script', '_paq.push(["enableLinkTracking"]);',
+                 '/js/matomo.js', NULL
+          FROM documents WHERE doc_id % 10 = 0
+          UNION ALL
+          SELECT doc_id, 'div#app', 'loading', NULL, '' FROM documents
+          WHERE doc_id % 7 = 0
+"""
+
+
+def _detected_tech_oracle_sql(selectors: bool = False) -> str:
+    """DuckDB mirror of q_detected_tech (and, with ``selectors``, of
+    q_detected_tech_selectors), generated from the SAME rule lists +
+    _TECH_PLANTS data (one UNION ALL leg per rule; agg / implied /
+    confidence CASE mirror detection.py; selector legs run one row per
+    matched ELEMENT so confidence multiplicity is preserved)."""
+    from thecrowler_spark.operators.detection import (
+        DEFAULT_TECH_RULES,
+        SELECTOR_TECH_RULES,
+    )
+
+    rules = DEFAULT_TECH_RULES + (SELECTOR_TECH_RULES if selectors else [])
     body_sql = " || ".join(
         ["substr(text, 1, 80)"]
         + [
@@ -562,7 +650,7 @@ def _detected_tech_oracle_sql() -> str:
         ]
     )
     legs = []
-    for rr in DEFAULT_TECH_RULES:
+    for rr in rules:
         obj, kind, key, pat, conf = (
             rr["object_name"], rr["kind"], rr["key"], rr["pattern"], rr["confidence"],
         )
@@ -594,16 +682,35 @@ def _detected_tech_oracle_sql() -> str:
                 f"{head}, '{pat}' AS pat, {conf} AS conf FROM pages "
                 f"WHERE meta_gen IS NOT NULL AND regexp_matches(lower(meta_gen), '{pat}')"
             )
+        elif kind in ("selector_text", "selector_attr"):
+            # selector events carry kind 'body' — detection type 'html',
+            # exactly detectTechBySignatureValueHelper's constant
+            head = f"SELECT id, '{obj}' AS object_name, 'body' AS kind"
+            sel = key.strip().lower()
+            if kind == "selector_text":
+                cond = ("TRUE" if pat == "*"
+                        else f"regexp_matches(etext, '{pat}')")
+            else:
+                acol = _SEL_ATTR_COLS[rr["attribute"].strip().lower()]
+                exists = f"{acol} IS NOT NULL"
+                cond = (exists if pat == "*"
+                        else f"{exists} AND regexp_matches({acol}, '{pat}')")
+            legs.append(
+                f"{head}, '{pat}' AS pat, {conf} AS conf FROM elems "
+                f"WHERE sel = '{sel}' AND {cond}"
+            )
     events = "\n          UNION ALL\n          ".join(legs)
     # dedup edges across rules with the same object_name
     edge_rows = list(dict.fromkeys(
         (rr["object_name"], imp)
-        for rr in DEFAULT_TECH_RULES
+        for rr in rules
         for imp in rr.get("implies", ())
     ))
     edges = ", ".join(f"('{a}', '{b}')" for a, b in edge_rows)
+    elems_cte = f"elems AS ({_SEL_ELEMS_CTE}        )," if selectors else ""
     return f"""
-        WITH pages AS (
+        WITH {elems_cte}
+        pages AS (
           SELECT doc_id AS id,
                  'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/' ||
                  CASE WHEN doc_id % 4 = 0 THEN 'wp-admin/p' ELSE 'p' END ||
@@ -3201,6 +3308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r4 window: new this round (gate-green, never driver-graded) --
         "detected_tech": q_detected_tech,
+        "detected_tech_selectors": q_detected_tech_selectors,
         "url_canonical": q_url_canonical,
         "winnow_pairs": q_winnow_pairs,
         "fingerprints": q_fingerprints,
@@ -5156,6 +5264,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_bfs_levels": _crawl_bfs_levels_oracle_sql(),
         "pipeline_incremental": _pipeline_incremental_oracle_sql(),
         "detected_tech": _detected_tech_oracle_sql(),
+        "detected_tech_selectors": _detected_tech_oracle_sql(selectors=True),
         "url_canonical": _url_canonical_oracle_sql(),
         "fingerprints": """
             WITH p AS (

@@ -117,3 +117,60 @@ def test_detect_technologies_end_to_end(spark):
     assert got[(2, "Liquid")]["entity_type"] == "implied"
     # jQuery (x=6) implies JavaScript on page 1
     assert got[(1, "JavaScript")]["matched_patterns"] == "implied by jQuery"
+
+
+def test_selector_signatures_planted(spark):
+    """CSS-selector branch (detection.go:492-514): rule key and
+    attribute are ToLower(TrimSpace(...))'d; each matched ELEMENT fires
+    once (doc.Find(...).Each) so two matching <script> tags double the
+    confidence while the pattern dedups; pattern '*' on an
+    attribute-exists rule fires even for an empty attribute value
+    (goquery Attr existence); selector matches type as 'html'."""
+    elem = "array<struct<text:string,attrs:map<string,string>>>"
+    pages = spark.createDataFrame(
+        [
+            # page 1: two Matomo scripts (multiplicity), one angular src
+            (1, "https://a.example.com/", "plain body", {}, [],
+             {"script": [
+                 ('_paq.push(["trackPageView"]);', {"src": "/js/angular.min.js"}),
+                 ('_paq.push(["enableLinkTracking"]);', {}),
+             ],
+              "div#app": []}),
+            # page 2: empty data-v-app attr → '*' rule still fires
+            (2, "https://b.example.com/", "plain body", {}, [],
+             {"script": [("console.log(1);", {})],
+              "div#app": [("loading", {"data-v-app": ""})]}),
+            # page 3: nothing matches
+            (3, "https://c.example.com/", "plain body", {}, [],
+             {"script": [("console.log(1);", {})], "div#app": []}),
+        ],
+        "doc_id long, url string, body string, headers map<string,string>, "
+        f"metas array<struct<name:string,content:string>>, selectors map<string,{elem}>",
+    )
+    rules = tech_rules_df(
+        spark,
+        [
+            {"object_name": "Matomo", "kind": "selector_text", "key": " SCRIPT ",
+             "attribute": "", "pattern": "_paq[.]push", "confidence": 6.0},
+            {"object_name": "AngularJS", "kind": "selector_attr", "key": "script",
+             "attribute": " SRC ", "pattern": "angular[.]min[.]js",
+             "confidence": 7.0},
+            {"object_name": "Vue", "kind": "selector_attr", "key": "div#app",
+             "attribute": "data-v-app", "pattern": "*", "confidence": 8.0},
+        ],
+    )
+    got = {
+        (r.doc_id, r.entity_name): r
+        for r in detect_technologies(pages, rules).collect()
+    }
+    # page 1 Matomo: 6+6=12 → curve 40+(12-10)/5*60 = 64; pattern deduped
+    m = got[(1, "Matomo")]
+    assert m.confidence == 64.0
+    assert m.matched_patterns == "_paq[.]push"
+    assert m.entity_type == "html"
+    # page 1 AngularJS: 7 → 40+(7-5)/5*60 = 64
+    assert got[(1, "AngularJS")].confidence == 64.0
+    # page 2 Vue: empty attr value still exists → 8 → 76; pattern '*'
+    v = got[(2, "Vue")]
+    assert v.confidence == 76.0 and v.matched_patterns == "*"
+    assert not any(d == 3 for d, _ in got)

@@ -12,9 +12,12 @@ Semantics transcribed (file:line):
 
 - keyword/body signatures over the lowercased+trimmed response body
   (``detectTechnologiesByKeyword`` + ``detectTechBySignatureValue``,
-  detection.go:476-540); only ``key='*'`` (whole-body) signatures are
-  supported — CSS-selector keys need a DOM, which span-corpus pages
-  don't carry.
+  detection.go:476-540). ``key='*'`` is the whole-body form;
+  CSS-selector keys (the ``doc.Find(key).Each`` branch,
+  detection.go:492-514) are supported when pages carry a
+  ``selectors map<selector, array<struct<text, attrs>>>`` column — the
+  DOM extraction as data, one array entry per matched element (the
+  browser/DOM parse itself stays out of scope, like screenshots).
 - URL micro-signatures (``detectTechByURL``, detection.go:869-883) —
   regex over the RAW url (the reference does not lowercase it).
 - HTTP header signatures (``detectTechByTagHelper``,
@@ -93,6 +96,32 @@ DEFAULT_TECH_RULES: list[dict] = [
      "implies": []},
 ]
 
+#: CSS-selector signature rules (``detectTechBySignature``'s Key != '*'
+#: branch, detection.go:492-514): ``key`` is the selector (the engine
+#: lower+trims it exactly as the reference does), ``selector_text``
+#: regexes the matched element's text (``signature.Text``),
+#: ``selector_attr`` regexes the named attribute's value when the
+#: attribute EXISTS (``signature.Attribute`` + ``signature.Signature``;
+#: an existing-but-empty attribute still satisfies existence, as
+#: goquery's ``Attr`` does). Pattern '*' is the reference's
+#: unconditional-match form. Every matched ELEMENT fires once (the
+#: ``doc.Find(key).Each`` loop), so confidence accumulates with element
+#: multiplicity while matched patterns dedup. Detection type is 'html',
+#: same as whole-body signatures.
+SELECTOR_TECH_RULES: list[dict] = [
+    {"object_name": "Matomo", "kind": "selector_text", "key": "script",
+     "attribute": "", "pattern": "_paq[.]push", "confidence": 6.0,
+     "implies": ["JavaScript"]},
+    {"object_name": "AngularJS", "kind": "selector_attr", "key": "script",
+     "attribute": "src", "pattern": "angular[.]min[.]js", "confidence": 7.0,
+     "implies": ["JavaScript"]},
+    # mixed-case + padded selector and attribute: exercises the
+    # reference's ToLower(TrimSpace(...)) on both (detection.go:497,503)
+    {"object_name": "Vue", "kind": "selector_attr", "key": " DIV#APP ",
+     "attribute": " DATA-V-APP ", "pattern": "*", "confidence": 8.0,
+     "implies": ["JavaScript"]},
+]
+
 #: fixed kind → entityType token (DetectTechnologies' processing order:
 #: headers, url, meta, body — detection.go:90-140)
 KIND_TYPE = [("header", "http_header"), ("url", "url"),
@@ -127,12 +156,12 @@ def tech_rules_df(spark: SparkSession, rules: list[dict] | None = None) -> DataF
     rules = rules if rules is not None else DEFAULT_TECH_RULES
     return spark.createDataFrame(
         [
-            (r["object_name"], r["kind"], r["key"], r["pattern"],
-             float(r["confidence"]), list(r.get("implies", ())))
+            (r["object_name"], r["kind"], r["key"], r.get("attribute", ""),
+             r["pattern"], float(r["confidence"]), list(r.get("implies", ())))
             for r in rules
         ],
-        "object_name string, kind string, key string, pattern string, "
-        "confidence double, implies array<string>",
+        "object_name string, kind string, key string, attribute string, "
+        "pattern string, confidence double, implies array<string>",
     )
 
 
@@ -211,6 +240,51 @@ def detect_technologies(
         )
     )
     events = body_ev.unionByName(url_ev).unionByName(hdr_ev).unionByName(neg_ev).unionByName(meta_ev)
+
+    # CSS-selector signatures (detection.go:492-514): pages carry the
+    # DOM extraction as ``selectors map<selector, array<struct<text,
+    # attrs map>>>`` — one array entry per element doc.Find(key)
+    # returns. Each element is one potential event (the .Each loop), so
+    # a page with two matching <script> tags accumulates the rule's
+    # confidence twice while the pattern dedups. Type contribution is
+    # 'html' (detectTechBySignatureValueHelper's detectionType),
+    # identical to whole-body signatures.
+    if "selectors" in pages.columns:
+        elems = (
+            pages.select(pid.alias("_pid"), F.explode("selectors").alias("_sel", "_es"))
+            .select("_pid", "_sel", F.explode("_es").alias("_el"))
+        )
+        sel_key = F.lower(F.trim(F.col("key")))
+        text_rules = rules.filter(F.col("kind") == "selector_text")
+        text_ev = (
+            elems.join(F.broadcast(text_rules), elems["_sel"] == sel_key)
+            .filter(
+                (F.col("pattern") == "*")
+                | F.regexp_like(F.col("_el.text"), F.col("pattern"))
+            )
+            .select(
+                "_pid", "object_name",
+                F.lit("body").alias("_kind"),
+                F.col("pattern").alias("_pat"),
+                F.col("confidence").alias("_conf"),
+            )
+        )
+        attr_rules = rules.filter(F.col("kind") == "selector_attr")
+        attr_val = F.element_at(F.col("_el.attrs"), F.lower(F.trim(F.col("attribute"))))
+        attr_ev = (
+            elems.join(F.broadcast(attr_rules), elems["_sel"] == sel_key)
+            .filter(
+                attr_val.isNotNull()
+                & ((F.col("pattern") == "*") | F.regexp_like(attr_val, F.col("pattern")))
+            )
+            .select(
+                "_pid", "object_name",
+                F.lit("body").alias("_kind"),
+                F.col("pattern").alias("_pat"),
+                F.col("confidence").alias("_conf"),
+            )
+        )
+        events = events.unionByName(text_ev).unionByName(attr_ev)
 
     flags = [
         F.max(F.when(F.col("_kind") == k, 1).otherwise(0)).alias(f"_f_{k}")
