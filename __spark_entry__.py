@@ -3299,41 +3299,90 @@ def _pipeline_incremental_oracle_sql() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the grading order: the driver grades the first
     50 entries only, so the window is curated per round (r2 verdict
-    item 2). Policy: (a) queries whose implementation or oracle changed
-    this round, (b) queries that have never received a driver-green
-    row, (c) r1-green queries displaced from the r2 window, then
-    (d) refresh slots; multi-round double-passed stalwarts rotate to
-    the back. Goal: every oracled query has ≥1 driver-green row across
-    rounds."""
+    item 2). Policy: (a) never-driver-graded queries first, (b) queries
+    whose implementation or oracle changed this round, (c) queries with
+    the OLDEST last driver green, deferring multi-green stalwarts when
+    the registry (103) exceeds two windows. Goal: every oracled query's
+    last driver-green row is as recent as 50-slot rotation allows
+    (r5: everything green in r4 or r5 except 7 double-green r3
+    stalwarts deferred to r6)."""
     return {
-        # --- r4 window: new this round (gate-green, never driver-graded) --
-        "detected_tech": q_detected_tech,
+        # --- r5 window: new this round, never driver-graded ----------
         "detected_tech_selectors": q_detected_tech_selectors,
+        "crawl_bfs_levels": q_crawl_bfs_levels,
+        "pipeline_incremental": q_pipeline_incremental,
+        "multimodal_decode_real": q_multimodal_decode_real,
+        "multimodal_resize_real": q_multimodal_resize_real,
+        "multimodal_frames_real": q_multimodal_frames_real,
+        # --- changed paths this round: re-prove (trigram langid family;
+        # crawl_bfs oracle TLD branch; two-phase mixture/candidate caps;
+        # detection rules schema + selector legs; real-codec multimodal) --
+        "text_langid": q_text_langid,
+        "text_langmap": q_text_langmap,
+        "corpus_stats": q_corpus_stats,
+        "crawl_bfs": q_crawl_bfs,
+        "mixture_sample": q_mixture_sample,
         "url_canonical": q_url_canonical,
+        "detected_tech": q_detected_tech,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
+        # --- last driver green was r3 — rotate in -------------------
+        "robots_wildcard": q_robots_wildcard,
+        "customer_quartiles": q_customer_quartiles,
+        "crawl_counters": q_crawl_counters,
+        "dedup_lines": q_dedup_lines,
+        "events_asof_bucketed": q_events_asof_bucketed,
+        "search_netinfo": q_search_netinfo,
+        "search_httpinfo": q_search_httpinfo,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "dataset_split": q_dataset_split,
+        "dataset_pack": q_dataset_pack,
+        "pack_interleaved": q_pack_interleaved,
+        "text_ngrams": q_text_ngrams,
+        "text_repetition": q_text_repetition,
+        "text_quality_filter": q_text_quality_filter,
+        "text_tfidf": q_text_tfidf,
+        "text_pii_redact": q_text_pii_redact,
+        "search_snippets": q_search_snippets,
+        "robots_parse": q_robots_parse,
+        "text_quality": q_text_quality,
+        "text_tokens": q_text_tokens,
+        "text_tokens_bpe": q_text_tokens_bpe,
+        "text_fingerprint": q_text_fingerprint,
+        "url_fuzzing": q_url_fuzzing,
+        "normalizers": q_normalizers,
+        "search_fts_rank": q_search_fts_rank,
+        "email_frontier": q_email_frontier,
+        "pricing_summary": q_pricing_summary,
+        "streaming_window_counts": q_streaming_window_counts,
+        "url_seen_cuckoo": q_url_seen_cuckoo,
+        "frontier_claim_intervals": q_frontier_claim_intervals,
+        "search_webobjects": q_search_webobjects,
+        "search_screenshots": q_search_screenshots,
+        "decontaminate": q_decontaminate,
+        # ---------------- slot 51+: r3 multi-green stalwarts deferred
+        # to r6 (103 queries / 50 slots; these have >=2 greens) -------
+        "embedding_neardup": q_embedding_neardup,
+        "frontier_dedup_first": q_frontier_dedup_first,
+        "politeness_budget": q_politeness_budget,
+        "robots_filter": q_robots_filter,
+        "attr_correlation": q_attr_correlation,
+        "attr_index": q_attr_index,
+        "correlated_sites": q_correlated_sites,
+        # ---------------- r4-window greens (graded last round) -------
         "winnow_pairs": q_winnow_pairs,
         "fingerprints": q_fingerprints,
         "jarm": q_jarm,
         "lm_buckets": q_lm_buckets,
-        "mixture_sample": q_mixture_sample,
         "dedup_spans": q_dedup_spans,
         "dedup_components_star": q_dedup_components_star,
         "text_classifier": q_text_classifier,
         "source_quality": q_source_quality,
         "anchor_texts": q_anchor_texts,
-        # --- changed this round: re-prove (crawl_bfs gained its oracle;
-        # langid family rewritten script-aware; winnow token caps; hits
-        # checkpointed iteration; two-phase rank materialization; robots
-        # rule-lambda binding) ----------------------------------------
-        "crawl_bfs": q_crawl_bfs,
-        "crawl_bfs_levels": q_crawl_bfs_levels,
-        "pipeline_incremental": q_pipeline_incremental,
-        "text_langid": q_text_langid,
-        "text_langmap": q_text_langmap,
-        "corpus_stats": q_corpus_stats,
         "text_winnow": q_text_winnow,
         "hits": q_hits,
-        # --- driver rows date to r1/r2 — rotate in so every oracled
-        # query has a green within the last two rounds ----------------
         "sources_scd2": q_sources_scd2,
         "events_asof": q_events_asof,
         "scd2_interval_join": q_scd2_interval_join,
@@ -3366,57 +3415,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
-        # ---------------- slot 51+ (r3-window greens) -----------------
-        "robots_wildcard": q_robots_wildcard,
         "url_combine": q_url_combine,
         "events_recent": q_events_recent,
         "webobjects_dedup": q_webobjects_dedup,
-        "customer_quartiles": q_customer_quartiles,
-        "crawl_counters": q_crawl_counters,
-        "embedding_neardup": q_embedding_neardup,
-        "dedup_lines": q_dedup_lines,
-        "robots_filter": q_robots_filter,
-        "events_asof_bucketed": q_events_asof_bucketed,
-        "search_netinfo": q_search_netinfo,
-        "search_httpinfo": q_search_httpinfo,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "dataset_split": q_dataset_split,
-        "dataset_pack": q_dataset_pack,
-        "pack_interleaved": q_pack_interleaved,
-        "text_ngrams": q_text_ngrams,
-        "text_repetition": q_text_repetition,
-        "text_quality_filter": q_text_quality_filter,
-        "text_tfidf": q_text_tfidf,
-        "text_pii_redact": q_text_pii_redact,
-        "search_snippets": q_search_snippets,
-        "robots_parse": q_robots_parse,
-        "text_quality": q_text_quality,
-        "text_tokens": q_text_tokens,
-        "text_tokens_bpe": q_text_tokens_bpe,
-        "text_fingerprint": q_text_fingerprint,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_decode_real": q_multimodal_decode_real,
-        "multimodal_resize_real": q_multimodal_resize_real,
-        "multimodal_frames_real": q_multimodal_frames_real,
-        "attr_index": q_attr_index,
-        "attr_correlation": q_attr_correlation,
-        "url_fuzzing": q_url_fuzzing,
-        "normalizers": q_normalizers,
-        "search_fts_rank": q_search_fts_rank,
-        "email_frontier": q_email_frontier,
-        "pricing_summary": q_pricing_summary,
-        "streaming_window_counts": q_streaming_window_counts,
-        "url_seen_cuckoo": q_url_seen_cuckoo,
-        "politeness_budget": q_politeness_budget,
-        "frontier_claim_intervals": q_frontier_claim_intervals,
-        "frontier_dedup_first": q_frontier_dedup_first,
-        "search_webobjects": q_search_webobjects,
-        "search_screenshots": q_search_screenshots,
-        "correlated_sites": q_correlated_sites,
-        "decontaminate": q_decontaminate,
     }
 
 
