@@ -3106,6 +3106,69 @@ def q_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): fit hashed
+    uni+bigram log-ratio weights on a target slice (doc_id % 10 == 0)
+    vs the raw pool, score the pool with integer fixed-point weights,
+    keep the top 100. The fit collect is bounded by n_buckets (1024);
+    scoring joins a broadcast weight table — the gram stream never
+    shuffles on the gram key."""
+    from thecrowler_spark.operators.dsir import dsir_select
+
+    docs = _load(spark, sf_dir, "documents")["documents"].select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 10 == 0)
+    raw = docs.filter(F.col("doc_id") % 10 != 0)
+    return dsir_select(spark, target, raw, k=100, n_buckets=1024)
+
+
+_DSIR_ORACLE = """
+        WITH toks AS MATERIALIZED (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+          FROM documents
+        ),
+        b AS MATERIALIZED (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(gram), 1, 8))::BIGINT % 1024 AS INT) AS bucket
+          FROM (
+            SELECT doc_id,
+                   unnest(l || CASE WHEN len(l) >= 2
+                        THEN list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])
+                        ELSE CAST([] AS VARCHAR[]) END) AS gram
+            FROM toks
+          )
+        ),
+        t AS MATERIALIZED (SELECT bucket, count(*) AS cnt FROM b WHERE doc_id % 10 = 0 GROUP BY 1),
+        r AS MATERIALIZED (SELECT bucket, count(*) AS cnt FROM b WHERE doc_id % 10 <> 0 GROUP BY 1),
+        tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM t),
+        rt AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM r),
+        w AS MATERIALIZED (
+          SELECT bucket,
+                 CAST(floor(1e6 * (ln((coalesce(t.cnt, 0) + 1) * 1.0 / (tt.total + 1024))
+                                 - ln((coalesce(r.cnt, 0) + 1) * 1.0 / (rt.total + 1024))) + 0.5)
+                      AS BIGINT) AS weight
+          FROM t FULL OUTER JOIN r USING (bucket), tt, rt
+        ),
+        sc AS (
+          SELECT b.doc_id, count(*) AS n_grams, sum(w.weight) AS score
+          FROM b JOIN w USING (bucket)
+          WHERE b.doc_id % 10 <> 0
+          GROUP BY 1
+        ),
+        fullsc AS (
+          SELECT d.doc_id,
+                 CAST(coalesce(sc.n_grams, 0) AS INT) AS n_grams,
+                 CAST(coalesce(sc.score, 0) AS BIGINT) AS score
+          FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+          LEFT JOIN sc USING (doc_id)
+        )
+        SELECT doc_id, n_grams, score, CAST(rank AS INT) AS rank FROM (
+          SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+          FROM fullsc WHERE n_grams > 0
+        ) WHERE rank <= 100
+"""
+
+
 _PIPE_CANON = """trim(regexp_replace(lower(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'),
                           '[.,?!:;''"(){}<>\\-]', ' ', 'g')), '\\s+', ' ', 'g'))"""
 
@@ -3308,6 +3371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stalwarts deferred to r6)."""
     return {
         # --- r5 window: new this round, never driver-graded ----------
+        "dsir_select": q_dsir_select,
         "detected_tech_selectors": q_detected_tech_selectors,
         "crawl_bfs_levels": q_crawl_bfs_levels,
         "pipeline_incremental": q_pipeline_incremental,
@@ -3361,9 +3425,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_claim_intervals": q_frontier_claim_intervals,
         "search_webobjects": q_search_webobjects,
         "search_screenshots": q_search_screenshots,
-        "decontaminate": q_decontaminate,
         # ---------------- slot 51+: r3 multi-green stalwarts deferred
-        # to r6 (103 queries / 50 slots; these have >=2 greens) -------
+        # to r6 (104 queries / 50 slots; these have >=2 greens;
+        # decontaminate displaced by dsir_select) ----------------------
+        "decontaminate": q_decontaminate,
         "embedding_neardup": q_embedding_neardup,
         "frontier_dedup_first": q_frontier_dedup_first,
         "politeness_budget": q_politeness_budget,
@@ -5266,6 +5331,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_incremental": _pipeline_incremental_oracle_sql(),
         "detected_tech": _detected_tech_oracle_sql(),
         "detected_tech_selectors": _detected_tech_oracle_sql(selectors=True),
+        "dsir_select": _DSIR_ORACLE,
         "url_canonical": _url_canonical_oracle_sql(),
         "fingerprints": """
             WITH p AS (

@@ -122,3 +122,29 @@ def test_candidate_caps_two_phase(spark):
     # the salted phase-1 exchanges exist for both caps
     assert re.search(r"hashpartitioning\(_host#\d+, _salt#", plan)
     assert re.search(r"hashpartitioning\(domain#\d+, _salt#", plan)
+
+
+def test_dsir_broadcasts_weights_and_topk_has_no_global_sort(spark):
+    """dsir.importance_scores must join the gram stream to a BROADCAST
+    weight table (never shuffle on the gram/bucket key), and
+    dsir_select's top-k must be TakeOrdered (per-partition top-k +
+    driver merge), not a range-partitioned global sort."""
+    from thecrowler_spark.operators.dsir import dsir_select, importance_scores
+
+    docs = _docs(spark)
+    weights = spark.range(1024).select(
+        F.col("id").cast("int").alias("bucket"), F.lit(1).cast("long").alias("weight")
+    )
+    plan = _plan(importance_scores(docs, weights))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+    sel = dsir_select(
+        spark,
+        docs.filter(F.col("doc_id") % 10 == 0),
+        docs.filter(F.col("doc_id") % 10 != 0),
+        k=50,
+    )
+    plan = _plan(sel)
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
