@@ -455,6 +455,191 @@ def q_detected_tech_selectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detect_technologies(_tech_pages_selectors(spark, sf_dir), rules)
 
 
+# --- scraping-rule engine fixtures (scraper/rules.go ApplyRule) ------ #
+
+#: scraping-rule set for the graded queries: exercises rule↔URL
+#: matching (CheckURL+IsURL), ordered selector fallback, attribute
+#: extraction + its error path, extract_all multiplicity, regex
+#: selectors (group-1), value/attribute match filters, a critical
+#: abort, and replace/clean/validate post-processing — every branch
+#: planted on doc_id arithmetic the DuckDB oracle replays.
+SCRAPE_RULES = [
+    {
+        "rule_name": "product",
+        "url_patterns": [r"https?://shop\.example\.com/.*"],
+        "elements": [
+            {"key": "title", "critical": True, "selectors": [
+                {"selector_type": "css", "selector": "h1.title"}]},
+            {"key": "price", "selectors": [
+                {"selector_type": "css", "selector": "span.price",
+                 "extract_type": "attribute", "extract_pattern": "data-price"},
+                {"selector_type": "css", "selector": "span.price"}]},
+            {"key": "links", "selectors": [
+                {"selector_type": "css", "selector": "a.next",
+                 "extract_all": True,
+                 "extract_type": "attribute", "extract_pattern": "href"}]},
+            {"key": "skus", "selectors": [
+                {"selector_type": "regex", "selector": "SKU-([0-9]+)",
+                 "extract_all": True}]},
+        ],
+        "post_processing": [
+            {"type": "replace",
+             "details": {"target": "Item", "replacement": "Prod"}},
+            {"type": "clean", "details": {"remove_extra_whitespace": True}},
+        ],
+    },
+    {
+        "rule_name": "article",
+        "url_patterns": [r"https?://news\.example\.com/.*"],
+        "elements": [
+            {"key": "headline", "selectors": [
+                {"selector_type": "css", "selector": "h1.title",
+                 "value_regex": "Item"}]},
+            {"key": "currency", "selectors": [
+                {"selector_type": "css", "selector": "span.price",
+                 "attr_name": "currency", "attr_value": "US.",
+                 "extract_type": "attribute", "extract_pattern": "currency"}]},
+            {"key": "first_sku", "selectors": [
+                {"selector_type": "regex", "selector": "SKU-([0-9]+)"}]},
+        ],
+        "post_processing": [
+            # substring-containment validate (transforms.go:43-62); on
+            # failure the chain aborts and the raw marshal is kept.
+            {"type": "validate", "details": {"keys": ['"currency":"USD"']}},
+            {"type": "replace",
+             "details": {"target": "Item", "replacement": "Story"}},
+        ],
+    },
+]
+
+#: rule group for the graded group query: merge-append key collision,
+#: a mid-group critical failure stopping later rules while keeping the
+#: failing rule's partial map, and group-level post-processing.
+SCRAPE_GROUP = {
+    "group_name": "catalog",
+    "rules": [
+        {"rule_name": "base", "url_patterns": ["*"], "elements": [
+            {"key": "title", "selectors": [
+                {"selector_type": "css", "selector": "h1.title"}]}]},
+        {"rule_name": "extras", "url_patterns": ["*"], "elements": [
+            {"key": "title", "selectors": [
+                {"selector_type": "regex", "selector": "SKU-([0-9]+)",
+                 "extract_all": True}]},
+            {"key": "link", "critical": True, "selectors": [
+                {"selector_type": "css", "selector": "a.next",
+                 "extract_type": "attribute", "extract_pattern": "href"}]}]},
+        {"rule_name": "after", "url_patterns": ["*"], "elements": [
+            {"key": "last", "selectors": [
+                {"selector_type": "css", "selector": "span.price"}]}]},
+    ],
+    "post_processing": [
+        {"type": "replace", "details": {"target": "/p/", "replacement": "@"}},
+    ],
+}
+
+
+def _scrape_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic scraping corpus over documents: shop/news URL
+    split, SKU-bearing bodies, and a selectors map planting a missing
+    title (doc_id%11==3), a data-price attribute gap (%4==1), an EUR
+    currency (%9==2), a missing href on the first a.next (%13==5) and
+    a second a.next element on even ids — all doc_id arithmetic shared
+    with the DuckDB oracles."""
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    i = F.col("doc_id")
+    url = (
+        F.when(i % 3 == 2,
+               F.concat(F.lit("https://news.example.com/a/"), i.cast("string")))
+        .otherwise(F.concat(F.lit("https://shop.example.com/p/"), i.cast("string")))
+    )
+    body = F.concat(
+        F.lit("ref SKU-"), ((i * 7) % 1000).cast("string"),
+        F.when(i % 5 == 0, F.lit(" and SKU-42")).otherwise(F.lit("")),
+    )
+    title_el = F.struct(
+        F.concat(F.lit("Item  "), i.cast("string")).alias("text"),
+        F.create_map().cast("map<string,string>").alias("attrs"),
+    )
+    title_arr = (
+        F.when(i % 11 == 3, F.array().cast(_SEL_ELEM_TYPE))
+        .otherwise(F.array(title_el))
+    )
+    price_attrs = F.map_filter(
+        F.create_map(
+            F.lit("currency"),
+            F.when(i % 9 == 2, F.lit("EUR")).otherwise(F.lit("USD")),
+            F.lit("data-price"), F.when(i % 4 != 1, i.cast("string")),
+        ),
+        lambda k, v: v.isNotNull(),
+    )
+    price_arr = F.array(F.struct(
+        F.concat(i.cast("string"), F.lit(" USD")).alias("text"),
+        price_attrs.alias("attrs"),
+    ))
+    next1 = F.struct(
+        F.lit("next").alias("text"),
+        F.map_filter(
+            F.create_map(
+                F.lit("href"),
+                F.when(i % 13 != 5, F.concat(F.lit("/p/"), (i + 1).cast("string"))),
+            ),
+            lambda k, v: v.isNotNull(),
+        ).alias("attrs"),
+    )
+    next2 = F.struct(
+        F.lit("more").alias("text"),
+        F.create_map(
+            F.lit("href"), F.concat(F.lit("/p/"), (i + 2).cast("string"))
+        ).alias("attrs"),
+    )
+    next_arr = F.when(i % 2 == 0, F.array(next1, next2)).otherwise(F.array(next1))
+    return docs.select(
+        "doc_id", url.alias("url"), body.alias("body"),
+        F.create_map(
+            F.lit("h1.title"), title_arr,
+            F.lit("span.price"), price_arr,
+            F.lit("a.next"), next_arr,
+        ).alias("selectors"),
+    )
+
+
+def q_scraped_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scraping-rule field extraction (ApplyRule, scraper/rules.go:
+    51-108 + extractor.go): one row per (page, rule, element, value)
+    with ordered-fallback selection, attribute/regex extraction,
+    critical-abort statuses and the per-rule error flag."""
+    from thecrowler_spark.operators.scraping import apply_scraping_rules
+
+    out = apply_scraping_rules(_scrape_pages(spark, sf_dir), SCRAPE_RULES)
+    return out.select(
+        "doc_id", "rule_name", "elem_key", "elem_seq", "status", "rule_error",
+        F.posexplode_outer("vals").alias("pos", "val"),
+    )
+
+
+def q_scraped_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule marshaled result after post-processing (rules.go:
+    104-124 + transforms.go): Go-marshal shaping (sorted keys, scalar/
+    array/null), replace + clean text transforms, and the validate
+    abort path that keeps the unprocessed marshal."""
+    from thecrowler_spark.operators.scraping import apply_scraping_rules
+
+    out = apply_scraping_rules(_scrape_pages(spark, sf_dir), SCRAPE_RULES)
+    return out.filter(F.col("elem_seq") == 0).select(
+        "doc_id", "rule_name", "scraped_json", "rule_error"
+    )
+
+
+def q_scraped_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ApplyRulesGroup (rules.go:213-274): merge-append collisions,
+    stop-at-first-failing-rule with the partial map kept, group
+    post-processing skipped on error."""
+    from thecrowler_spark.operators.scraping import apply_rules_group
+
+    out = apply_rules_group(_scrape_pages(spark, sf_dir), SCRAPE_GROUP)
+    return out.select("doc_id", "group_name", "scraped_json", "group_error")
+
+
 def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """infoseed candidate canonicalization (NormalizeURL +
     NormalizeCandidatesWithRejections + ApplyBuiltInCandidateFilters,
@@ -628,6 +813,142 @@ _SEL_ELEMS_CTE = """
           SELECT doc_id, 'div#app', 'loading', NULL, '' FROM documents
           WHERE doc_id % 7 = 0
 """
+
+
+#: shared CTE for the scraping oracles: page split + the x = sku
+#: arithmetic every plant derives from
+_SCRAPE_BASE = """
+        base AS (
+          SELECT doc_id AS i, (doc_id * 7) % 1000 AS x FROM documents
+        ),
+        shop AS (SELECT * FROM base WHERE i % 3 <> 2),
+        news AS (SELECT * FROM base WHERE i % 3 = 2)
+"""
+
+
+def _scraped_fields_oracle_sql() -> str:
+    """DuckDB replay of q_scraped_fields: one UNION ALL leg per
+    (rule, element, value position), CASE arithmetic mirroring the
+    fixture plants (title gap %11==3 -> critical abort, data-price gap
+    %4==1 -> text fallback, href gap %13==5 -> selector error -> null,
+    second link on even ids, SKU-42 on %5==0, EUR %9==2 -> attr-filter
+    miss + validate failure)."""
+    return f"""
+        WITH {_SCRAPE_BASE}
+        SELECT i AS doc_id, 'product' AS rule_name, 'title' AS elem_key,
+               0 AS elem_seq,
+               CASE WHEN i % 11 = 3 THEN 'failed_critical' ELSE 'ok' END AS status,
+               (i % 11 = 3) AS rule_error,
+               CASE WHEN i % 11 = 3 THEN NULL ELSE 0 END AS pos,
+               CASE WHEN i % 11 = 3 THEN NULL ELSE 'Item  ' || i END AS val
+        FROM shop
+        UNION ALL
+        SELECT i, 'product', 'price', 1,
+               CASE WHEN i % 11 = 3 THEN 'skipped' ELSE 'ok' END,
+               (i % 11 = 3),
+               CASE WHEN i % 11 = 3 THEN NULL ELSE 0 END,
+               CASE WHEN i % 11 = 3 THEN NULL
+                    WHEN i % 4 <> 1 THEN CAST(i AS VARCHAR)
+                    ELSE i || ' USD' END
+        FROM shop
+        UNION ALL
+        SELECT i, 'product', 'links', 2,
+               CASE WHEN i % 11 = 3 THEN 'skipped' ELSE 'ok' END,
+               (i % 11 = 3),
+               CASE WHEN i % 11 = 3 OR i % 13 = 5 THEN NULL ELSE 0 END,
+               CASE WHEN i % 11 = 3 OR i % 13 = 5 THEN NULL
+                    ELSE '/p/' || (i + 1) END
+        FROM shop
+        UNION ALL
+        SELECT i, 'product', 'links', 2, 'ok', FALSE, 1, '/p/' || (i + 2)
+        FROM shop WHERE i % 11 <> 3 AND i % 13 <> 5 AND i % 2 = 0
+        UNION ALL
+        SELECT i, 'product', 'skus', 3,
+               CASE WHEN i % 11 = 3 THEN 'skipped' ELSE 'ok' END,
+               (i % 11 = 3),
+               CASE WHEN i % 11 = 3 THEN NULL ELSE 0 END,
+               CASE WHEN i % 11 = 3 THEN NULL ELSE CAST(x AS VARCHAR) END
+        FROM shop
+        UNION ALL
+        SELECT i, 'product', 'skus', 3, 'ok', FALSE, 1, '42'
+        FROM shop WHERE i % 11 <> 3 AND i % 5 = 0
+        UNION ALL
+        SELECT i, 'article', 'headline', 0, 'ok', (i % 9 = 2),
+               CASE WHEN i % 11 = 3 THEN NULL ELSE 0 END,
+               CASE WHEN i % 11 = 3 THEN NULL ELSE 'Item  ' || i END
+        FROM news
+        UNION ALL
+        SELECT i, 'article', 'currency', 1, 'ok', (i % 9 = 2),
+               CASE WHEN i % 9 = 2 THEN NULL ELSE 0 END,
+               CASE WHEN i % 9 = 2 THEN NULL ELSE 'USD' END
+        FROM news
+        UNION ALL
+        SELECT i, 'article', 'first_sku', 2, 'ok', (i % 9 = 2), 0,
+               CAST(x AS VARCHAR)
+        FROM news
+    """
+
+
+def _scraped_json_oracle_sql() -> str:
+    """DuckDB replay of q_scraped_json: the Go-marshal text (sorted
+    keys, compact) built by CASE concatenation, post-processing applied
+    textually exactly as the engine does — Prod/whitespace-collapse for
+    product (skipped on the %11==3 critical abort, which marshals
+    '{{}}'), Story-replace for article gated on the substring
+    validate."""
+    return f"""
+        WITH {_SCRAPE_BASE}
+        SELECT i AS doc_id, 'product' AS rule_name,
+               CASE WHEN i % 11 = 3 THEN '{{}}' ELSE
+                 '{{"links":' ||
+                 CASE WHEN i % 13 = 5 THEN 'null'
+                      WHEN i % 2 = 0 THEN '["/p/' || (i+1) || '","/p/' || (i+2) || '"]'
+                      ELSE '"/p/' || (i+1) || '"' END ||
+                 ',"price":"' ||
+                 CASE WHEN i % 4 <> 1 THEN CAST(i AS VARCHAR) ELSE i || ' USD' END ||
+                 '","skus":' ||
+                 CASE WHEN i % 5 = 0 THEN '["' || x || '","42"]' ELSE '"' || x || '"' END ||
+                 ',"title":"Prod ' || i || '"}}'
+               END AS scraped_json,
+               (i % 11 = 3) AS rule_error
+        FROM shop
+        UNION ALL
+        SELECT i, 'article',
+               '{{"currency":' ||
+               CASE WHEN i % 9 = 2 THEN 'null' ELSE '"USD"' END ||
+               ',"first_sku":"' || x || '","headline":' ||
+               CASE WHEN i % 11 = 3 THEN 'null'
+                    WHEN i % 9 = 2 THEN '"Item  ' || i || '"'
+                    ELSE '"Story  ' || i || '"' END || '}}',
+               (i % 9 = 2)
+        FROM news
+    """
+
+
+def _scraped_group_oracle_sql() -> str:
+    """DuckDB replay of q_scraped_group: merge-append title collision
+    ([base, extras] with base 'null' on %11==3), the %13==5 critical
+    failure in 'extras' stopping 'after' while keeping extras' partial
+    title, and the '/p/'->'@' group replace skipped on error."""
+    return f"""
+        WITH {_SCRAPE_BASE}
+        SELECT i AS doc_id, 'catalog' AS group_name,
+               CASE WHEN i % 13 = 5 THEN
+                 '{{"title":[' ||
+                 CASE WHEN i % 11 = 3 THEN 'null' ELSE '"Item  ' || i || '"' END ||
+                 ',' ||
+                 CASE WHEN i % 5 = 0 THEN '["' || x || '","42"]' ELSE '"' || x || '"' END ||
+                 ']}}'
+               ELSE
+                 '{{"last":"' || i || ' USD","link":"@' || (i+1) || '","title":[' ||
+                 CASE WHEN i % 11 = 3 THEN 'null' ELSE '"Item  ' || i || '"' END ||
+                 ',' ||
+                 CASE WHEN i % 5 = 0 THEN '["' || x || '","42"]' ELSE '"' || x || '"' END ||
+                 ']}}'
+               END AS scraped_json,
+               (i % 13 = 5) AS group_error
+        FROM base
+    """
 
 
 def _detected_tech_oracle_sql(selectors: bool = False) -> str:
@@ -3371,6 +3692,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stalwarts deferred to r6)."""
     return {
         # --- r5 window: new this round, never driver-graded ----------
+        "scraped_fields": q_scraped_fields,
+        "scraped_json": q_scraped_json,
+        "scraped_group": q_scraped_group,
         "dsir_select": q_dsir_select,
         "detected_tech_selectors": q_detected_tech_selectors,
         "crawl_bfs_levels": q_crawl_bfs_levels,
@@ -5329,6 +5653,9 @@ def oracle_sql() -> dict[str, str]:
         "crawl_bfs": _crawl_bfs_oracle_sql(),
         "crawl_bfs_levels": _crawl_bfs_levels_oracle_sql(),
         "pipeline_incremental": _pipeline_incremental_oracle_sql(),
+        "scraped_fields": _scraped_fields_oracle_sql(),
+        "scraped_json": _scraped_json_oracle_sql(),
+        "scraped_group": _scraped_group_oracle_sql(),
         "detected_tech": _detected_tech_oracle_sql(),
         "detected_tech_selectors": _detected_tech_oracle_sql(selectors=True),
         "dsir_select": _DSIR_ORACLE,

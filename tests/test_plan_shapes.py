@@ -148,3 +148,17 @@ def test_dsir_broadcasts_weights_and_topk_has_no_global_sort(spark):
     plan = _plan(sel)
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_scraping_rules_zero_shuffle(spark):
+    """The compiled scraping-rule engine is one embarrassingly-parallel
+    map over pages: no Exchange, no join, no UDF may appear — every
+    selector lookup / fallback / marshal is a pure projection."""
+    import __spark_entry__ as E
+    from thecrowler_spark.operators.scraping import apply_scraping_rules
+
+    pages = E._scrape_pages(spark, SF_DIR)
+    plan = _plan(apply_scraping_rules(pages, E.SCRAPE_RULES))
+    for op in ("Exchange", "Join", "CartesianProduct", "BatchEvalPython",
+               "ArrowEvalPython", "Sort"):
+        assert op not in plan, op
