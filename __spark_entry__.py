@@ -1794,6 +1794,24 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023) over
+    quantized embeddings + planted near-twins (vec_id%10==0 gets a
+    +10000-id copy with one component perturbed): cluster into 16
+    md5-init cells, keep the lowest-centroid-cosine member of every
+    eps>=0.95 neighbourhood, drop the rest."""
+    emb = _quantized_embeddings(spark, sf_dir)
+    v = F.col("embedding")
+    twins = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.concat(F.array(F.element_at(v, 1) + 1), F.slice(v, 2, 63)).alias("embedding"),
+    )
+    return SIM.semdedup(
+        emb.unionByName(twins), n_cells=16, eps=0.95, iters=0,
+        init_key=_md5_init_key,
+    )
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash split + stratified sample flag over documents
     (training-pipeline staple: membership is a pure function of doc_id,
@@ -3686,15 +3704,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     item 2). Policy: (a) never-driver-graded queries first, (b) queries
     whose implementation or oracle changed this round, (c) queries with
     the OLDEST last driver green, deferring multi-green stalwarts when
-    the registry (103) exceeds two windows. Goal: every oracled query's
+    the registry (108) exceeds two windows. Goal: every oracled query's
     last driver-green row is as recent as 50-slot rotation allows
-    (r5: everything green in r4 or r5 except 7 double-green r3
-    stalwarts deferred to r6)."""
+    (r5: the 4 late-round never-graded queries — scraping engine +
+    semantic dedup — take the head per rule (a), deferring 11 r3-green
+    stalwarts to r6; all 108 remain green in scripts/oracle_gate.py
+    full-registry runs regardless of the driver window)."""
     return {
         # --- r5 window: new this round, never driver-graded ----------
         "scraped_fields": q_scraped_fields,
         "scraped_json": q_scraped_json,
         "scraped_group": q_scraped_group,
+        "semantic_dedup": q_semantic_dedup,
         "dsir_select": q_dsir_select,
         "detected_tech_selectors": q_detected_tech_selectors,
         "crawl_bfs_levels": q_crawl_bfs_levels,
@@ -3940,6 +3961,73 @@ def _ann_ivf_oracle_sql(n_cells: int = 16, n_probe: int = 4, k: int = 5) -> str:
           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
           FROM scored
         ) WHERE rank <= {k}
+    """
+
+
+def _semantic_dedup_oracle_sql(n_cells: int = 16, eps: float = 0.95) -> str:
+    """DuckDB replay of q_semantic_dedup: twin synthesis + md5-init
+    cells + argmax assignment + the non-greedy higher-priority drop
+    join, all from the same arithmetic."""
+    return f"""
+        WITH e0 AS (
+          SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(floor(x * 1000) AS BIGINT)) AS v
+          FROM embeddings
+        ),
+        e AS (
+          SELECT vec_id, v FROM e0
+          UNION ALL
+          SELECT vec_id + 10000, [v[1] + 1] || v[2:64] FROM e0
+          WHERE vec_id % 10 = 0
+        ),
+        norms AS (
+          SELECT vec_id, sum(x * x) AS n2
+          FROM (SELECT vec_id, unnest(v) AS x FROM e) GROUP BY vec_id
+        ),
+        init AS (
+          SELECT (row_number() OVER (ORDER BY s.k, s.vec_id) - 1) AS cell,
+                 s.v AS centroid
+          FROM (
+            SELECT vec_id, v,
+                   ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS k
+            FROM e ORDER BY k, vec_id LIMIT {n_cells}
+          ) s
+        ),
+        cnorm AS (
+          SELECT cell, sum(x * x) AS n2
+          FROM (SELECT cell, unnest(centroid) AS x FROM init) GROUP BY cell
+        ),
+        sims AS (
+          SELECT e.vec_id, i.cell,
+                 list_dot_product(e.v, i.centroid) / (sqrt(nv.n2) * sqrt(cn.n2)) AS sim
+          FROM e
+          JOIN norms nv ON nv.vec_id = e.vec_id
+          CROSS JOIN init i
+          JOIN cnorm cn ON cn.cell = i.cell
+        ),
+        cass AS (
+          SELECT vec_id, cell, round(sim, 6) AS cos_centroid FROM (
+            SELECT vec_id, cell, sim,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS pr
+            FROM sims
+          ) WHERE pr = 1
+        ),
+        dropped AS (
+          SELECT DISTINCT a.vec_id
+          FROM cass a
+          JOIN cass b ON a.cell = b.cell
+           AND (b.cos_centroid < a.cos_centroid
+                OR (b.cos_centroid = a.cos_centroid AND b.vec_id < a.vec_id))
+          JOIN e ea ON ea.vec_id = a.vec_id
+          JOIN e eb ON eb.vec_id = b.vec_id
+          JOIN norms na ON na.vec_id = a.vec_id
+          JOIN norms nb ON nb.vec_id = b.vec_id
+          WHERE round(list_dot_product(ea.v, eb.v) / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= {eps}
+        )
+        SELECT c.vec_id, c.cell, c.cos_centroid,
+               (d.vec_id IS NOT NULL) AS dropped
+        FROM cass c LEFT JOIN dropped d ON d.vec_id = c.vec_id
     """
 
 
@@ -5656,6 +5744,7 @@ def oracle_sql() -> dict[str, str]:
         "scraped_fields": _scraped_fields_oracle_sql(),
         "scraped_json": _scraped_json_oracle_sql(),
         "scraped_group": _scraped_group_oracle_sql(),
+        "semantic_dedup": _semantic_dedup_oracle_sql(),
         "detected_tech": _detected_tech_oracle_sql(),
         "detected_tech_selectors": _detected_tech_oracle_sql(selectors=True),
         "dsir_select": _DSIR_ORACLE,

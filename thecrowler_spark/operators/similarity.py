@@ -269,3 +269,92 @@ def ivf_ann(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cosine", "rank")
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    eps: float = 0.95,
+    iters: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    init_key=None,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings into ``n_cells`` Voronoi
+    cells, then within each cell drop every vector that has a
+    higher-keep-priority neighbour with cosine >= ``eps``.
+
+    Keep priority follows the paper's rule — the example with the
+    LOWEST cosine to its cluster centroid is kept (it best preserves
+    diversity), ties by lower id.  The drop test is the paper's
+    non-greedy upper-triangular form: dropped(i) iff ANY
+    higher-priority j in the same cell has cos(i, j) >= eps (no
+    iteration — one equi-join, SQL-replayable).
+
+    Scale: the pair join is an EQUI-join on cell — never all-pairs
+    across the corpus; total pair work is sum(cell²), bounded by
+    choosing ``n_cells`` ∝ corpus_size / target_cell_size exactly as
+    the paper does (11k clusters for LAION).  Centroids are broadcast;
+    the only wide exchanges are the per-vector argmax and the
+    cell-keyed join.  A pathological hot cell is the same skew as a
+    hot LSH band — cap cell membership upstream if the embedding
+    distribution collapses.
+
+    Returns (id, cell, cos_centroid, dropped).
+    """
+    if centroids is None:
+        centroids = ivf_centroids(
+            corpus, n_cells, iters=iters, vec_col=vec_col, id_col=id_col,
+            init_key=init_key,
+        ).localCheckpoint(eager=True)
+    c = F.broadcast(centroids.select(
+        "cell", F.col("centroid").alias("_cv"), _norm(F.col("centroid")).alias("_cn")
+    ))
+    scored = (
+        corpus.select(F.col(id_col), F.col(vec_col).alias("_v"), _norm(F.col(vec_col)).alias("_vn"))
+        .join(c)
+        .withColumn("_sim", _dot(F.col("_v"), F.col("_cv")) / (F.col("_vn") * F.col("_cn")))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cell"))
+    assigned = (
+        scored.withColumn("_pr", F.row_number().over(w))
+        .filter(F.col("_pr") == 1)
+        .select(
+            F.col(id_col), "cell",
+            F.round(F.col("_sim"), 6).alias("cos_centroid"), "_v", "_vn",
+        )
+    )
+    a = assigned.select(
+        F.col(id_col).alias("_aid"), "cell",
+        F.col("cos_centroid").alias("_acc"), F.col("_v").alias("_av"),
+        F.col("_vn").alias("_an"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_bid"), "cell",
+        F.col("cos_centroid").alias("_bcc"), F.col("_v").alias("_bv"),
+        F.col("_vn").alias("_bn"),
+    )
+    higher_priority = (F.col("_bcc") < F.col("_acc")) | (
+        (F.col("_bcc") == F.col("_acc")) & (F.col("_bid") < F.col("_aid"))
+    )
+    dropped_ids = (
+        a.join(b, "cell")
+        .filter(higher_priority)
+        .withColumn(
+            "_cos",
+            F.round(_dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn")), 6),
+        )
+        .filter(F.col("_cos") >= F.lit(eps))
+        .select(F.col("_aid").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        assigned.join(dropped_ids, id_col, "left")
+        .select(
+            id_col, "cell", "cos_centroid",
+            F.coalesce(F.col("_dropped"), F.lit(False)).alias("dropped"),
+        )
+    )
