@@ -162,3 +162,29 @@ def test_scraping_rules_zero_shuffle(spark):
     for op in ("Exchange", "Join", "CartesianProduct", "BatchEvalPython",
                "ArrowEvalPython", "Sort"):
         assert op not in plan, op
+
+
+def test_semdedup_pair_join_is_equi_on_cell(spark):
+    """semdedup's pair stage must be a cell-keyed equi-join (hash or
+    sort-merge), never an unbounded nested loop; the only nested-loop
+    join allowed is the bounded broadcast of the n_cells centroid
+    table during assignment."""
+    import re
+
+    from thecrowler_spark.operators.similarity import semdedup
+
+    emb = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda j: F.pmod(F.xxhash64(F.col("id"), j), 100).cast("double"),
+        ).alias("embedding"),
+    )
+    plan = _plan(semdedup(emb, n_cells=8, eps=0.99))
+    assert "CartesianProduct" not in plan
+    # the pair stage keys on cell (hash/sort-merge/broadcast-hash all
+    # fine — AQE picks); what must NOT happen is a nested loop over
+    # the corpus pairs
+    assert re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[cell#\d+", plan
+    )
