@@ -1914,53 +1914,68 @@ def _langid_injected(docs: DataFrame) -> DataFrame:
     (labels set) — the trigram detector is graded over a corpus where
     25% of docs are non-Latin and 25% are short, close-pair Latin
     (es/pt/ca, cs/sk/sl/hr, id/ms …) that the 5-marker argmax
-    demonstrably misclassifies. Mirrored in SQL by
+    demonstrably misclassifies; doc_id % 8 == 2 adds short close-pair
+    CYRILLIC samples (ru/uk/bg/sr/mk, trigram.CYRILLIC_SAMPLES) the
+    4-language marker argmax gets wrong. Mirrored in SQL by
     :func:`_langid_inject_sql` from the same dicts."""
-    from thecrowler_spark.functions.trigram import LATIN_SAMPLES
+    from thecrowler_spark.functions.trigram import CYRILLIC_SAMPLES, LATIN_SAMPLES
 
-    langs = list(LATIN_SAMPLES)
-    texts = [LATIN_SAMPLES[k] for k in langs]
-    idx = (F.floor(F.col("doc_id") / 4) % len(langs)).cast("int") + 1
-    is_lat = F.col("doc_id") % 4 == 3
     base = _nonlatin_injected(docs)
-    return base.withColumn(
-        "text",
-        F.when(is_lat, F.element_at(F.array(*[F.lit(s) for s in texts]), idx)).otherwise(
-            F.col("text")
-        ),
-    ).withColumn(
-        "lang",
-        F.when(is_lat, F.element_at(F.array(*[F.lit(k) for k in langs]), idx)).otherwise(
-            F.col("lang")
-        ),
-    )
+    for samples, is_hit in (
+        (LATIN_SAMPLES, F.col("doc_id") % 4 == 3),
+        (CYRILLIC_SAMPLES, F.col("doc_id") % 8 == 2),
+    ):
+        langs = list(samples)
+        texts = [samples[k] for k in langs]
+        idx = (F.floor(F.col("doc_id") / 4) % len(langs)).cast("int") + 1
+        base = base.withColumn(
+            "text",
+            F.when(
+                is_hit, F.element_at(F.array(*[F.lit(s) for s in texts]), idx)
+            ).otherwise(F.col("text")),
+        ).withColumn(
+            "lang",
+            F.when(
+                is_hit, F.element_at(F.array(*[F.lit(k) for k in langs]), idx)
+            ).otherwise(F.col("lang")),
+        )
+    return base
 
 
 def _langid_inject_sql() -> str:
     """DuckDB mirror of :func:`_langid_injected` (same dicts, same
     doc_id arithmetic) as a CTE body over ``documents``."""
-    from thecrowler_spark.functions.trigram import LATIN_SAMPLES
+    from thecrowler_spark.functions.trigram import CYRILLIC_SAMPLES, LATIN_SAMPLES
 
-    langs = list(LATIN_SAMPLES)
-    t_arr = ", ".join("'" + LATIN_SAMPLES[k].replace("'", "''") + "'" for k in langs)
-    l_arr = ", ".join(f"'{k}'" for k in langs)
-    idx = f"CAST((doc_id // 4) % {len(langs)} AS INT) + 1"
-    return f"""
+    inner = f"({_nonlatin_inject_sql()})"
+    for samples, cond in (
+        (LATIN_SAMPLES, "doc_id % 4 = 3"),
+        (CYRILLIC_SAMPLES, "doc_id % 8 = 2"),
+    ):
+        langs = list(samples)
+        t_arr = ", ".join("'" + samples[k].replace("'", "''") + "'" for k in langs)
+        l_arr = ", ".join(f"'{k}'" for k in langs)
+        idx = f"CAST((doc_id // 4) % {len(langs)} AS INT) + 1"
+        inner = f"""(
           SELECT * REPLACE (
-            CASE WHEN doc_id % 4 = 3 THEN ([{t_arr}])[{idx}] ELSE text END AS text,
-            CASE WHEN doc_id % 4 = 3 THEN ([{l_arr}])[{idx}] ELSE lang END AS lang
-          ) FROM ({_nonlatin_inject_sql()})
-    """
+            CASE WHEN {cond} THEN ([{t_arr}])[{idx}] ELSE text END AS text,
+            CASE WHEN {cond} THEN ([{l_arr}])[{idx}] ELSE lang END AS lang
+          ) FROM {inner}
+        )"""
+    return f"SELECT * FROM {inner}"
 
 
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Script-then-language ID, trigram quality path (r4 VERDICT item
     3): codepoint-range script pre-classifier, then — within the Latin
-    script — trigram-profile scoring against a broadcast (trigram,
-    lang, weight, priority) table derived from authored seed corpora
-    (whatlanggo shape, web.go:3370-3401); Cyrillic and single-language
-    scripts resolve as before. Graded over a corpus where 25% of docs
-    are non-Latin and 25% are short close-pair Latin samples."""
+    AND Cyrillic scripts — trigram-profile scoring against a broadcast
+    (trigram, lang, weight, priority) table derived from authored seed
+    corpora (whatlanggo shape, web.go:3370-3401); single-language
+    scripts resolve as before, and the Cyrillic marker argmax survives
+    only as the no-profile-hit fallback. Graded over a corpus where
+    25% of docs are non-Latin, 25% are short close-pair Latin samples
+    and 12.5% are short close-pair Cyrillic samples (ru/uk/bg/sr/mk)
+    the 4-language marker argmax demonstrably gets wrong."""
     from thecrowler_spark.operators.langid import detect_language
 
     docs = _langid_injected(_load(spark, sf_dir, "documents")["documents"])
@@ -4232,6 +4247,9 @@ def _trigram_pred_ctes() -> str:
         + " ELSE 'latin' END"
     )
     branch = _script_branches("COALESCE(b.tri_pred, 'unknown')")
+    # the quality path scores Cyrillic trigram profiles too; the marker
+    # argmax remains only as the no-hit fallback (langid.py)
+    branch["cyrillic"] = f"COALESCE(b.tri_pred, {branch['cyrillic']})"
     final = (
         "CASE "
         + " ".join(
@@ -4247,6 +4265,9 @@ def _trigram_pred_ctes() -> str:
         nrm AS (
           SELECT doc_id, {TRI.normalize_sql("text")} AS s
           FROM scr WHERE script = 'latin'
+          UNION ALL
+          SELECT doc_id, {TRI.normalize_sql("text", "cyrillic")} AS s
+          FROM scr WHERE script = 'cyrillic'
         ),
         tidx AS (
           SELECT doc_id, s,
@@ -4257,7 +4278,8 @@ def _trigram_pred_ctes() -> str:
           SELECT doc_id, substring(s, CAST(i AS INT), 3) AS tri FROM tidx
           WHERE length(s) >= 3
         ),
-        prof(tri, plang, w, prio) AS (VALUES {TRI.profile_values_sql()}),
+        prof(tri, plang, w, prio) AS (VALUES {TRI.profile_values_sql()},
+          {TRI.profile_values_sql("cyrillic")}),
         tsc AS (
           SELECT t.doc_id, p.plang, p.prio, sum(p.w) AS score
           FROM tris t JOIN prof p USING (tri) GROUP BY ALL

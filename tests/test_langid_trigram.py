@@ -108,3 +108,55 @@ def test_langid_plan_broadcasts_profiles(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cyrillic_trigram_accuracy_and_marker_gap(spark):
+    """r5 Cyrillic branch: every planted short close-pair Cyrillic doc
+    (ru/uk/bg/sr/mk) classifies via trigram profiles; the 4-language
+    5-word marker argmax fails most of the same set (and cannot say
+    'mk' at all)."""
+    from thecrowler_spark.operators.langid import detect_language
+
+    rows = [
+        (i, lang, txt)
+        for i, (lang, txt) in enumerate(TRI.CYRILLIC_SAMPLES.items())
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = detect_language(df).select("lang", "lang_pred").collect()
+    assert all(r.lang == r.lang_pred for r in out), [
+        (r.lang, r.lang_pred) for r in out if r.lang != r.lang_pred
+    ]
+    marker = df.select(
+        "lang", TX.detect_lang_expr(F.col("text")).alias("p")
+    ).collect()
+    mk_acc = sum(r.lang == r.p for r in marker) / len(marker)
+    assert mk_acc < 0.5
+
+
+def test_cyrillic_trigram_duckdb_oracle_matches_engine(spark):
+    """Cross-engine parity for the Cyrillic branch, incl. the
+    marker-argmax fallback for a no-profile-hit Cyrillic doc."""
+    import duckdb
+
+    import __spark_entry__ as E
+    from thecrowler_spark.operators.langid import detect_language
+
+    rows = [
+        (i, lang, txt)
+        for i, (lang, txt) in enumerate(TRI.CYRILLIC_SAMPLES.items())
+    ] + [
+        (100, "ru", "ъь ъь ъь"),  # cyrillic script, no trigram hits -> marker fallback 'ru'
+        (101, "uk", "і що це та як"),  # marker-only text still resolves
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    eng = {r.doc_id: r.lang_pred for r in detect_language(df).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, lang VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?,?,?)", rows)
+    sql = (
+        f"WITH inj AS (SELECT * FROM docs), {E._trigram_pred_ctes()} "
+        "SELECT doc_id, lang_pred FROM pred"
+    )
+    ora = dict(con.execute(sql).fetchall())
+    assert eng == ora

@@ -268,21 +268,34 @@ def dominant_script(c: Column | str) -> Column:
     return F.array_max(F.array(*entries))["s"]
 
 
-def nonlatin_lang_expr(c: Column | str, script: Column) -> Column:
+def cyrillic_marker_expr(c: Column | str) -> Column:
+    """The Cyrillic marker argmax on its own (fallback 'ru') — the
+    inline fast path's Cyrillic resolution, and the quality path's
+    fallback when a Cyrillic doc hits no trigram profile."""
+    return _marker_argmax(tokens_cls(c, CYR_TOKEN_CLASS), CYRILLIC_MARKERS, "ru")
+
+
+def nonlatin_lang_expr(
+    c: Column | str, script: Column, include_cyrillic: bool = True
+) -> Column:
     """Language for the NON-Latin script branches (NULL when the
     script is Latin — the caller picks the Latin strategy: marker
     argmax for the inline fast path, trigram profiles for the
     operators.langid quality path). CJK → 'ja' if any kana else 'zh';
-    single-language scripts via SCRIPT_LANG; Cyrillic → marker argmax."""
+    single-language scripts via SCRIPT_LANG; Cyrillic → marker argmax,
+    or NULL with ``include_cyrillic=False`` (the quality path scores
+    Cyrillic trigram profiles and keeps the marker argmax only as its
+    no-hit fallback)."""
     cnt = script_counts(c)
-    cyr_best = _marker_argmax(tokens_cls(c, CYR_TOKEN_CLASS), CYRILLIC_MARKERS, "ru")
     expr = F.when(
         script == F.lit("cjk"),
         F.when(cnt["kana"] > 0, F.lit("ja")).otherwise(F.lit("zh")),
     )
     for name, code in SCRIPT_LANG.items():
         expr = expr.when(script == F.lit(name), F.lit(code))
-    return expr.when(script == F.lit("cyrillic"), cyr_best)
+    if include_cyrillic:
+        expr = expr.when(script == F.lit("cyrillic"), cyrillic_marker_expr(c))
+    return expr
 
 
 def detect_lang_expr(c: Column | str) -> Column:

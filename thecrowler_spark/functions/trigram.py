@@ -286,65 +286,145 @@ LATIN_SAMPLES: dict[str, str] = {
     "en": "we work together to learn how people live in other cities around the world",
 }
 
-_NORM_RE = re.compile(f"[^{LATIN_TRI_CLASS}]+")
+#: lowercase Cyrillic letter class for trigram normalization — the
+#: same class the marker tokenizer uses (text.CYR_TOKEN_CLASS):
+#: а-я + the 0450-045F extension (ё ђ є і ї ј љ њ ћ џ ѓ ќ ѕ ў ѐ ѝ) + ґ.
+CYRILLIC_TRI_CLASS = _urange(0x0430, 0x045F) + chr(0x0491)
+
+#: Cyrillic seed corpora — same convention as LATIN_SEEDS (authored
+#: general-knowledge sentences, function-word heavy, all lowercase,
+#: no apostrophes). The marker argmax only knows ru/uk/bg/sr with a
+#: 5-word vocabulary; trigram profiles add mk and separate the close
+#: pairs (ru/uk, bg/mk, sr/mk) on short marker-free texts. Dict order
+#: is the tie-break priority.
+CYRILLIC_SEEDS: dict[str, str] = {
+    "ru": (
+        "это был первый раз когда мы пришли в этот город и я не знал что "
+        "мы будем делать потом. он сказал что все будет хорошо если мы "
+        "будем работать вместе. у нас есть много вещей которые нужно "
+        "сделать сегодня. я хотел бы узнать больше о том что случилось "
+        "когда они были здесь с нами. мы уже были там раньше и они придут "
+        "снова."
+    ),
+    "uk": (
+        "це був перший раз коли ми прийшли до цього міста і я не знав що "
+        "ми будемо робити потім. він сказав що все буде добре якщо ми "
+        "будемо працювати разом. у нас є багато речей які потрібно "
+        "зробити сьогодні. я хотів би дізнатися більше про те що сталося "
+        "коли вони були тут з нами. ми вже були там раніше і вони "
+        "прийдуть знову."
+    ),
+    "bg": (
+        "това беше първият път когато дойдохме в този град и не знаех "
+        "какво ще правим после. той каза че всичко ще бъде добре ако "
+        "работим заедно. имаме много неща които трябва да направим днес. "
+        "бих искал да науча повече за това което се случи когато те бяха "
+        "тук с нас. вече сме били там преди и те ще дойдат отново."
+    ),
+    "sr": (
+        "ово је био први пут када смо дошли у овај град и нисам знао шта "
+        "ћемо радити после. он је рекао да ће све бити добро ако будемо "
+        "радили заједно. имамо много ствари које треба да урадимо данас. "
+        "желео бих да сазнам више о томе шта се догодило када су они били "
+        "овде са нама. већ смо били тамо раније и они ће доћи поново."
+    ),
+    "mk": (
+        "ова беше првиот пат кога дојдовме во овој град и не знаев што ќе "
+        "правиме потоа. тој рече дека се ќе биде добро ако работиме "
+        "заедно. имаме многу работи што треба да ги направиме денес. би "
+        "сакал да дознаам повеќе за тоа што се случи кога тие беа тука со "
+        "нас. веќе сме биле таму порано и тие ќе дојдат повторно."
+    ),
+}
+
+#: planted SHORT Cyrillic docs — distinct from the seeds, crafted so
+#: the 5-word marker argmax demonstrably fails (uk/sr/mk samples carry
+#: no own-language marker tokens; bg/mk samples carry the ru marker
+#: 'и' or the bg marker 'да' so the argmax picks the WRONG language,
+#: not just the fallback). Dict order matters: graded queries index
+#: into list(CYRILLIC_SAMPLES) by doc_id.
+CYRILLIC_SAMPLES: dict[str, str] = {
+    "ru": "мы работаем вместе чтобы узнать о жизни людей других городов мира",
+    "uk": "ми працюємо разом щоб дізнатися про життя людей інших міст світу",
+    "bg": "ние работим заедно в търсене на нови пътища и всеки ден научаваме нещо ново за света",
+    "sr": "ми ћемо радити заједно да бисмо сазнали више о животу људи из других градова света",
+    "mk": "ние ќе работиме заедно за да дознаеме повеќе за животот на луѓето од други градови",
+}
+
+#: script → (seed dict, char class); every helper below is
+#: parameterized on this registry and defaults to the Latin branch
+#: (the original call surface).
+SEEDS: dict[str, dict[str, str]] = {"latin": LATIN_SEEDS, "cyrillic": CYRILLIC_SEEDS}
+TRI_CLASSES: dict[str, str] = {
+    "latin": LATIN_TRI_CLASS,
+    "cyrillic": CYRILLIC_TRI_CLASS,
+}
+
+_NORM_RES = {s: re.compile(f"[^{cls}]+") for s, cls in TRI_CLASSES.items()}
 
 
-def normalize_py(text: str, cap: int | None = TRI_MAX_CHARS) -> str:
+def normalize_py(
+    text: str, cap: int | None = TRI_MAX_CHARS, script: str = "latin"
+) -> str:
     """Python mirror of :func:`tri_normalize` (profile derivation and
     the pure-Python cross-check use this; MUST stay step-identical to
     the Column/SQL renderings: lower → class-collapse → trim → cap →
     pad). ``cap=None`` skips the doc-head cap — profile derivation
     reads the WHOLE seed (the cap is a document-scan cost guard, not
     part of the language model)."""
-    s = _NORM_RE.sub(" ", text.lower()).strip()
+    s = _NORM_RES[script].sub(" ", text.lower()).strip()
     if cap is not None:
         s = s[:cap]
     return f" {s} "
 
 
-def trigrams_py(text: str, cap: int | None = TRI_MAX_CHARS) -> list[str]:
-    s = normalize_py(text, cap)
+def trigrams_py(
+    text: str, cap: int | None = TRI_MAX_CHARS, script: str = "latin"
+) -> list[str]:
+    s = normalize_py(text, cap, script)
     return [s[i : i + 3] for i in range(len(s) - 2)]
 
 
-@lru_cache(maxsize=1)
-def profiles() -> dict[str, dict[str, int]]:
-    """lang → {trigram: weight} derived from LATIN_SEEDS: trigrams
-    ranked by (count desc, trigram asc), top TOP_N kept, weight =
-    TOP_N − rank. Pure function of the seed dict — both engines read
-    this one table."""
+@lru_cache(maxsize=4)
+def profiles(script: str = "latin") -> dict[str, dict[str, int]]:
+    """lang → {trigram: weight} derived from the script's seeds:
+    trigrams ranked by (count desc, trigram asc), top TOP_N kept,
+    weight = TOP_N − rank. Pure function of the seed dict — both
+    engines read this one table."""
     out: dict[str, dict[str, int]] = {}
-    for lang, seed in LATIN_SEEDS.items():
+    for lang, seed in SEEDS[script].items():
         counts: dict[str, int] = {}
-        for t in trigrams_py(seed, cap=None):
+        for t in trigrams_py(seed, cap=None, script=script):
             counts[t] = counts.get(t, 0) + 1
         ranked = sorted(counts, key=lambda t: (-counts[t], t))[:TOP_N]
         out[lang] = {t: TOP_N - i for i, t in enumerate(ranked)}
     return out
 
 
-@lru_cache(maxsize=1)
-def profile_rows() -> list[tuple[str, str, int, int]]:
+@lru_cache(maxsize=4)
+def profile_rows(script: str = "latin") -> list[tuple[str, str, int, int]]:
     """(tri, lang, weight, prio) rows — prio encodes dict order
     (earlier language wins score ties), same convention as the marker
-    argmax."""
-    langs = list(LATIN_SEEDS)
+    argmax. Rows for different scripts may share prio values: their
+    trigram alphabets are disjoint, so one document can only ever
+    score against a single script's rows."""
+    langs = list(SEEDS[script])
     rows = []
     for i, lang in enumerate(langs):
         prio = len(langs) - i
-        for tri, w in profiles()[lang].items():
+        for tri, w in profiles(script)[lang].items():
             rows.append((tri, lang, w, prio))
     return rows
 
 
-def tri_normalize(c: Column | str) -> Column:
+def tri_normalize(c: Column | str, script: str = "latin") -> Column:
     """Column rendering of :func:`normalize_py`."""
     col = F.col(c) if isinstance(c, str) else c
-    s = F.trim(F.regexp_replace(F.lower(col), f"[^{LATIN_TRI_CLASS}]+", " "))
+    s = F.trim(F.regexp_replace(F.lower(col), f"[^{TRI_CLASSES[script]}]+", " "))
     return F.concat(F.lit(" "), F.substring(s, 1, TRI_MAX_CHARS), F.lit(" "))
 
 
-def tri_array(c: Column | str) -> Column:
+def tri_array(c: Column | str, script: str = "latin") -> Column:
     """array<string> of character trigrams of the normalized text —
     a narrow transform (the string is bound once; substr per index)."""
     from thecrowler_spark.functions.text import bind_once
@@ -355,20 +435,20 @@ def tri_array(c: Column | str) -> Column:
         ).otherwise(F.array().cast("array<int>"))
         return F.transform(idx, lambda i: s.substr(i, F.lit(3)))
 
-    return bind_once(tri_normalize(c), per_s)
+    return bind_once(tri_normalize(c, script), per_s)
 
 
-def normalize_sql(col_sql: str) -> str:
+def normalize_sql(col_sql: str, script: str = "latin") -> str:
     """DuckDB rendering of :func:`normalize_py` over a SQL expression."""
     return (
         f"' ' || substring(trim(regexp_replace(lower({col_sql}), "
-        f"'[^{LATIN_TRI_CLASS}]+', ' ', 'g')), 1, {TRI_MAX_CHARS}) || ' '"
+        f"'[^{TRI_CLASSES[script]}]+', ' ', 'g')), 1, {TRI_MAX_CHARS}) || ' '"
     )
 
 
-def profile_values_sql() -> str:
+def profile_values_sql(script: str = "latin") -> str:
     """The profile table as a DuckDB VALUES list (tri, lang, w, prio)
     — generated from the SAME rows the engine broadcasts."""
     return ", ".join(
-        f"('{tri}', '{lang}', {w}, {p})" for tri, lang, w, p in profile_rows()
+        f"('{tri}', '{lang}', {w}, {p})" for tri, lang, w, p in profile_rows(script)
     )
