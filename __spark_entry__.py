@@ -1916,14 +1916,22 @@ def _langid_injected(docs: DataFrame) -> DataFrame:
     (es/pt/ca, cs/sk/sl/hr, id/ms …) that the 5-marker argmax
     demonstrably misclassifies; doc_id % 8 == 2 adds short close-pair
     CYRILLIC samples (ru/uk/bg/sr/mk, trigram.CYRILLIC_SAMPLES) the
-    4-language marker argmax gets wrong. Mirrored in SQL by
-    :func:`_langid_inject_sql` from the same dicts."""
-    from thecrowler_spark.functions.trigram import CYRILLIC_SAMPLES, LATIN_SAMPLES
+    4-language marker argmax gets wrong; doc_id % 8 == 6 adds short
+    Arabic-script (ar/fa/ur) and Devanagari (hi/mr/ne) samples the
+    script-only dispatch can only answer 'ar'/'hi' for. Mirrored in
+    SQL by :func:`_langid_inject_sql` from the same dicts."""
+    from thecrowler_spark.functions.trigram import (
+        ARABIC_SAMPLES,
+        CYRILLIC_SAMPLES,
+        DEVANAGARI_SAMPLES,
+        LATIN_SAMPLES,
+    )
 
     base = _nonlatin_injected(docs)
     for samples, is_hit in (
         (LATIN_SAMPLES, F.col("doc_id") % 4 == 3),
         (CYRILLIC_SAMPLES, F.col("doc_id") % 8 == 2),
+        ({**ARABIC_SAMPLES, **DEVANAGARI_SAMPLES}, F.col("doc_id") % 8 == 6),
     ):
         langs = list(samples)
         texts = [samples[k] for k in langs]
@@ -1945,12 +1953,18 @@ def _langid_injected(docs: DataFrame) -> DataFrame:
 def _langid_inject_sql() -> str:
     """DuckDB mirror of :func:`_langid_injected` (same dicts, same
     doc_id arithmetic) as a CTE body over ``documents``."""
-    from thecrowler_spark.functions.trigram import CYRILLIC_SAMPLES, LATIN_SAMPLES
+    from thecrowler_spark.functions.trigram import (
+        ARABIC_SAMPLES,
+        CYRILLIC_SAMPLES,
+        DEVANAGARI_SAMPLES,
+        LATIN_SAMPLES,
+    )
 
     inner = f"({_nonlatin_inject_sql()})"
     for samples, cond in (
         (LATIN_SAMPLES, "doc_id % 4 = 3"),
         (CYRILLIC_SAMPLES, "doc_id % 8 = 2"),
+        ({**ARABIC_SAMPLES, **DEVANAGARI_SAMPLES}, "doc_id % 8 = 6"),
     ):
         langs = list(samples)
         t_arr = ", ".join("'" + samples[k].replace("'", "''") + "'" for k in langs)
@@ -4246,10 +4260,15 @@ def _trigram_pred_ctes() -> str:
         + " ".join(f"WHEN {cond} THEN '{s}'" for s, cond in _script_conds())
         + " ELSE 'latin' END"
     )
+    from thecrowler_spark.operators.langid import TRI_SCRIPTS
+
     branch = _script_branches("COALESCE(b.tri_pred, 'unknown')")
-    # the quality path scores Cyrillic trigram profiles too; the marker
-    # argmax remains only as the no-hit fallback (langid.py)
-    branch["cyrillic"] = f"COALESCE(b.tri_pred, {branch['cyrillic']})"
+    # the quality path scores trigram profiles for every TRI_SCRIPTS
+    # branch; the script-level answer (Cyrillic marker argmax, 'ar',
+    # 'hi') remains only as the no-hit fallback (langid.py)
+    for s in TRI_SCRIPTS:
+        if s != "latin":
+            branch[s] = f"COALESCE(b.tri_pred, {branch[s]})"
     final = (
         "CASE "
         + " ".join(
@@ -4259,15 +4278,19 @@ def _trigram_pred_ctes() -> str:
         )
         + f" ELSE {branch['latin']} END"
     )
+    nrm_legs = "\n          UNION ALL\n".join(
+        f"          SELECT doc_id, {TRI.normalize_sql('text', s)} AS s\n"
+        f"          FROM scr WHERE script = '{s}'"
+        for s in TRI_SCRIPTS
+    )
+    prof_values = ",\n          ".join(
+        TRI.profile_values_sql(s) for s in TRI_SCRIPTS
+    )
     return f"""
         h AS (SELECT *, {hits} FROM inj),
         scr AS (SELECT *, {script_case} AS script FROM h),
         nrm AS (
-          SELECT doc_id, {TRI.normalize_sql("text")} AS s
-          FROM scr WHERE script = 'latin'
-          UNION ALL
-          SELECT doc_id, {TRI.normalize_sql("text", "cyrillic")} AS s
-          FROM scr WHERE script = 'cyrillic'
+{nrm_legs}
         ),
         tidx AS (
           SELECT doc_id, s,
@@ -4278,8 +4301,7 @@ def _trigram_pred_ctes() -> str:
           SELECT doc_id, substring(s, CAST(i AS INT), 3) AS tri FROM tidx
           WHERE length(s) >= 3
         ),
-        prof(tri, plang, w, prio) AS (VALUES {TRI.profile_values_sql()},
-          {TRI.profile_values_sql("cyrillic")}),
+        prof(tri, plang, w, prio) AS (VALUES {prof_values}),
         tsc AS (
           SELECT t.doc_id, p.plang, p.prio, sum(p.w) AS score
           FROM tris t JOIN prof p USING (tri) GROUP BY ALL

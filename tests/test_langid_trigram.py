@@ -160,3 +160,53 @@ def test_cyrillic_trigram_duckdb_oracle_matches_engine(spark):
     )
     ora = dict(con.execute(sql).fetchall())
     assert eng == ora
+
+
+def test_arabic_devanagari_trigram_accuracy(spark):
+    """r5 Arabic + Devanagari branches: every planted short doc
+    (ar/fa/ur, hi/mr/ne) classifies via trigram profiles; the
+    script-only dispatch (the pre-trigram behavior, SCRIPT_LANG) is
+    GUARANTEED wrong on fa/ur/mr/ne — it can only answer ar / hi."""
+    from thecrowler_spark.operators.langid import detect_language
+
+    samples = {**TRI.ARABIC_SAMPLES, **TRI.DEVANAGARI_SAMPLES}
+    rows = [(i, lang, txt) for i, (lang, txt) in enumerate(samples.items())]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = detect_language(df).select("lang", "lang_pred").collect()
+    assert all(r.lang == r.lang_pred for r in out), [
+        (r.lang, r.lang_pred) for r in out if r.lang != r.lang_pred
+    ]
+    # the inline fast path still says ar/hi for the whole script —
+    # 4 of the 6 planted labels are unreachable for it
+    fast = df.select("lang", TX.detect_lang_expr(F.col("text")).alias("p")).collect()
+    assert {r.p for r in fast} == {"ar", "hi"}
+    assert sum(r.lang == r.p for r in fast) == 2
+
+
+def test_arabic_devanagari_duckdb_oracle_matches_engine(spark):
+    """Cross-engine parity for the Arabic/Devanagari branches, incl.
+    the script-level no-hit fallbacks ('ar' / 'hi')."""
+    import duckdb
+
+    import __spark_entry__ as E
+    from thecrowler_spark.operators.langid import detect_language
+
+    samples = {**TRI.ARABIC_SAMPLES, **TRI.DEVANAGARI_SAMPLES}
+    rows = [(i, lang, txt) for i, (lang, txt) in enumerate(samples.items())] + [
+        # arabic/devanagari script, zero profile hits -> script fallback
+        (100, "ar", "ؤؤ ءء ئئ"),
+        (101, "hi", "ॐॐ ॐॐ"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    eng = {r.doc_id: r.lang_pred for r in detect_language(df).collect()}
+    assert eng[100] == "ar" and eng[101] == "hi"
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, lang VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?,?,?)", rows)
+    sql = (
+        f"WITH inj AS (SELECT * FROM docs), {E._trigram_pred_ctes()} "
+        "SELECT doc_id, lang_pred FROM pred"
+    )
+    ora = dict(con.execute(sql).fetchall())
+    assert eng == ora

@@ -276,24 +276,27 @@ def cyrillic_marker_expr(c: Column | str) -> Column:
 
 
 def nonlatin_lang_expr(
-    c: Column | str, script: Column, include_cyrillic: bool = True
+    c: Column | str, script: Column, trigram_scripts: tuple = ()
 ) -> Column:
     """Language for the NON-Latin script branches (NULL when the
     script is Latin — the caller picks the Latin strategy: marker
     argmax for the inline fast path, trigram profiles for the
     operators.langid quality path). CJK → 'ja' if any kana else 'zh';
-    single-language scripts via SCRIPT_LANG; Cyrillic → marker argmax,
-    or NULL with ``include_cyrillic=False`` (the quality path scores
-    Cyrillic trigram profiles and keeps the marker argmax only as its
-    no-hit fallback)."""
+    single-language scripts via SCRIPT_LANG; Cyrillic → marker argmax.
+    ``trigram_scripts`` names scripts the caller resolves itself
+    (returned as NULL here): the quality path scores trigram profiles
+    for latin/cyrillic/arabic/devanagari and keeps the script-level
+    answer only as its no-hit fallback."""
     cnt = script_counts(c)
     expr = F.when(
         script == F.lit("cjk"),
         F.when(cnt["kana"] > 0, F.lit("ja")).otherwise(F.lit("zh")),
     )
     for name, code in SCRIPT_LANG.items():
+        if name in trigram_scripts:
+            continue
         expr = expr.when(script == F.lit(name), F.lit(code))
-    if include_cyrillic:
+    if "cyrillic" not in trigram_scripts:
         expr = expr.when(script == F.lit("cyrillic"), cyrillic_marker_expr(c))
     return expr
 

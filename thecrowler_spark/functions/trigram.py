@@ -1,11 +1,12 @@
-"""Trigram-profile language scoring for the Latin-script branch.
+"""Trigram-profile language scoring for the multi-language scripts
+(Latin, Cyrillic, Arabic, Devanagari).
 
 The reference detects language with whatlanggo
 (/root/reference/pkg/crawler/web.go:3370-3401), which classifies the
 script first and then scores character-trigram profiles within it —
 far stronger than marker-word argmax for close pairs (cs/sk/sl/hr,
-es/pt/ca, id/ms) and for short texts. This module is the same shape,
-Spark-first:
+es/pt/ca, id/ms; ru/uk, bg/mk; ar/fa/ur; hi/mr/ne) and for short
+texts. This module is the same shape, Spark-first:
 
 - profiles are DATA, not code: a (trigram, lang, weight, priority)
   table derived deterministically at import time from the authored
@@ -351,13 +352,107 @@ CYRILLIC_SAMPLES: dict[str, str] = {
     "mk": "ние ќе работиме заедно за да дознаеме повеќе за животот на луѓето од други градови",
 }
 
+#: Arabic-script letter class — base Arabic letters (0621-064A,
+#: hamza forms through yeh) plus the extended block 0671-06D3 that
+#: carries the Persian (پ چ ژ گ ک ی) and Urdu (ٹ ڈ ڑ ں ھ ہ ے) letters.
+#: Diacritics (064B-065F, 0670), Arabic-Indic digits (0660-0669) and
+#: punctuation (060C, 061F, 06D4, …) collapse to space. No case in
+#: the script, so lower() is a no-op in both engines.
+ARABIC_TRI_CLASS = _urange(0x0621, 0x064A) + _urange(0x0671, 0x06D3)
+
+#: Devanagari class — signs/letters/matras/virama 0900-0963 (the
+#: conjunct-forming marks ARE the language signal: Marathi's ळ,
+#: Nepali's ँ nasalization, the halanta patterns). Danda (0964-0965)
+#: and digits (0966-096F) collapse to space.
+DEVANAGARI_TRI_CLASS = _urange(0x0900, 0x0963)
+
+#: Arabic-script seed corpora — whatlanggo scores ar/fa/ur within the
+#: Arabic script (the reference's detector,
+#: /root/reference/pkg/crawler/web.go:3370-3401); the script-only
+#: dispatch (SCRIPT_LANG) can only ever say 'ar'. Same authoring
+#: convention as the Latin/Cyrillic seeds: general-knowledge
+#: sentences, function-word heavy. Dict order is the tie-break.
+ARABIC_SEEDS: dict[str, str] = {
+    "ar": (
+        "كانت هذه المرة الأولى التي جئنا فيها إلى هذه المدينة ولم أكن أعرف "
+        "ماذا سنفعل بعد ذلك. قال إن كل شيء سيكون على ما يرام إذا عملنا معا. "
+        "لدينا أشياء كثيرة يجب أن نفعلها اليوم. أود أن أعرف المزيد عما حدث "
+        "عندما كانوا هنا معنا. لقد كنا هناك من قبل وسوف يأتون مرة أخرى."
+    ),
+    "fa": (
+        "این اولین بار بود که به این شهر آمدیم و نمی دانستم بعد از آن چه "
+        "خواهیم کرد. او گفت که اگر با هم کار کنیم همه چیز خوب خواهد شد. ما "
+        "امروز کارهای زیادی داریم که باید انجام دهیم. دوست دارم بیشتر بدانم "
+        "که وقتی آنها اینجا با ما بودند چه اتفاقی افتاد. ما قبلا آنجا بوده "
+        "ایم و آنها دوباره خواهند آمد."
+    ),
+    "ur": (
+        "یہ پہلی بار تھا کہ ہم اس شہر میں آئے اور مجھے معلوم نہیں تھا کہ اس "
+        "کے بعد ہم کیا کریں گے. اس نے کہا کہ اگر ہم مل کر کام کریں تو سب "
+        "کچھ ٹھیک ہو جائے گا. آج ہمیں بہت سے کام کرنے ہیں. میں مزید جاننا "
+        "چاہتا ہوں کہ جب وہ یہاں ہمارے ساتھ تھے تو کیا ہوا. ہم پہلے بھی "
+        "وہاں گئے ہیں اور وہ دوبارہ آئیں گے."
+    ),
+}
+
+#: Devanagari seed corpora — hi/mr/ne within the Devanagari script
+#: (script-only dispatch can only ever say 'hi').
+DEVANAGARI_SEEDS: dict[str, str] = {
+    "hi": (
+        "यह पहली बार था जब हम इस शहर में आए और मुझे नहीं पता था कि इसके बाद "
+        "हम क्या करेंगे. उसने कहा कि अगर हम साथ मिलकर काम करें तो सब कुछ "
+        "ठीक हो जाएगा. आज हमें बहुत से काम करने हैं. मैं और जानना चाहता हूं "
+        "कि जब वे यहां हमारे साथ थे तो क्या हुआ. हम पहले भी वहां गए हैं और "
+        "वे फिर से आएंगे."
+    ),
+    "mr": (
+        "आम्ही या शहरात पहिल्यांदाच आलो होतो आणि त्यानंतर आम्ही काय करणार "
+        "हे मला माहीत नव्हते. तो म्हणाला की आपण एकत्र काम केले तर सर्व काही "
+        "चांगले होईल. आज आम्हाला खूप कामे करायची आहेत. ते इथे आमच्याबरोबर "
+        "होते तेव्हा काय झाले हे मला अधिक जाणून घ्यायचे आहे. आम्ही आधीही "
+        "तिथे गेलो आहोत आणि ते पुन्हा येतील."
+    ),
+    "ne": (
+        "हामी यो सहरमा पहिलो पटक आएका थियौं र त्यसपछि हामी के गर्नेछौं "
+        "भन्ने मलाई थाहा थिएन. उनले भने कि हामी सँगै काम गर्यौं भने सबै "
+        "कुरा राम्रो हुनेछ. आज हामीले धेरै कामहरू गर्नुपर्छ. उनीहरू यहाँ "
+        "हामीसँग हुँदा के भयो भन्ने बारे मलाई थप जान्न मन छ. हामी पहिले "
+        "पनि त्यहाँ गएका छौं र उनीहरू फेरि आउनेछन्."
+    ),
+}
+
+#: planted SHORT Arabic-script / Devanagari docs, distinct from the
+#: seeds. The fa/ur/mr/ne samples are texts the script-only dispatch
+#: is GUARANTEED to misclassify (it can only answer ar / hi); the
+#: ar/hi samples prove trigram doesn't over-rotate. Dict order
+#: matters: graded queries index into the combined list by doc_id.
+ARABIC_SAMPLES: dict[str, str] = {
+    "ar": "نعمل معا لنتعلم كيف يعيش الناس في مدن أخرى حول العالم",
+    "fa": "ما با هم کار می کنیم تا یاد بگیریم مردم در شهرهای دیگر چگونه زندگی می کنند",
+    "ur": "ہم مل کر کام کرتے ہیں تاکہ یہ جان سکیں کہ دوسرے شہروں میں لوگ کیسے رہتے ہیں",
+}
+DEVANAGARI_SAMPLES: dict[str, str] = {
+    "hi": "हम साथ मिलकर काम करते हैं ताकि यह जान सकें कि दूसरे शहरों में लोग कैसे रहते हैं",
+    "mr": "इतर शहरांतील लोक कसे राहतात हे शिकण्यासाठी आम्ही एकत्र काम करतो",
+    "ne": "अरू सहरहरूमा मानिसहरू कसरी बस्छन् भन्ने जान्नका लागि हामी सँगै काम गर्छौं",
+}
+
 #: script → (seed dict, char class); every helper below is
 #: parameterized on this registry and defaults to the Latin branch
-#: (the original call surface).
-SEEDS: dict[str, dict[str, str]] = {"latin": LATIN_SEEDS, "cyrillic": CYRILLIC_SEEDS}
+#: (the original call surface). The four scripts' trigram alphabets
+#: are pairwise disjoint (each normalization strips the others'
+#: codepoints), so one broadcast profile table serves all branches.
+SEEDS: dict[str, dict[str, str]] = {
+    "latin": LATIN_SEEDS,
+    "cyrillic": CYRILLIC_SEEDS,
+    "arabic": ARABIC_SEEDS,
+    "devanagari": DEVANAGARI_SEEDS,
+}
 TRI_CLASSES: dict[str, str] = {
     "latin": LATIN_TRI_CLASS,
     "cyrillic": CYRILLIC_TRI_CLASS,
+    "arabic": ARABIC_TRI_CLASS,
+    "devanagari": DEVANAGARI_TRI_CLASS,
 }
 
 _NORM_RES = {s: re.compile(f"[^{cls}]+") for s, cls in TRI_CLASSES.items()}
@@ -385,7 +480,7 @@ def trigrams_py(
     return [s[i : i + 3] for i in range(len(s) - 2)]
 
 
-@lru_cache(maxsize=4)
+@lru_cache(maxsize=8)
 def profiles(script: str = "latin") -> dict[str, dict[str, int]]:
     """lang → {trigram: weight} derived from the script's seeds:
     trigrams ranked by (count desc, trigram asc), top TOP_N kept,
@@ -401,7 +496,7 @@ def profiles(script: str = "latin") -> dict[str, dict[str, int]]:
     return out
 
 
-@lru_cache(maxsize=4)
+@lru_cache(maxsize=8)
 def profile_rows(script: str = "latin") -> list[tuple[str, str, int, int]]:
     """(tri, lang, weight, prio) rows — prio encodes dict order
     (earlier language wins score ties), same convention as the marker

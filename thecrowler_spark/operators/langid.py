@@ -1,28 +1,32 @@
 """Quality-path language identification: script pre-classifier +
-trigram-profile scoring within the Latin AND Cyrillic scripts.
+trigram-profile scoring within the multi-language scripts.
 
 Mirrors the reference's whatlanggo pipeline
 (/root/reference/pkg/crawler/web.go:3370-3401): detect the script
-first, then score language profiles within it. The Latin branch —
-where the 5-marker argmax confuses close pairs (cs/sk/sl/hr, es/pt/ca,
-id/ms) and short texts — scores character trigrams against per-language
-frequency-rank profiles shipped as a broadcast (trigram, lang, weight,
-priority) table (functions/trigram.py); the Cyrillic branch (r5) does
-the same over ru/uk/bg/sr/mk profiles (the marker argmax knew only 4
-languages × 5 words and stays solely as the no-hit fallback). Both
-scripts share ONE broadcast table — their trigram alphabets are
-disjoint. Other scripts resolve via the same expressions as the
+first, then score language profiles within it. Four scripts are
+multi-language and get trigram scoring — Latin (where the 5-marker
+argmax confuses close pairs cs/sk/sl/hr, es/pt/ca, id/ms), Cyrillic
+(ru/uk/bg/sr/mk), Arabic (ar/fa/ur — the script-only dispatch can
+only ever say 'ar') and Devanagari (hi/mr/ne, likewise 'hi'-only).
+Profiles ship as ONE broadcast (trigram, lang, weight, priority)
+table (functions/trigram.py) — the four scripts' trigram alphabets
+are pairwise disjoint, so a document only ever scores against its own
+script's rows. Other scripts resolve via the same expressions as the
 inline fast path (functions/text.py).
+
+Per-script no-hit fallbacks keep the pre-trigram semantics: Cyrillic →
+the 4-language marker argmax (fallback 'ru'), Arabic → 'ar',
+Devanagari → 'hi', Latin → 'unknown'.
 
 Scale shape (the part a 100 TB corpus cares about):
 - trigram explosion is a narrow transform over the normalized doc head
   (≤ TRI_MAX_CHARS chars → ≤ ~400 trigrams/doc);
-- the profile join is a BROADCAST (≈ TOP_N × n_langs ≈ 2.9k rows);
+- the profile join is a BROADCAST (≈ TOP_N × n_langs ≈ 4.2k rows);
 - per-(doc, lang) weight sums partial-aggregate map-side before the
   one doc-key shuffle; the argmax is a second tiny agg on the same
   doc key (no window, no sort);
-- the winner joins back on the doc key. Non-Latin docs never enter
-  the explode. No per-row Python anywhere.
+- the winner joins back on the doc key. Single-language-script docs
+  never enter the explode. No per-row Python anywhere.
 
 Integer scores + dict-order priority tie-break ⇒ exact parity with the
 DuckDB oracle generated from the same profile rows.
@@ -36,15 +40,28 @@ from pyspark.sql import functions as F
 from thecrowler_spark.functions import text as TX
 from thecrowler_spark.functions import trigram as TRI
 
+#: scripts scored with trigram profiles, in seed-registry order.
+TRI_SCRIPTS: tuple[str, ...] = ("latin", "cyrillic", "arabic", "devanagari")
+
 
 def profile_df(spark) -> DataFrame:
-    """The broadcast profile table (tri, lang, w, prio) — Latin AND
-    Cyrillic rows in ONE table: the two scripts' trigram alphabets are
+    """The broadcast profile table (tri, lang, w, prio) — all trigram
+    scripts' rows in ONE table: their trigram alphabets are pairwise
     disjoint, so a document only ever scores against its own script's
-    rows and a single broadcast join serves both branches."""
-    return spark.createDataFrame(
-        TRI.profile_rows("latin") + TRI.profile_rows("cyrillic"),
-        "tri string, lang string, w int, prio int",
+    rows and a single broadcast join serves every branch."""
+    rows: list = []
+    for script in TRI_SCRIPTS:
+        rows.extend(TRI.profile_rows(script))
+    return spark.createDataFrame(rows, "tri string, lang string, w int, prio int")
+
+
+def _script_fallback(tcol, script) -> "F.Column":
+    """No-hit fallback per trigram script (NULL for Latin — its
+    fallback is the literal 'unknown' at the end of the coalesce)."""
+    return (
+        F.when(script == "cyrillic", TX.cyrillic_marker_expr(tcol))
+        .when(script == "arabic", F.lit("ar"))
+        .when(script == "devanagari", F.lit("hi"))
     )
 
 
@@ -56,31 +73,27 @@ def detect_language(
 ) -> DataFrame:
     """df + ``out_col``: trigram-scored language per document.
 
-    Latin- and Cyrillic-script docs: argmax over Σ profile-weight of
-    each trigram occurrence (ties → earlier language in the script's
-    seed order); Latin docs whose trigrams hit no profile →
-    'unknown', Cyrillic no-hit docs fall back to the marker argmax
-    (fallback 'ru' — the script is known, 'unknown' would discard
-    information). Other scripts resolve via
+    Docs in a trigram script (TRI_SCRIPTS): argmax over Σ
+    profile-weight of each trigram occurrence (ties → earlier language
+    in the script's seed order); no-hit docs fall back per script
+    (Cyrillic → marker argmax → 'ru', Arabic → 'ar', Devanagari →
+    'hi', Latin → 'unknown' — the script is known, so discarding it
+    would lose information). Other scripts resolve via
     :func:`text.nonlatin_lang_expr` without entering the join.
     """
     spark = df.sparkSession
     tcol = F.col(text_col)
+    non_latin_tri = tuple(s for s in TRI_SCRIPTS if s != "latin")
     base = df.withColumn("_script", TX.dominant_script(tcol)).withColumn(
         "_nl_pred",
-        TX.nonlatin_lang_expr(tcol, F.col("_script"), include_cyrillic=False),
-    ).withColumn(
-        "_cyr_fb",
-        F.when(F.col("_script") == "cyrillic", TX.cyrillic_marker_expr(tcol)),
-    )
-    tris = (
-        base.filter(F.col("_script") == "latin")
-        .select(id_col, F.explode(TRI.tri_array(tcol)).alias("tri"))
-        .unionByName(
-            base.filter(F.col("_script") == "cyrillic")
-            .select(id_col, F.explode(TRI.tri_array(tcol, "cyrillic")).alias("tri"))
+        TX.nonlatin_lang_expr(tcol, F.col("_script"), trigram_scripts=non_latin_tri),
+    ).withColumn("_fb", _script_fallback(tcol, F.col("_script")))
+    tris = None
+    for script in TRI_SCRIPTS:
+        leg = base.filter(F.col("_script") == script).select(
+            id_col, F.explode(TRI.tri_array(tcol, script)).alias("tri")
         )
-    )
+        tris = leg if tris is None else tris.unionByName(leg)
     scores = (
         tris.join(F.broadcast(profile_df(spark)), "tri")
         .groupBy(id_col, "lang", "prio")
@@ -96,9 +109,9 @@ def detect_language(
             F.coalesce(
                 F.col("_nl_pred"),
                 F.col("_tri_pred"),
-                F.col("_cyr_fb"),
+                F.col("_fb"),
                 F.lit("unknown"),
             ),
         )
-        .drop("_script", "_nl_pred", "_cyr_fb", "_tri_pred")
+        .drop("_script", "_nl_pred", "_fb", "_tri_pred")
     )
