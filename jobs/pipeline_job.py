@@ -14,7 +14,10 @@ prep chain, each stage an operator from this repo, all JVM-side:
     4. quality filter     (Gopher-style integer-exact verdicts)
        + optional --model-weights: hashed linear classifier filter
     5. decontamination    (cross-corpus shingle join vs a benchmark set)
-    6. language ID + stats(24-marker argmax; per-lang accounting)
+    6. language ID + stats(script pre-classifier + trigram-profile
+                           scoring, operators/langid — the whatlanggo-
+                           shaped quality path; --langid marker keeps
+                           the inline 24-marker argmax fast path)
     7. split + pack       (deterministic hash split; token-budget packs)
 
 Run:
@@ -99,6 +102,10 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                         "(docs in/kept, kept tokens, keep share; classifier "
                         "margin sums when --model-weights ran); requires a "
                         "'source' input column")
+    p.add_argument("--langid", choices=("trigram", "marker"), default="trigram",
+                   help="language-ID stage: trigram-profile scoring "
+                        "(operators/langid, the quality path) or the inline "
+                        "24-marker argmax column expression")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     args = p.parse_args(argv)
     if args.anchor_corpus and not args.links:
@@ -359,8 +366,22 @@ def run_pipeline(spark, args, docs_df=None) -> dict:
         survivors = survivors.join(flags, "doc_id", "left_anti")
         manifest["stages"]["decontaminated"] = survivors.count()
 
-    # 6. language ID + per-language stats
-    survivors = survivors.withColumn("lang_pred", TX.detect_lang_expr(F.col("text")))
+    # 6. language ID + per-language stats. Default = the trigram
+    #    quality path (broadcast profile join + one doc-key shuffle;
+    #    adds a column, never drops rows — survivorship and therefore
+    #    the incremental-state semantics are langid-independent).
+    #    localCheckpoint first: the detector references its input twice
+    #    (trigram explode + winner join-back) — cutting lineage here
+    #    stops the deep stage-1..5 plan from being re-rendered per
+    #    reference (AQE's per-stage explain strings OOMed the driver on
+    #    the un-checkpointed chain) and from re-executing per action.
+    survivors = survivors.localCheckpoint(eager=True)
+    if getattr(args, "langid", "trigram") == "trigram":
+        from thecrowler_spark.operators.langid import detect_language
+
+        survivors = detect_language(survivors, text_col="text", id_col="doc_id")
+    else:
+        survivors = survivors.withColumn("lang_pred", TX.detect_lang_expr(F.col("text")))
     stats = survivors.groupBy("lang_pred").agg(
         F.count("*").alias("n_docs"),
         F.sum(TX.token_count(F.col("text"))).alias("total_tokens"),

@@ -88,12 +88,21 @@ def detect_language(
         "_nl_pred",
         TX.nonlatin_lang_expr(tcol, F.col("_script"), trigram_scripts=non_latin_tri),
     ).withColumn("_fb", _script_fallback(tcol, F.col("_script")))
-    tris = None
+    # ONE script-dispatched explode, not a union of per-script filtered
+    # legs: a 4-leg union + the winner join-back would reference (and
+    # re-render) the caller's full upstream plan 5×, which both
+    # recomputes deep lineage per leg and blows up AQE's per-stage plan
+    # strings (driver explainString OOM observed at pipeline stage 6).
+    # The CASE keeps exactly the old semantics: a doc only ever gets its
+    # own script's trigrams; non-trigram scripts get an empty array and
+    # vanish in the explode.
+    dispatched = None
+    empty = F.array().cast("array<string>")
     for script in TRI_SCRIPTS:
-        leg = base.filter(F.col("_script") == script).select(
-            id_col, F.explode(TRI.tri_array(tcol, script)).alias("tri")
-        )
-        tris = leg if tris is None else tris.unionByName(leg)
+        leg = TRI.tri_array(tcol, script)
+        cond = F.col("_script") == script
+        dispatched = F.when(cond, leg) if dispatched is None else dispatched.when(cond, leg)
+    tris = base.select(id_col, F.explode(dispatched.otherwise(empty)).alias("tri"))
     scores = (
         tris.join(F.broadcast(profile_df(spark)), "tri")
         .groupBy(id_col, "lang", "prio")
