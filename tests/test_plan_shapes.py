@@ -188,3 +188,19 @@ def test_semdedup_pair_join_is_equi_on_cell(spark):
     assert re.search(
         r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[cell#\d+", plan
     )
+
+
+def test_langid_single_dispatch_no_union(spark):
+    """The trigram detector must build its trigram stream with ONE
+    script-dispatched explode over the input, never a union of
+    per-script filtered legs: the union form references the caller's
+    upstream plan once per script plus the winner join-back, which
+    re-renders (and with AQE re-executes) deep lineage per leg — the
+    observed driver explainString OOM at pipeline stage 6. The profile
+    table must come in as a broadcast, and nothing may cartesian."""
+    from thecrowler_spark.operators.langid import detect_language
+
+    plan = _plan(detect_language(_docs(spark)))
+    assert "Union" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
