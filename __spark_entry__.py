@@ -3795,13 +3795,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "email_frontier": q_email_frontier,
         "pricing_summary": q_pricing_summary,
         "streaming_window_counts": q_streaming_window_counts,
+        # ---------------- slot 51+: outside the 50-slot driver window.
+        # First the 4 r3-green rotate-ins that did not fit (108 queries
+        # / 50 slots), then the r3 multi-green stalwarts (>=2 greens;
+        # decontaminate displaced by dsir_select); all remain covered
+        # by scripts/oracle_gate.py full-registry runs ----------------
         "url_seen_cuckoo": q_url_seen_cuckoo,
         "frontier_claim_intervals": q_frontier_claim_intervals,
         "search_webobjects": q_search_webobjects,
         "search_screenshots": q_search_screenshots,
-        # ---------------- slot 51+: r3 multi-green stalwarts deferred
-        # to r6 (104 queries / 50 slots; these have >=2 greens;
-        # decontaminate displaced by dsir_select) ----------------------
         "decontaminate": q_decontaminate,
         "embedding_neardup": q_embedding_neardup,
         "frontier_dedup_first": q_frontier_dedup_first,
