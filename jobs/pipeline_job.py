@@ -9,11 +9,17 @@ prep chain, each stage an operator from this repo, all JVM-side:
     2. fuzzy dedup        (MinHash-LSH candidates → exact-Jaccard
                            verification at --minhash-threshold →
                            connected components → keep min-id per group)
+       + optional --semdedup EPS (--embeddings): SemDeDup semantic
+         dedup — within-Voronoi-cell cosine drop test, one cell-keyed
+         equi-join (Abbas et al. 2023)
     3. boilerplate strip  (CCNet duplicated-line removal, xxhash64 keys)
        + optional --span-w: exact-substring span dedup (Lee et al. 2021)
     4. quality filter     (Gopher-style integer-exact verdicts)
        + optional --model-weights: hashed linear classifier filter
     5. decontamination    (cross-corpus shingle join vs a benchmark set)
+       + optional --dsir-target/--dsir-k: DSIR importance resampling —
+         hashed n-gram log-ratio selection toward a target domain
+         (Xie et al. 2023)
     6. language ID + stats(script pre-classifier + trigram-profile
                            scoring, operators/langid — the whatlanggo-
                            shaped quality path; --langid marker keeps
@@ -102,6 +108,25 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                         "(docs in/kept, kept tokens, keep share; classifier "
                         "margin sums when --model-weights ran); requires a "
                         "'source' input column")
+    p.add_argument("--embeddings", default=None,
+                   help="embeddings parquet (doc_id|vec_id, embedding:array<float>) "
+                        "— enables --semdedup")
+    p.add_argument("--semdedup", type=float, default=0.0,
+                   help="SemDeDup cosine threshold eps (Abbas et al. 2023); "
+                        "0 = stage off. Within each Voronoi cell, docs with a "
+                        "higher-keep-priority neighbour at cosine >= eps drop "
+                        "as 'semantic_dup'. Docs without an embedding pass "
+                        "through unjudged")
+    p.add_argument("--semdedup-cells", type=int, default=16,
+                   help="Voronoi cell count (∝ corpus_size / target_cell_size)")
+    p.add_argument("--dsir-target", default=None,
+                   help="target-domain parquet (doc_id, text) for DSIR "
+                        "importance resampling (Xie et al. 2023); requires "
+                        "--dsir-k")
+    p.add_argument("--dsir-k", type=int, default=0,
+                   help="number of docs DSIR keeps (top-k by hashed n-gram "
+                        "log-ratio score); the rest drop as 'dsir_unselected'")
+    p.add_argument("--dsir-buckets", type=int, default=1024)
     p.add_argument("--langid", choices=("trigram", "marker"), default="trigram",
                    help="language-ID stage: trigram-profile scoring "
                         "(operators/langid, the quality path) or the inline "
@@ -110,6 +135,10 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     args = p.parse_args(argv)
     if args.anchor_corpus and not args.links:
         p.error("--anchor-corpus requires --links")
+    if args.semdedup > 0 and not args.embeddings:
+        p.error("--semdedup requires --embeddings")
+    if bool(args.dsir_target) != (args.dsir_k > 0):
+        p.error("--dsir-target and --dsir-k must be given together")
     return args
 
 
@@ -281,6 +310,34 @@ def run_pipeline(spark, args, docs_df=None) -> dict:
         else:
             new_sigs = keyed.select("sig_key")
 
+    # 2c. semantic dedup (optional, --semdedup EPS with --embeddings):
+    #     SemDeDup (Abbas et al. 2023) over the survivor set — Voronoi
+    #     cells from broadcast centroids, within-cell cosine drop test
+    #     as ONE cell-keyed equi-join (never all-pairs). Docs without
+    #     an embedding pass through unjudged (left_semi restricts the
+    #     embedding table to survivors, the anti-join only removes ids
+    #     the drop test actually condemned).
+    if getattr(args, "semdedup", 0) > 0:
+        from thecrowler_spark.operators.similarity import semdedup
+
+        emb = spark.read.parquet(args.embeddings)
+        if "doc_id" not in emb.columns and "vec_id" in emb.columns:
+            emb = emb.withColumnRenamed("vec_id", "doc_id")
+        emb = emb.select("doc_id", "embedding").join(
+            survivors.select("doc_id"), "doc_id", "left_semi"
+        )
+        sem_losers = stage(
+            semdedup(emb, n_cells=args.semdedup_cells, eps=args.semdedup,
+                     vec_col="embedding", id_col="doc_id")
+            .filter(F.col("dropped")).select("doc_id")
+        )
+        drop(sem_losers, "semantic_dup")
+        prev = survivors
+        survivors = stage(survivors.join(sem_losers, "doc_id", "left_anti"))
+        manifest["stages"]["semantic_dedup"] = survivors.count()
+        retire(prev)
+        retire(sem_losers)
+
     # 3. CCNet boilerplate-line removal (hash-keyed shuffle); with
     #    --state the threshold sees cumulative cross-batch counts
     if lake_lines is not None:
@@ -376,6 +433,27 @@ def run_pipeline(spark, args, docs_df=None) -> dict:
     #    reference (AQE's per-stage explain strings OOMed the driver on
     #    the un-checkpointed chain) and from re-executing per action.
     survivors = survivors.localCheckpoint(eager=True)
+
+    # 5b. DSIR importance resampling (optional, --dsir-target/--dsir-k):
+    #     Xie et al. 2023 selection toward a target domain — hashed
+    #     n-gram log-ratio weights fitted on (target, survivors), docs
+    #     scored by integer sums, top-k kept. Runs after the checkpoint
+    #     because the fit and the scoring each traverse the survivor
+    #     set once. Unselected (incl. zero-gram) docs drop audited.
+    if getattr(args, "dsir_target", None):
+        from thecrowler_spark.operators.dsir import dsir_select
+
+        target = spark.read.parquet(args.dsir_target).select("doc_id", "text")
+        sel_ids = stage(
+            dsir_select(spark, target, survivors, k=args.dsir_k,
+                        n_buckets=args.dsir_buckets).select("doc_id")
+        )
+        drop(survivors.select("doc_id").join(sel_ids, "doc_id", "left_anti"),
+             "dsir_unselected")
+        survivors = stage(survivors.join(sel_ids, "doc_id", "left_semi"))
+        manifest["stages"]["dsir"] = survivors.count()
+        retire(sel_ids)
+
     if getattr(args, "langid", "trigram") == "trigram":
         from thecrowler_spark.operators.langid import detect_language
 

@@ -302,3 +302,57 @@ def test_pipeline_incremental_query_planted_branches(spark):
     assert stripped, "footer never stripped in batch 2"
     for d in stripped:
         assert out[(2, d)].n_tokens == base[d]
+
+
+def test_pipeline_semdedup_and_dsir_stages(spark, tmp_path):
+    """--semdedup drops exactly the planted embedding twin (keep rule:
+    cos-to-centroid tie -> lower id survives); --dsir-target/--dsir-k
+    then keeps only the doc whose n-grams match the target domain."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest to find some tasty food items "
+            "while the sun slowly sets behind the tall old mountain ridge"),
+        (2, "an entirely separate article describing how rivers carve deep "
+            "canyons through layered sandstone over many thousand years "
+            "carrying sediment downstream toward the wide distant delta"),
+        (3, "completely different document about spark query planning with "
+            "many distinct useful tokens covering shuffles joins windows "
+            "aggregates partitions codegen pushdown pruning skew salting"),
+    ]
+    # doc 3 is doc 2's embedding twin (cos = 1.0 >= eps); doc 1 is
+    # orthogonal to both. Identical vectors tie on cos-to-centroid, so
+    # the lower id (2) is kept and 3 drops as semantic_dup. vec_id
+    # column name exercises the rename path.
+    emb = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    # DSIR target shares doc 2's river/canyon vocabulary -> doc 2
+    # outranks doc 1 on the hashed n-gram log-ratio score
+    target = [(100, "rivers carve deep canyons through layered sandstone "
+                    "carrying sediment downstream toward the wide delta")]
+    inp, out, emb_path, tgt_path = (
+        str(tmp_path / p) for p in ("in", "out", "emb", "tgt"))
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(inp)
+    spark.createDataFrame(emb, "vec_id long, embedding array<float>").write.parquet(emb_path)
+    spark.createDataFrame(target, "doc_id long, text string").write.parquet(tgt_path)
+
+    m = run_pipeline(spark, parse_args(
+        ["--input", inp, "--output", out,
+         "--embeddings", emb_path, "--semdedup", "0.95", "--semdedup-cells", "2",
+         "--dsir-target", tgt_path, "--dsir-k", "1",
+         "--budget", "64", "--buckets", "2"]
+    ))
+    assert m["stages"]["exact_dedup"] == 3
+    assert m["stages"]["semantic_dedup"] == 2   # doc 3 gone
+    assert m["stages"]["dsir"] == 1             # doc 1 gone
+
+    dropped = {(r["doc_id"], r["reason"]) for r in
+               spark.read.parquet(out + "/dropped").collect()}
+    assert (3, "semantic_dup") in dropped
+    assert (1, "dsir_unselected") in dropped
+
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(out + "/documents").select("doc_id").collect()}
+    assert kept == {2}
