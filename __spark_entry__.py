@@ -2809,13 +2809,15 @@ def _mm_ext_array_sql() -> str:
 
 
 def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL media decode (r4 VERDICT item 5): deterministic PPM/BMP/WAV
-    fixtures (functions/codecs.py encoders) attached as binary columns,
-    decoded by the separate numpy parsers inside Arrow mapInPandas —
-    real dimensions / sample rates and sha256 of the DECODED pixels /
-    samples. The oracle's expected values are computed from the raw
-    pattern, never by round-tripping the decoder, so a parsing bug
-    (padding, row order, endianness) fails the hash."""
+    """REAL media decode (r4 VERDICT item 5): deterministic
+    PPM/BMP/PNG/WAV fixtures (functions/codecs.py encoders) attached as
+    binary columns, decoded by the separate numpy parsers inside Arrow
+    mapInPandas — real dimensions / sample rates and sha256 of the
+    DECODED pixels / samples. PNG is a genuinely compressed format
+    (stdlib-zlib DEFLATE + all five scanline filters, cycling per row).
+    The oracle's expected values are computed from the raw pattern,
+    never by round-tripping the decoder, so a parsing bug (padding, row
+    order, endianness, defiltering) fails the hash."""
     _load(spark, sf_dir, "part")
     n = len(MM.REAL_VARIANTS)
     refs = spark.sql(
@@ -2831,15 +2833,16 @@ def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL nearest-neighbor resize of decoded PPM/BMP fixtures to
+    """REAL nearest-neighbor resize of decoded PPM/BMP/PNG fixtures to
     16x12, hashing the resized RGB bytes."""
     _load(spark, sf_dir, "part")
-    img_exts = [fmt for fmt, _ in MM.REAL_VARIANTS[:8]]
+    n_img = MM.N_IMG_VARIANTS
+    img_exts = [fmt for fmt, _ in MM.REAL_VARIANTS[:n_img]]
     refs = spark.sql(
         f"""
         SELECT concat('https://cdn.example.com/r', CAST(p_partkey AS STRING), '.',
-                      element_at(array{tuple(img_exts)}, CAST(p_partkey % 8 AS INT) + 1)) AS media_ref,
-               CAST(p_partkey % 8 AS INT) AS variant
+                      element_at(array{tuple(img_exts)}, CAST(p_partkey % {n_img} AS INT) + 1)) AS media_ref,
+               CAST(p_partkey % {n_img} AS INT) AS variant
         FROM part WHERE p_partkey < 300
         """
     )
@@ -2870,14 +2873,14 @@ def _mm_decode_real_oracle_sql() -> str:
 
     from thecrowler_spark.functions import codecs as C
 
+    img_mt = {"ppm": "image/x-portable-pixmap", "bmp": "image/bmp", "png": "image/png"}
     rows = []
     for v, (fmt, params) in enumerate(MM.REAL_VARIANTS):
         nb = len(MM.variant_payload(v))
-        if fmt in ("ppm", "bmp"):
+        if fmt in img_mt:
             w, h = params
             sha = hashlib.sha256(C.pixel_pattern(w, h, v).tobytes()).hexdigest()
-            mt = "image/x-portable-pixmap" if fmt == "ppm" else "image/bmp"
-            rows.append(f"({v}, '{mt}', {nb}, {w}, {h}, 3, NULL, NULL, '{sha}')")
+            rows.append(f"({v}, '{img_mt[fmt]}', {nb}, {w}, {h}, 3, NULL, NULL, '{sha}')")
         else:
             ns, rate = params
             sha = hashlib.sha256(C.sample_pattern(ns, v).tobytes()).hexdigest()
@@ -2908,20 +2911,21 @@ def _mm_resize_real_oracle_sql(tw: int = 16, th: int = 12) -> str:
 
     from thecrowler_spark.functions import codecs as C
 
+    img_mt = {"ppm": "image/x-portable-pixmap", "bmp": "image/bmp", "png": "image/png"}
+    n_img = MM.N_IMG_VARIANTS
     rows = []
-    for v, (fmt, (w, h)) in enumerate(MM.REAL_VARIANTS[:8]):
+    for v, (fmt, (w, h)) in enumerate(MM.REAL_VARIANTS[:n_img]):
         out = C.resize_nearest(C.pixel_pattern(w, h, v), tw, th)
         sha = hashlib.sha256(out.tobytes()).hexdigest()
-        mt = "image/x-portable-pixmap" if fmt == "ppm" else "image/bmp"
-        rows.append(f"({v}, '{mt}', {w}, {h}, '{sha}')")
-    exts = ", ".join(f"'{fmt}'" for fmt, _ in MM.REAL_VARIANTS[:8])
+        rows.append(f"({v}, '{img_mt[fmt]}', {w}, {h}, '{sha}')")
+    exts = ", ".join(f"'{fmt}'" for fmt, _ in MM.REAL_VARIANTS[:n_img])
     return f"""
         WITH exp(variant, media_type, width, height, resized_sha256) AS
           (VALUES {', '.join(rows)}),
         refs AS (
           SELECT concat('https://cdn.example.com/r', CAST(p_partkey AS VARCHAR), '.',
-                        ([{exts}])[CAST(p_partkey % 8 AS INT) + 1]) AS media_ref,
-                 CAST(p_partkey % 8 AS INT) AS variant
+                        ([{exts}])[CAST(p_partkey % {n_img} AS INT) + 1]) AS media_ref,
+                 CAST(p_partkey % {n_img} AS INT) AS variant
           FROM part WHERE p_partkey < 300
         )
         SELECT media_ref, media_type, CAST(width AS INT) AS width,

@@ -80,6 +80,70 @@ def test_decoders_reject_garbage():
         C.decode_wav(b"OggS compressed audio")
 
 
+@pytest.mark.parametrize("w,h", [(1, 1), (4, 6), (9, 7), (11, 5), (3, 12)])
+def test_png_roundtrip_all_filters(w, h):
+    """Heights >= 5 cycle through every scanline filter (encode side
+    uses y % 5), so a decoder that skips defiltering fails here."""
+    img = C.decode_png(C.make_png(w, h, seed=w + h))
+    assert np.array_equal(img, C.pixel_pattern(w, h, w + h))
+
+
+def test_png_header_golden():
+    data = C.make_png(5, 3, seed=0)
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    import struct
+    # first chunk: IHDR, 13 bytes, width 5, height 3, depth 8, RGB
+    assert struct.unpack_from(">I", data, 8)[0] == 13
+    assert data[12:16] == b"IHDR"
+    assert struct.unpack(">IIBBBBB", data[16:29]) == (5, 3, 8, 2, 0, 0, 0)
+    assert data[-8:-4] == b"IEND"
+
+
+def test_png_filter_bytes_actually_cycle():
+    """The encoder genuinely emits all five filter types (decoder
+    independence: a zero-filter-only encoder would let a filter-blind
+    decoder pass the round-trip)."""
+    import struct
+    import zlib
+
+    data = C.make_png(4, 10, seed=7)
+    pos, idat = 8, bytearray()
+    while pos + 8 <= len(data):
+        (clen,) = struct.unpack_from(">I", data, pos)
+        if data[pos + 4 : pos + 8] == b"IDAT":
+            idat += data[pos + 8 : pos + 8 + clen]
+        pos += 12 + clen
+    raw = zlib.decompress(bytes(idat))
+    stride = 4 * 3
+    fts = [raw[y * (1 + stride)] for y in range(10)]
+    assert set(fts) == {0, 1, 2, 3, 4}
+
+
+def test_png_rejects_corruption_truncation_and_unsupported():
+    import struct
+    import zlib
+
+    good = C.make_png(8, 8, seed=1)
+    # flipped byte -> CRC failure
+    bad = bytearray(good)
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError):
+        C.decode_png(bytes(bad))
+    # truncated stream
+    with pytest.raises(ValueError):
+        C.decode_png(good[:30])
+    # not a PNG at all
+    with pytest.raises(ValueError):
+        C.decode_png(b"BM this is a bmp")
+    # unsupported: RGBA color type (rebuild IHDR with valid CRC)
+    ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 6, 0, 0, 0)
+    chunk = (struct.pack(">I", 13) + b"IHDR" + ihdr
+             + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF))
+    rgba = good[:8] + chunk + good[8 + 12 + 13:]
+    with pytest.raises(ValueError, match="unsupported"):
+        C.decode_png(rgba)
+
+
 def test_decode_media_real_end_to_end(spark):
     """Binary fixtures through the Arrow mapInPandas decode: dims and
     content hashes match the raw pattern, and a compressed format under
@@ -99,7 +163,7 @@ def test_decode_media_real_end_to_end(spark):
            MM.decode_media(MM.attach_real_payloads(refs), real_decode=True).collect()}
     for v, (fmt, params) in enumerate(MM.REAL_VARIANTS):
         r = out[f"https://cdn.example.com/r{v}.{fmt}"]
-        if fmt in ("ppm", "bmp"):
+        if fmt != "wav":
             w, h = params
             assert (r.width, r.height, r.channels) == (w, h, 3)
             assert r.content_sha256 == hashlib.sha256(
@@ -111,7 +175,7 @@ def test_decode_media_real_end_to_end(spark):
                 C.sample_pattern(n, v).tobytes()).hexdigest()
 
     compressed = refs.withColumn(
-        "payload", F.encode(F.lit("not really a png"), "utf-8")
-    ).withColumn("media_type", F.lit("image/png"))
+        "payload", F.encode(F.lit("not really a jpeg"), "utf-8")
+    ).withColumn("media_type", F.lit("image/jpeg"))
     with pytest.raises(Exception, match="NotImplementedError|pillow"):
         MM.decode_media(compressed, real_decode=True).collect()

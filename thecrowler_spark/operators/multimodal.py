@@ -7,12 +7,14 @@ pkg/crawler/types.go:324-413).
 
 Since round 5 the decode path touches REAL bytes for uncompressed
 formats: PPM (P6, incl. multi-image streams standing in for video
-frames), 24-bit BI_RGB BMP, and PCM16 WAV are decoded by the
-pure-numpy codecs in functions/codecs.py inside Arrow-batched
+frames), 24-bit BI_RGB BMP, PCM16 WAV, and 8-bit RGB PNG (DEFLATE via
+stdlib zlib, all five scanline filters) are decoded by the pure-numpy
+codecs in functions/codecs.py inside Arrow-batched
 ``mapInPandas`` — real dimensions, real sample counts, content hashes
-of the decoded pixels/samples. Compressed formats (png/jpeg/mp4/…)
-remain behind the honest ``NotImplementedError`` guard (no
-pillow/libav in this container); the stub path
+of the decoded pixels/samples. Formats whose compression is not in
+the stdlib (jpeg/mp4/webm/…) remain behind the honest
+``NotImplementedError`` guard (no pillow/libav in this container);
+the stub path
 (``real_decode=False``) keeps the original fake-feature contract for
 the plumbing-only queries.
 """
@@ -77,10 +79,11 @@ def attach_payloads(media_refs: DataFrame, ref_col: str = "media_ref") -> DataFr
 
 #: formats the numpy codecs decode for real; everything else raises
 #: under real_decode=True (the honest compressed-format guard)
-REAL_DECODABLE = {"image/x-portable-pixmap", "image/bmp", "audio/wav"}
+REAL_DECODABLE = {"image/x-portable-pixmap", "image/bmp", "image/png", "audio/wav"}
 
 #: fixture variants for the real-decode graded queries: (fmt, params).
-#: Odd widths exercise BMP row padding; dims/rates vary; seed = index.
+#: Odd widths exercise BMP row padding; PNG heights >= 5 cycle through
+#: all five scanline filters; dims/rates vary; seed = index.
 #: The oracle VALUES are generated from the SAME list (entry file).
 REAL_VARIANTS: "list[tuple[str, tuple[int, ...]]]" = [
     ("ppm", (8, 6)),
@@ -91,11 +94,19 @@ REAL_VARIANTS: "list[tuple[str, tuple[int, ...]]]" = [
     ("bmp", (3, 5)),
     ("bmp", (7, 2)),
     ("bmp", (12, 8)),
+    ("png", (9, 7)),
+    ("png", (4, 6)),
+    ("png", (11, 5)),
+    ("png", (6, 10)),
     ("wav", (64, 8000)),
     ("wav", (100, 16000)),
     ("wav", (7, 8000)),
     ("wav", (441, 44100)),
 ]
+
+#: count of image variants (the contiguous non-wav prefix) — the
+#: resize query/oracle slice both derive from this, never a literal
+N_IMG_VARIANTS = sum(1 for fmt, _ in REAL_VARIANTS if fmt != "wav")
 
 #: multi-image PPM stream variants for frame sampling: (w, h, frames)
 FRAME_VARIANTS: "list[tuple[int, int, int]]" = [(4, 3, 2), (5, 4, 3), (8, 2, 4)]
@@ -110,6 +121,8 @@ def variant_payload(variant: int) -> bytes:
         return C.make_ppm(params[0], params[1], seed=variant)
     if fmt == "bmp":
         return C.make_bmp(params[0], params[1], seed=variant)
+    if fmt == "png":
+        return C.make_png(params[0], params[1], seed=variant)
     return C.make_wav(params[0], params[1], seed=variant)
 
 
@@ -118,7 +131,7 @@ def variant_ext(variant: int) -> str:
 
 
 def attach_real_payloads(refs: DataFrame, variant_col: str = "variant") -> DataFrame:
-    """Attach REAL encoded media bytes (PPM/BMP/WAV per REAL_VARIANTS)
+    """Attach REAL encoded media bytes (PPM/BMP/PNG/WAV per REAL_VARIANTS)
     via an Arrow-batched pandas UDF — the binary-column fixture source
     for the real-decode queries."""
     from pyspark.sql.functions import pandas_udf
@@ -187,6 +200,11 @@ def decode_media_real(df: DataFrame) -> DataFrame:
                     w.append(img.shape[1]); h.append(img.shape[0]); ch.append(3)
                     rate.append(None); ns.append(None)
                     sha.append(hashlib.sha256(img.tobytes()).hexdigest())
+                elif mtype == "image/png":
+                    img = C.decode_png(b)
+                    w.append(img.shape[1]); h.append(img.shape[0]); ch.append(3)
+                    rate.append(None); ns.append(None)
+                    sha.append(hashlib.sha256(img.tobytes()).hexdigest())
                 elif mtype == "audio/wav":
                     r, c, samples = C.decode_wav(b)
                     w.append(None); h.append(None); ch.append(c)
@@ -236,6 +254,8 @@ def resize_media_real(df: DataFrame, target_w: int = 16, target_h: int = 12) -> 
                     img = C.decode_ppm(b)[0]
                 elif mtype == "image/bmp":
                     img = C.decode_bmp(b)
+                elif mtype == "image/png":
+                    img = C.decode_png(b)
                 else:
                     raise NotImplementedError(f"real resize of {mtype} unsupported")
                 w.append(img.shape[1]); h.append(img.shape[0])
