@@ -2179,6 +2179,21 @@ def q_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LM.quality_buckets(docs, k=3, vocab_size=500)
 
 
+def q_lm_buckets_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality bucketing (operators/lm.quality_buckets_bigram):
+    doc score = occurrence-weighted integer mean of the CONDITIONAL
+    bigram frequency (cnt(t1,t2) * 1e6) DIV cnt(t1) over the top-300
+    bigram vocabulary — one Markov step closer to CCNet's KenLM than
+    the unigram proxy (word ORDER now matters). Oracle mirrors the
+    pair extraction (DuckDB list comprehension ≡ Spark zip_with of the
+    token array with its own tail), the head-count join, the
+    row_number vocab cutoff, and the ntile total order."""
+    from thecrowler_spark.operators import lm as LM
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return LM.quality_buckets_bigram(docs, k=3, vocab_size=300)
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic dataset-mixture sampling (sampling.mixture_sample):
     three md5-derived synthetic sources with 70/25/5 integer weights
@@ -3737,14 +3752,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     item 2). Policy: (a) never-driver-graded queries first, (b) queries
     whose implementation or oracle changed this round, (c) queries with
     the OLDEST last driver green, deferring multi-green stalwarts when
-    the registry (108) exceeds two windows. Goal: every oracled query's
+    the registry (109) exceeds two windows. Goal: every oracled query's
     last driver-green row is as recent as 50-slot rotation allows
-    (r5: the 4 late-round never-graded queries — scraping engine +
-    semantic dedup — take the head per rule (a), deferring 11 r3-green
-    stalwarts to r6; all 108 remain green in scripts/oracle_gate.py
-    full-registry runs regardless of the driver window)."""
+    (r5: the late-round never-graded queries — scraping engine,
+    semantic dedup, bigram LM — take the head per rule (a), deferring
+    12 r3-green stalwarts past the window; all 109 remain green in
+    scripts/oracle_gate.py full-registry runs regardless of the driver
+    window)."""
     return {
         # --- r5 window: new this round, never driver-graded ----------
+        "lm_buckets_bigram": q_lm_buckets_bigram,
         "scraped_fields": q_scraped_fields,
         "scraped_json": q_scraped_json,
         "scraped_group": q_scraped_group,
@@ -3798,9 +3815,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_fts_rank": q_search_fts_rank,
         "email_frontier": q_email_frontier,
         "pricing_summary": q_pricing_summary,
-        "streaming_window_counts": q_streaming_window_counts,
         # ---------------- slot 51+: outside the 50-slot driver window.
-        # First the 4 r3-green rotate-ins that did not fit (108 queries
+        # streaming_window_counts (r3 green) slipped out when
+        # lm_buckets_bigram took a never-graded head slot.
+        "streaming_window_counts": q_streaming_window_counts,
+        # First the r3-green rotate-ins that did not fit (109 queries
         # / 50 slots), then the r3 multi-green stalwarts (>=2 greens;
         # decontaminate displaced by dsir_select); all remain covered
         # by scripts/oracle_gate.py full-registry runs ----------------
@@ -5856,6 +5875,52 @@ def oracle_sql() -> dict[str, str]:
               FROM alldocs
             )
             SELECT doc_id, n_tokens, lm_score, bucket,
+                   CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                               ELSE 'tail' END AS bucket_label
+            FROM tiled
+        """,
+        "lm_buckets_bigram": f"""
+            WITH toks AS (
+              SELECT doc_id, {sw_filter} AS t FROM documents
+            ),
+            occ AS (
+              SELECT doc_id,
+                     unnest([{{'t1': t[i], 't2': t[i+1]}}
+                             for i in generate_series(1, len(t) - 1)],
+                            recursive := true)
+              FROM toks
+            ),
+            counts2 AS (
+              SELECT t1, t2, count(*)::BIGINT AS cnt2 FROM occ GROUP BY t1, t2
+            ),
+            counts1 AS (
+              SELECT t1, sum(cnt2)::BIGINT AS cnt1 FROM counts2 GROUP BY t1
+            ),
+            vocab AS (
+              SELECT t1, t2, ((cnt2 * 1000000) // cnt1)::BIGINT AS score
+              FROM (SELECT c2.t1, c2.t2, c2.cnt2, c1.cnt1,
+                           row_number() OVER (ORDER BY c2.cnt2 DESC, c2.t1, c2.t2) AS rn
+                    FROM counts2 c2 JOIN counts1 c1 USING (t1))
+              WHERE rn <= 300
+            ),
+            per_doc AS (
+              SELECT o.doc_id, count(*)::BIGINT AS n_bigrams,
+                     (sum(coalesce(v.score, 0))::BIGINT // count(*))::BIGINT AS lm2_score
+              FROM occ o LEFT JOIN vocab v USING (t1, t2)
+              GROUP BY o.doc_id
+            ),
+            alldocs AS (
+              SELECT d.doc_id,
+                     coalesce(p.n_bigrams, 0)::BIGINT AS n_bigrams,
+                     coalesce(p.lm2_score, 0)::BIGINT AS lm2_score
+              FROM documents d LEFT JOIN per_doc p USING (doc_id)
+            ),
+            tiled AS (
+              SELECT doc_id, n_bigrams, lm2_score,
+                     ntile(3) OVER (ORDER BY lm2_score DESC, doc_id)::INT AS bucket
+              FROM alldocs
+            )
+            SELECT doc_id, n_bigrams, lm2_score, bucket,
                    CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                                ELSE 'tail' END AS bucket_label
             FROM tiled

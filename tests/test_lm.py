@@ -77,3 +77,69 @@ def test_quality_buckets_order(spark):
     }
     assert [out[i][0] for i in range(1, 7)] == [1, 1, 2, 2, 3, 3]
     assert out[1][1] == "head" and out[3][1] == "middle" and out[6][1] == "tail"
+
+
+def test_bigram_scores_hand_computed(spark):
+    """Conditional bigram scores and the word-ORDER discrimination the
+    unigram proxy cannot make (same tokens, scrambled order)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox the quick"),
+            (2, "quick the fox brown quick the"),  # same token multiset
+            (3, "solo"),                           # one token: no bigrams
+            (4, "??!!"),                           # zero tokens
+            (5, "the quick the quick the quick"),  # maximally predictable
+        ],
+        "doc_id long, text string",
+    )
+    vocab = {
+        (r["t1"], r["t2"]): (r["cnt2"], r["score"])
+        for r in LM.bigram_vocab_scores(docs, vocab_size=None).collect()
+    }
+    # head counts: the->6, quick->5, brown->2, fox->2
+    assert vocab[("the", "quick")] == (5, 5_000_000 // 6)
+    assert vocab[("the", "fox")] == (1, 1_000_000 // 6)
+    assert vocab[("quick", "the")] == (4, 4_000_000 // 5)
+    assert vocab[("quick", "brown")] == (1, 1_000_000 // 5)
+    assert vocab[("brown", "fox")] == (1, 500_000)
+    assert vocab[("brown", "quick")] == (1, 500_000)
+    assert vocab[("fox", "brown")] == (1, 500_000)
+    assert vocab[("fox", "the")] == (1, 500_000)
+
+    scored = {
+        r["doc_id"]: (r["n_bigrams"], r["lm2_score"])
+        for r in LM.doc_bigram_scores(docs, vocab_size=None).collect()
+    }
+    s = lambda t1, t2: vocab[(t1, t2)][1]
+    d1 = (2 * s("the", "quick") + s("quick", "brown") + s("brown", "fox")
+          + s("fox", "the")) // 5
+    d2 = (2 * s("quick", "the") + s("the", "fox") + s("fox", "brown")
+          + s("brown", "quick")) // 5
+    assert scored[1] == (5, d1)
+    assert scored[2] == (5, d2)
+    assert d1 > d2  # scrambled word order scores strictly lower
+    assert scored[3] == (0, 0)
+    assert scored[4] == (0, 0)
+    assert scored[5] == (5, (3 * s("the", "quick") + 2 * s("quick", "the")) // 5)
+
+
+def test_bigram_vocab_cutoff_and_buckets(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),     # (a,b) x3, (b,a) x2
+            (2, "c d c d"),         # (c,d) x2, (d,c) x1
+            (3, "x y"),             # (x,y) x1
+        ],
+        "doc_id long, text string",
+    )
+    v = LM.bigram_vocab_scores(docs, vocab_size=2).collect()
+    # cnt2: (a,b)=3 first; the 2-2 tie between (b,a) and (c,d) breaks
+    # on t1 asc -> (b,a) takes the second slot
+    assert {(r["t1"], r["t2"]) for r in v} == {("a", "b"), ("b", "a")}
+    out = {
+        r["doc_id"]: (r["bucket"], r["bucket_label"])
+        for r in LM.quality_buckets_bigram(docs, k=3, vocab_size=2).collect()
+    }
+    # doc 1 scores on both kept bigrams, docs 2/3 are fully OOV (0)
+    assert out[1] == (1, "head")
+    assert out[2] == (2, "middle") and out[3] == (3, "tail")

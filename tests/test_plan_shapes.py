@@ -204,3 +204,14 @@ def test_langid_single_dispatch_no_union(spark):
     assert "Union" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_bigram_lm_broadcasts_vocab_no_cartesian(spark):
+    from thecrowler_spark.operators.lm import doc_bigram_scores
+
+    plan = _plan(doc_bigram_scores(_docs(spark), vocab_size=300))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the exploded bigram occurrence stream must meet the vocabulary
+    # through a broadcast, never a shuffle on the hot (t1, t2) key
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
