@@ -16,6 +16,8 @@ prep chain, each stage an operator from this repo, all JVM-side:
        + optional --span-w: exact-substring span dedup (Lee et al. 2021)
     4. quality filter     (Gopher-style integer-exact verdicts)
        + optional --model-weights: hashed linear classifier filter
+       + optional --lm-drop-tail: CCNet-style LM bucketing (unigram or
+         conditional-bigram via --lm-ngram) drops the tail bucket
     5. decontamination    (cross-corpus shingle join vs a benchmark set)
        + optional --dsir-target/--dsir-k: DSIR importance resampling —
          hashed n-gram log-ratio selection toward a target domain
@@ -108,6 +110,18 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                         "(docs in/kept, kept tokens, keep share; classifier "
                         "margin sums when --model-weights ran); requires a "
                         "'source' input column")
+    p.add_argument("--lm-drop-tail", action="store_true",
+                   help="CCNet-style LM quality bucketing after the quality "
+                        "filter: rank survivors by integer LM familiarity, "
+                        "ntile into --lm-k buckets, drop the tail bucket "
+                        "(audited as 'lm_tail')")
+    p.add_argument("--lm-k", type=int, default=3,
+                   help="bucket count for --lm-drop-tail (3 = head/middle/tail)")
+    p.add_argument("--lm-ngram", type=int, choices=(1, 2), default=1,
+                   help="LM order for --lm-drop-tail: 1 = unigram familiarity, "
+                        "2 = conditional-bigram (word order matters)")
+    p.add_argument("--lm-vocab", type=int, default=50_000,
+                   help="top-K LM vocabulary size (broadcast)")
     p.add_argument("--embeddings", default=None,
                    help="embeddings parquet (doc_id|vec_id, embedding:array<float>) "
                         "— enables --semdedup")
@@ -411,6 +425,30 @@ def run_pipeline(spark, args, docs_df=None) -> dict:
             )
         retire(prev)
         retire(scored)
+        quality_cache = survivors
+
+    # 4c. LM quality bucketing (optional, --lm-drop-tail): CCNet-style
+    #     head/middle/tail over the post-filter survivors — integer
+    #     familiarity scores (unigram, or conditional-bigram with
+    #     --lm-ngram 2), two-phase distributed ntile, tail bucket
+    #     dropped audited. Runs AFTER the rule/model filters so the
+    #     vocabulary fits on the retained distribution, as CCNet does.
+    if getattr(args, "lm_drop_tail", False):
+        from thecrowler_spark.operators import lm as LM
+
+        bucket_fn = (
+            LM.quality_buckets_bigram if args.lm_ngram == 2 else LM.quality_buckets
+        )
+        buckets = stage(bucket_fn(
+            survivors, k=args.lm_k, vocab_size=args.lm_vocab
+        ))
+        tail_ids = buckets.filter(F.col("bucket") == args.lm_k).select("doc_id")
+        drop(tail_ids, "lm_tail")
+        prev = survivors
+        survivors = stage(survivors.join(tail_ids, "doc_id", "left_anti"))
+        manifest["stages"]["lm_filter"] = survivors.count()
+        retire(prev)
+        retire(buckets)
         quality_cache = survivors
 
     # 5. decontamination (optional)

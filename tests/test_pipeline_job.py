@@ -356,3 +356,36 @@ def test_pipeline_semdedup_and_dsir_stages(spark, tmp_path):
     kept = {r["doc_id"] for r in
             spark.read.parquet(out + "/documents").select("doc_id").collect()}
     assert kept == {2}
+
+
+def test_pipeline_lm_tail_drop_stage(spark, tmp_path):
+    """--lm-drop-tail buckets the quality survivors by unigram LM
+    familiarity and drops exactly the tail bucket — the all-unique
+    gibberish doc whose every token is corpus-rare."""
+    shared = ("the quick brown fox jumps over the lazy dog near the old "
+              "stone bridge while morning light falls on the quiet river")
+    rows = [
+        (1, shared + " and a gentle wind moves through the tall green reeds "
+            "as fishermen cast their long thin lines into the cold water"),
+        (2, "morning light falls on the quiet river while the lazy dog "
+            "jumps over the old stone bridge near the quick brown fox and "
+            "the tall green reeds bend in the gentle cold wind again"),
+        (3, "zyx wvu tsr qpo nml kji hgf edc baz yxw vut srq pon mlk jih "
+            "gfe dcb azy xwv uts rqp onm lkj ihg fed cba zyw xvt usq rpn"),
+    ]
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(inp)
+
+    m = run_pipeline(spark, parse_args(
+        ["--input", inp, "--output", out, "--lm-drop-tail", "--lm-k", "3",
+         "--budget", "64", "--buckets", "2"]
+    ))
+    assert m["stages"]["quality"] == 3
+    assert m["stages"]["lm_filter"] == 2   # gibberish doc 3 gone
+
+    dropped = {(r["doc_id"], r["reason"]) for r in
+               spark.read.parquet(out + "/dropped").collect()}
+    assert (3, "lm_tail") in dropped
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(out + "/documents").select("doc_id").collect()}
+    assert kept == {1, 2}

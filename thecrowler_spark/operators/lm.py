@@ -32,6 +32,14 @@ closer to CCNet's actual KenLM: doc score = mean integer conditional
 frequency P(t2 | t1) over adjacent token pairs, so frequent words in
 improbable ORDER score low where the unigram proxy cannot tell. Same
 broadcast-vocab / two-phase-ntile scale shape.
+
+The vocabulary cutoff is LOAD-BEARING for the bigram score, not just a
+memory bound: a conditional-only score rewards rare-but-deterministic
+pairs (a once-seen head with a once-seen continuation has P = 1.0, the
+maximum — unique gibberish would outscore fluent prose). The top-K-by-
+count cutoff sends those rare pairs out of vocabulary (score 0),
+restoring the KenLM-like behavior; vocab_size=None is therefore only
+sensible for the unigram variant.
 """
 
 from __future__ import annotations
