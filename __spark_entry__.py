@@ -2888,14 +2888,16 @@ def _mm_decode_real_oracle_sql() -> str:
 
     from thecrowler_spark.functions import codecs as C
 
-    img_mt = {"ppm": "image/x-portable-pixmap", "bmp": "image/bmp", "png": "image/png"}
     rows = []
     for v, (fmt, params) in enumerate(MM.REAL_VARIANTS):
         nb = len(MM.variant_payload(v))
-        if fmt in img_mt:
+        if fmt != "wav":
             w, h = params
             sha = hashlib.sha256(C.pixel_pattern(w, h, v).tobytes()).hexdigest()
-            rows.append(f"({v}, '{img_mt[fmt]}', {nb}, {w}, {h}, 3, NULL, NULL, '{sha}')")
+            # media type from the SAME map the engine's media_type_expr
+            # compiles, so the oracle cannot drift from the CASE chain
+            rows.append(f"({v}, '{MM.EXT_TYPE_MAP[fmt]}', {nb}, {w}, {h}, 3,"
+                        f" NULL, NULL, '{sha}')")
         else:
             ns, rate = params
             sha = hashlib.sha256(C.sample_pattern(ns, v).tobytes()).hexdigest()
@@ -2926,13 +2928,12 @@ def _mm_resize_real_oracle_sql(tw: int = 16, th: int = 12) -> str:
 
     from thecrowler_spark.functions import codecs as C
 
-    img_mt = {"ppm": "image/x-portable-pixmap", "bmp": "image/bmp", "png": "image/png"}
     n_img = MM.N_IMG_VARIANTS
     rows = []
     for v, (fmt, (w, h)) in enumerate(MM.REAL_VARIANTS[:n_img]):
         out = C.resize_nearest(C.pixel_pattern(w, h, v), tw, th)
         sha = hashlib.sha256(out.tobytes()).hexdigest()
-        rows.append(f"({v}, '{img_mt[fmt]}', {w}, {h}, '{sha}')")
+        rows.append(f"({v}, '{MM.EXT_TYPE_MAP[fmt]}', {w}, {h}, '{sha}')")
     exts = ", ".join(f"'{fmt}'" for fmt, _ in MM.REAL_VARIANTS[:n_img])
     return f"""
         WITH exp(variant, media_type, width, height, resized_sha256) AS

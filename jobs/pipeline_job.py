@@ -153,6 +153,8 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         p.error("--semdedup requires --embeddings")
     if bool(args.dsir_target) != (args.dsir_k > 0):
         p.error("--dsir-target and --dsir-k must be given together")
+    if args.lm_drop_tail and args.lm_k < 2:
+        p.error("--lm-k must be >= 2 (k=1 would drop the whole corpus)")
     return args
 
 

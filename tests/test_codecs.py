@@ -135,6 +135,15 @@ def test_png_rejects_corruption_truncation_and_unsupported():
     # not a PNG at all
     with pytest.raises(ValueError):
         C.decode_png(b"BM this is a bmp")
+    # CRC-valid chunk but malformed DEFLATE payload -> ValueError, not
+    # a leaked zlib.error (the documented rejection contract)
+    body = b"not deflate at all"
+    idat = (struct.pack(">I", len(body)) + b"IDAT" + body
+            + struct.pack(">I", zlib.crc32(b"IDAT" + body) & 0xFFFFFFFF))
+    sig_ihdr = good[: 8 + 12 + 13]
+    iend = good[-12:]
+    with pytest.raises(ValueError, match="deflate"):
+        C.decode_png(sig_ihdr + idat + iend)
     # unsupported: RGBA color type (rebuild IHDR with valid CRC)
     ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 6, 0, 0, 0)
     chunk = (struct.pack(">I", 13) + b"IHDR" + ihdr

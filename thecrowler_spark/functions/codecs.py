@@ -257,7 +257,10 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + clen
     if w is None or not idat or not seen_end:
         raise ValueError("missing IHDR/IDAT/IEND")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # CRC-valid chunk, malformed DEFLATE payload
+        raise ValueError(f"bad IDAT deflate stream: {e}") from e
     stride = w * _PNG_BPP
     if len(raw) != h * (1 + stride):
         raise ValueError("raster size mismatch")

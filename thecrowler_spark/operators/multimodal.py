@@ -22,6 +22,7 @@ the plumbing-only queries.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from functools import lru_cache
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -107,13 +108,24 @@ REAL_VARIANTS: "list[tuple[str, tuple[int, ...]]]" = [
 #: count of image variants (the contiguous non-wav prefix) — the
 #: resize query/oracle slice both derive from this, never a literal
 N_IMG_VARIANTS = sum(1 for fmt, _ in REAL_VARIANTS if fmt != "wav")
+# the prefix-slice convention every consumer relies on: images first,
+# wav last. A new image variant appended after the wav block would
+# silently put a wav inside the resize slice — fail loudly instead.
+assert all(fmt != "wav" for fmt, _ in REAL_VARIANTS[:N_IMG_VARIANTS]), (
+    "REAL_VARIANTS image variants must form a contiguous prefix"
+)
 
 #: multi-image PPM stream variants for frame sampling: (w, h, frames)
 FRAME_VARIANTS: "list[tuple[int, int, int]]" = [(4, 3, 2), (5, 4, 3), (8, 2, 4)]
 
 
+@lru_cache(maxsize=None)
 def variant_payload(variant: int) -> bytes:
-    """Encoded fixture bytes for a REAL_VARIANTS index (seed = index)."""
+    """Encoded fixture bytes for a REAL_VARIANTS index (seed = index).
+    Cached: the fixture set is 16 small immutable byte strings, and
+    the per-row pandas map would otherwise re-encode (PNG's Paeth rows
+    + deflate are the expensive part) once per ref instead of once per
+    variant."""
     from thecrowler_spark.functions import codecs as C
 
     fmt, params = REAL_VARIANTS[variant]
@@ -145,9 +157,11 @@ def attach_real_payloads(refs: DataFrame, variant_col: str = "variant") -> DataF
     )
 
 
+@lru_cache(maxsize=None)
 def frame_variant_payload(variant: int) -> bytes:
     """Multi-image P6 stream for a FRAME_VARIANTS index (seed =
-    100 + variant; frame f uses seed + f)."""
+    100 + variant; frame f uses seed + f). Cached like
+    :func:`variant_payload`."""
     from thecrowler_spark.functions import codecs as C
 
     w, h, n = FRAME_VARIANTS[variant]
