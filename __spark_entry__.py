@@ -64,6 +64,42 @@ SELECT o_orderkey AS id,
 FROM orders
 """
 
+# URL universe for the quality filter: planted spam hosts (every 17th
+# order lands on a spamN host; even N are on the blocklist) and planted
+# spam path words cycling through clean / soft-scored / strict-fragment
+# branches. Identical semantics both sides.
+_FILTER_URL_PATHS = """
+       CASE {k} % 11
+         WHEN 0 THEN 'free-download/win-prizes'
+         WHEN 1 THEN 'poker/bet-now'
+         WHEN 2 THEN 'adult-dating/pills'
+         WHEN 3 THEN 'casino-royale/lobby'
+         WHEN 4 THEN 'news/tech-article'
+         WHEN 5 THEN 'blog/entry'
+         WHEN 6 THEN 'free/ebook'
+         WHEN 7 THEN 'xxx-gallery'
+         ELSE concat('page/', CAST({k} AS {str_t}))
+       END
+"""
+
+_SPARK_FILTER_URLS = f"""
+SELECT o_orderkey AS id,
+       concat('https://',
+              CASE WHEN o_orderkey % 17 = 0 THEN 'spam' ELSE 'site' END,
+              CAST(o_orderkey % 40 AS STRING), '.example.com/',
+              {_FILTER_URL_PATHS.format(k="o_orderkey", str_t="STRING")}) AS url
+FROM orders
+"""
+
+_DUCK_FILTER_URLS = f"""
+SELECT o_orderkey AS id,
+       concat('https://',
+              CASE WHEN o_orderkey % 17 = 0 THEN 'spam' ELSE 'site' END,
+              CAST(o_orderkey % 40 AS VARCHAR), '.example.com/',
+              {_FILTER_URL_PATHS.format(k="o_orderkey", str_t="VARCHAR")}) AS url
+FROM orders
+"""
+
 _VALIDITY_CASES = [
     "https://example.com/a",
     "  http://example.com/b  ",
@@ -1612,6 +1648,50 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = DD.minhash_lsh_candidates(docs, text_col="text", id_col="doc_id", n_hashes=8, bands=4, k=3)
     return DD.connected_components(pairs)
+
+
+def q_dedup_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup keep-policy: per duplicate cluster (the same
+    MinHash-LSH components as dedup_components), keep the
+    HIGHEST-QUALITY member — quality = n_chars, ties to lowest id —
+    the RefinedWeb/FineWeb "keep the best copy" rule rather than
+    min-id.  One doc-key equi-join + one component-key groupBy with an
+    argmax encoded as max(struct(quality, -id)): partial-agg friendly,
+    no window, no sort."""
+    docs = (
+        _load(spark, sf_dir, "documents")["documents"]
+        .filter(F.col("doc_id") < 300)
+        .filter(F.size(TX.tokens(F.col("text"))) >= 3)
+    )
+    pairs = DD.minhash_lsh_candidates(docs, text_col="text", id_col="doc_id", n_hashes=8, bands=4, k=3)
+    comps = DD.connected_components(pairs)
+    return DD.select_representatives(comps, docs, quality_col="n_chars", id_col="doc_id")
+
+
+def q_url_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level corpus filtering (RefinedWeb §G.1 / UT1 blocklist
+    shape): broadcast hostname blocklist + JVM weighted word score +
+    strict substring fragments over a deterministic synthetic URL
+    universe with planted spam hosts and spam path words.  The
+    blocklist join is broadcast; scoring is split/transform/aggregate
+    — zero Python, zero shuffle of the URL stream."""
+    from thecrowler_spark.operators import urlfilter as UF
+
+    _load(spark, sf_dir, "orders")
+    df = spark.sql(_SPARK_FILTER_URLS)
+    blocklist = spark.range(0, 40, 2).select(
+        F.concat(F.lit("spam"), F.col("id").cast("string"), F.lit(".example.com")).alias("host")
+    )
+    out = UF.url_quality_filter(df, blocklist)
+    return out.select(
+        "id",
+        "url",
+        "host",
+        "blocked_domain",
+        F.round("word_score", 2).alias("word_score"),
+        "frag_hit",
+        "kept",
+    )
 
 
 def q_text_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3753,15 +3833,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     item 2). Policy: (a) never-driver-graded queries first, (b) queries
     whose implementation or oracle changed this round, (c) queries with
     the OLDEST last driver green, deferring multi-green stalwarts when
-    the registry (109) exceeds two windows. Goal: every oracled query's
+    the registry (111) exceeds two windows. Goal: every oracled query's
     last driver-green row is as recent as 50-slot rotation allows
     (r5: the late-round never-graded queries — scraping engine,
     semantic dedup, bigram LM — take the head per rule (a), deferring
-    12 r3-green stalwarts past the window; all 109 remain green in
+    14 r3-green stalwarts past the window; all 111 remain green in
     scripts/oracle_gate.py full-registry runs regardless of the driver
     window)."""
     return {
         # --- r5 window: new this round, never driver-graded ----------
+        "dedup_representative": q_dedup_representative,
+        "url_quality_filter": q_url_quality_filter,
         "lm_buckets_bigram": q_lm_buckets_bigram,
         "scraped_fields": q_scraped_fields,
         "scraped_json": q_scraped_json,
@@ -3814,13 +3896,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_fuzzing": q_url_fuzzing,
         "normalizers": q_normalizers,
         "search_fts_rank": q_search_fts_rank,
+        # ---------------- slot 51+: outside the 50-slot driver window.
+        # email_frontier / pricing_summary (r3 multi-greens) and
+        # streaming_window_counts slipped out when the never-graded
+        # head slots grew (dedup_representative, url_quality_filter,
+        # lm_buckets_bigram per rule (a)).
         "email_frontier": q_email_frontier,
         "pricing_summary": q_pricing_summary,
-        # ---------------- slot 51+: outside the 50-slot driver window.
-        # streaming_window_counts (r3 green) slipped out when
-        # lm_buckets_bigram took a never-graded head slot.
         "streaming_window_counts": q_streaming_window_counts,
-        # First the r3-green rotate-ins that did not fit (109 queries
+        # First the r3-green rotate-ins that did not fit (111 queries
         # / 50 slots), then the r3 multi-green stalwarts (>=2 greens;
         # decontaminate displaced by dsir_select); all remain covered
         # by scripts/oracle_gate.py full-registry runs ----------------
@@ -5958,6 +6042,58 @@ def oracle_sql() -> dict[str, str]:
     # same ground truth, different distributed algorithm on the Spark
     # side (alternating large-star/small-star vs min-label propagation)
     out["dedup_components_star"] = out["dedup_components"]
+
+    # keep-policy over the SAME components: extend the min-label
+    # closure with a quality argmax (n_chars DESC, doc_id ASC) per
+    # component — SQL window vs the Spark side's max(struct) partial agg
+    _comp_tail = "SELECT id, min(comp) AS component FROM walk GROUP BY id"
+    assert _comp_tail in out["dedup_components"]
+    out["dedup_representative"] = out["dedup_components"].replace(
+        _comp_tail,
+        f""", comp AS ({_comp_tail}),
+            ranked AS (
+              SELECT c.component, d.doc_id,
+                     CAST(d.n_chars AS BIGINT) AS q,
+                     count(*) OVER (PARTITION BY c.component) AS n_members,
+                     row_number() OVER (PARTITION BY c.component
+                                        ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+              FROM comp c JOIN documents d ON d.doc_id = c.id
+            )
+            SELECT component, doc_id AS kept_id, n_members, q AS kept_quality
+            FROM ranked WHERE rn = 1""",
+    )
+
+    # URL quality filter: oracle generated from the SAME weight map /
+    # fragment tuple / blocklist spec as the engine (urlfilter.py)
+    from thecrowler_spark.operators import urlfilter as _UF
+
+    _uf_case = " ".join(
+        f"WHEN '{w}' THEN {wt}" for w, wt in _UF.URL_WORD_WEIGHTS.items()
+    )
+    _uf_frags = " OR ".join(
+        f"contains(lower(url), '{frag}')" for frag in _UF.URL_BLOCK_FRAGMENTS
+    )
+    _uf_blocklist = ", ".join(f"'spam{n}.example.com'" for n in range(0, 40, 2))
+    out["url_quality_filter"] = f"""
+        WITH urls AS ({_DUCK_FILTER_URLS}),
+        scored AS (
+          SELECT id, url,
+                 regexp_extract(url, '^(?:[^/]*://)?(?:[^/@]*@)?([^/:?#]*)', 1) AS host,
+                 round(CAST(coalesce(list_sum(list_transform(
+                     list_filter(regexp_split_to_array(lower(url), '[^a-z0-9]+'),
+                                 w -> w <> ''),
+                     w -> CASE w {_uf_case} ELSE 0.0 END)), 0.0) AS DOUBLE), 2)
+                   AS word_score,
+                 ({_uf_frags}) AS frag_hit
+          FROM urls
+        )
+        SELECT id, url, host,
+               host IN ({_uf_blocklist}) AS blocked_domain,
+               word_score, frag_hit,
+               (NOT host IN ({_uf_blocklist})) AND (NOT frag_hit)
+                 AND word_score < {_UF.DEFAULT_THRESHOLD} AS kept
+        FROM scored
+    """
     return out
 
 

@@ -215,3 +215,46 @@ def test_bigram_lm_broadcasts_vocab_no_cartesian(spark):
     # the exploded bigram occurrence stream must meet the vocabulary
     # through a broadcast, never a shuffle on the hot (t1, t2) key
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_url_filter_broadcasts_blocklist_no_url_shuffle(spark):
+    """The blocklist must come to the URL stream as a broadcast; the
+    URL stream itself must not exchange at all (scoring is pure
+    codegen expressions)."""
+    from thecrowler_spark.operators.urlfilter import url_quality_filter
+
+    urls = spark.range(1000).select(
+        F.col("id"),
+        F.concat(
+            F.lit("https://h"), (F.col("id") % 50).cast("string"),
+            F.lit(".example.com/p/"), F.col("id").cast("string"),
+        ).alias("url"),
+    )
+    blocklist = spark.range(0, 50, 2).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".example.com")).alias("host")
+    )
+    plan = _plan(url_quality_filter(urls, blocklist))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the only exchange permitted is the blocklist's BroadcastExchange
+    # (+ its tiny distinct): no shuffle exchange of the URL stream
+    import re
+
+    assert not re.search(r"Exchange hashpartitioning\([a-z_]*url", plan)
+
+
+def test_select_representatives_no_window_partial_agg(spark):
+    """The per-cluster argmax must be a partial-aggregable max(struct),
+    never a row_number window (a hot component would serialize onto
+    one task)."""
+    from thecrowler_spark.operators.dedup import select_representatives
+
+    comps = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("component")
+    )
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 13 % 997).alias("n_chars")
+    )
+    plan = _plan(select_representatives(comps, docs))
+    assert "Window" not in plan
+    assert "partial_max" in plan or "HashAggregate" in plan

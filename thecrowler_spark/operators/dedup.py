@@ -630,6 +630,53 @@ def connected_components_star(
     )
 
 
+def select_representatives(
+    components: DataFrame,
+    docs: DataFrame,
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-cluster keep-policy: the canonical copy of each duplicate
+    group is its HIGHEST-QUALITY member, not its minimum id.
+
+    Production near-dup pipelines (RefinedWeb, FineWeb, CCNet) keep the
+    best copy of each MinHash cluster — longest / highest-scoring —
+    because mirrors and boilerplate-wrapped variants differ in quality
+    even when their shingle sets collide.  ``connected_components``
+    produces the groups; this picks the winner.
+
+    - one equi-join on the doc key (components ⋈ docs) to attach the
+      quality column;
+    - one groupBy(component) with an argmax encoded as
+      ``max(struct(quality, -id))`` — a single shuffle on the component
+      key with map-side partial aggregation, no window, no sort.  Ties
+      break to the LOWEST doc id (deterministic).
+
+    Returns (component, kept_id, n_members, kept_quality).
+    """
+    joined = components.join(
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.col(quality_col).cast("long").alias("__q"),
+        ),
+        "id",
+    )
+    best = F.max(F.struct(F.col("__q"), (-F.col("id")).alias("__negid")))
+    return (
+        joined.groupBy("component")
+        .agg(
+            best.alias("best"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            "component",
+            (-F.col("best.__negid")).alias("kept_id"),
+            "n_members",
+            F.col("best.__q").alias("kept_quality"),
+        )
+    )
+
+
 # ------------------------------------------------- line-level (CCNet)
 
 
