@@ -5,10 +5,16 @@ The crawl job (jobs/crawl_job.py) produces pages; this job turns a
 document corpus into training-ready shards — the standard pretraining
 prep chain, each stage an operator from this repo, all JVM-side:
 
+    0. URL filter         (optional --url-blocklist: broadcast
+                           exact-hostname blocklist + weighted word
+                           score + strict fragments, operators/urlfilter
+                           — the cheapest gate runs before any text key)
     1. exact dedup        (sha256 canonical groups, dedup.exact_dedup)
     2. fuzzy dedup        (MinHash-LSH candidates → exact-Jaccard
                            verification at --minhash-threshold →
-                           connected components → keep min-id per group)
+                           connected components → keep min-id per group,
+                           or keep the highest-quality member with
+                           --keep-policy best)
        + optional --semdedup EPS (--embeddings): SemDeDup semantic
          dedup — within-Voronoi-cell cosine drop test, one cell-keyed
          equi-join (Abbas et al. 2023)
@@ -68,6 +74,20 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--benchmark", default=None,
                    help="optional benchmark parquet (doc_id, text) for decontamination")
     p.add_argument("--output", required=True)
+    p.add_argument("--url-blocklist", default=None,
+                   help="parquet with a 'host' column: enables the URL "
+                        "quality-filter stage 0 (requires a 'url' input "
+                        "column) — broadcast exact-hostname blocklist + "
+                        "weighted word score + strict fragments "
+                        "(operators/urlfilter); drops audited as url_filter")
+    p.add_argument("--url-threshold", type=float, default=None,
+                   help="URL word-score drop threshold "
+                        "(default: the operator's DEFAULT_THRESHOLD)")
+    p.add_argument("--keep-policy", choices=("min-id", "best"), default="min-id",
+                   help="fuzzy-dedup cluster winner: component min doc_id "
+                        "(default) or the highest-quality member (text "
+                        "length, ties to lowest id) via "
+                        "dedup.select_representatives")
     p.add_argument("--minhash-threshold", type=float, default=0.5,
                    help="fuzzy-dup Jaccard threshold (LSH candidates verified)")
     p.add_argument("--line-max-count", type=int, default=4,
@@ -220,6 +240,31 @@ def run_pipeline(spark, args, docs_df=None) -> dict:
         # starves the execution-memory pool under 32 concurrent tasks)
         df.unpersist()
 
+    # 0. URL quality filter (optional, --url-blocklist): the cheapest
+    #    gate runs first, before any text-derived key is computed —
+    #    blocked/spam-scored URLs never pay for hashing or shingling.
+    #    Broadcast blocklist + JVM scoring: no shuffle of the doc stream.
+    if getattr(args, "url_blocklist", None):
+        if "url" not in src.columns:
+            raise ValueError("--url-blocklist requires a 'url' input column")
+        from thecrowler_spark.operators.urlfilter import (
+            DEFAULT_THRESHOLD,
+            url_quality_filter,
+        )
+
+        thr = args.url_threshold if args.url_threshold is not None else DEFAULT_THRESHOLD
+        verdicts0 = url_quality_filter(
+            src.select("doc_id", "url"),
+            spark.read.parquet(args.url_blocklist),
+            threshold=thr,
+        )
+        url_losers = verdicts0.filter(~F.col("kept")).select("doc_id")
+        drop(url_losers, "url_filter")
+        pre = docs
+        docs = stage(docs.join(url_losers, "doc_id", "left_anti"))
+        manifest["stages"]["url_filter"] = docs.count()
+        retire(pre)
+
     # incremental state (--state): prior-batch knowledge arrives as
     # LakeTable snapshots. Commit order at the end is hashes → sigs →
     # line counts; hash/sig replays are idempotent (distinct unions),
@@ -289,9 +334,23 @@ def run_pipeline(spark, args, docs_df=None) -> dict:
     comp = DD.connected_components(pairs)
     # cache the (tiny, id-only) loser set: it is read twice (anti-join +
     # dropped/ audit) and recomputing it replays the whole LSH chain
-    fuzzy_losers = stage(comp.filter(F.col("id") != F.col("component")).select(
-        F.col("id").alias("doc_id")
-    ))
+    if args.keep_policy == "best":
+        # RefinedWeb-style keep-best-copy: the cluster winner is its
+        # highest-quality member (text length, ties to lowest id) —
+        # one partial-agg argmax, no window (dedup.select_representatives)
+        reps = DD.select_representatives(
+            comp,
+            survivors.select("doc_id", F.length("text").alias("n_chars")),
+            quality_col="n_chars",
+            id_col="doc_id",
+        ).select(F.col("kept_id").alias("doc_id"))
+        fuzzy_losers = stage(
+            comp.select(F.col("id").alias("doc_id")).join(reps, "doc_id", "left_anti")
+        )
+    else:
+        fuzzy_losers = stage(comp.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias("doc_id")
+        ))
     exact_survivors = survivors
     survivors = stage(survivors.join(fuzzy_losers, "doc_id", "left_anti"))
     drop(fuzzy_losers, "fuzzy_dup")

@@ -389,3 +389,79 @@ def test_pipeline_lm_tail_drop_stage(spark, tmp_path):
     kept = {r["doc_id"] for r in
             spark.read.parquet(out + "/documents").select("doc_id").collect()}
     assert kept == {1, 2}
+
+
+def test_pipeline_url_filter_stage(spark, tmp_path):
+    """--url-blocklist drops blocked-host / spam-scored / fragment URLs
+    before any text stage, audited as url_filter."""
+    docs_path = str(tmp_path / "docs_u.parquet")
+    bl_path = str(tmp_path / "bl.parquet")
+    out = str(tmp_path / "out_u")
+    base = _corpus(spark).collect()
+    urls = {
+        1: "https://good.example.com/article/one",
+        2: "https://blocked.example.com/fine/path",      # blocklist drop
+        3: "https://good.example.com/poker/bet-now",     # word score 3.5
+        10: "https://good.example.com/casino/lobby",     # strict fragment
+        11: "https://good.example.com/article/two",
+        12: "https://good.example.com/article/three",
+        13: "https://good.example.com/article/four",
+        14: "https://good.example.com/article/five",
+    }
+    spark.createDataFrame(
+        [(r["doc_id"], r["text"], urls[r["doc_id"]]) for r in base],
+        "doc_id long, text string, url string",
+    ).write.parquet(docs_path)
+    spark.createDataFrame([("blocked.example.com",)], "host string").write.parquet(bl_path)
+
+    m = run_pipeline(spark, parse_args(
+        ["--input", docs_path, "--output", out, "--url-blocklist", bl_path,
+         "--budget", "64", "--buckets", "4"]
+    ))
+    assert m["stages"]["url_filter"] == 5          # docs 2, 3, 10 gone
+    dropped = {
+        (r["doc_id"], r["reason"])
+        for r in spark.read.parquet(out + "/dropped").collect()
+    }
+    assert {(2, "url_filter"), (3, "url_filter"), (10, "url_filter")} <= dropped
+    # doc 10 (exact dup of 1) left at the URL gate, so no exact_dup drop
+    assert (10, "exact_dup") not in dropped
+    # doc 11 (near-dup of 1) survived the gate and still falls to fuzzy
+    assert (11, "fuzzy_dup") in dropped
+
+
+def test_pipeline_keep_policy_best(spark, tmp_path):
+    """--keep-policy best keeps the LONGEST member of a fuzzy cluster
+    (here the higher doc_id), where the default keeps the min id."""
+    docs_path = str(tmp_path / "docs_kp.parquet")
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest to find some tasty food items "
+        "while the sun slowly sets behind the tall old mountain ridge "
+    )
+    extra = ("bonus trailing context sentence with many additional words "
+             "that makes this copy strictly longer and higher quality")
+    rows = [
+        (1, base + "shared tail words"),
+        (5, base + "shared tail words " + extra),  # near-dup, longer
+        (2, "an entirely separate article describing how rivers carve deep "
+            "canyons through layered sandstone over many thousand years "
+            "carrying sediment downstream toward the wide distant delta"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(docs_path)
+
+    out_min = str(tmp_path / "out_min")
+    m_min = run_pipeline(spark, parse_args(
+        ["--input", docs_path, "--output", out_min, "--minhash-threshold", "0.3",
+         "--budget", "64", "--buckets", "4"]
+    ))
+    out_best = str(tmp_path / "out_best")
+    m_best = run_pipeline(spark, parse_args(
+        ["--input", docs_path, "--output", out_best, "--minhash-threshold", "0.3",
+         "--keep-policy", "best", "--budget", "64", "--buckets", "4"]
+    ))
+    assert m_min["stages"]["fuzzy_dedup"] == m_best["stages"]["fuzzy_dedup"] == 2
+    kept_min = {r["doc_id"] for r in spark.read.parquet(out_min + "/documents").collect()}
+    kept_best = {r["doc_id"] for r in spark.read.parquet(out_best + "/documents").collect()}
+    assert 1 in kept_min and 5 not in kept_min
+    assert 5 in kept_best and 1 not in kept_best
