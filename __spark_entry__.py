@@ -3263,6 +3263,96 @@ def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_counts(ev)
 
 
+#: Synthetic fetch-snapshot history from orders: 400 sources, per-source
+#: observation spacing 1-5 h (source%5) and content period 1-7 obs
+#: (source%7), sources ===3 (mod 50) retain a single snapshot (the
+#: n_pairs=0 explore branch). Identical SQL semantics both sides.
+_SPARK_SNAPSHOTS = """
+SELECT concat('src-', CAST(o_orderkey % 400 AS STRING)) AS source_id,
+       timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0,
+           (o_orderkey DIV 400) * 3600 * (1 + (o_orderkey % 400) % 5)) AS ts,
+       concat('h', CAST(((o_orderkey DIV 400) DIV (1 + (o_orderkey % 400) % 7)) % 1000
+                        AS STRING)) AS content_hash
+FROM orders
+WHERE (o_orderkey % 400) % 50 <> 3 OR o_orderkey < 400
+"""
+
+_DUCK_SNAPSHOTS = """
+SELECT concat('src-', CAST(o_orderkey % 400 AS VARCHAR)) AS source_id,
+       TIMESTAMP '2024-01-01 00:00:00'
+           + (o_orderkey // 400) * 3600 * (1 + (o_orderkey % 400) % 5)
+             * INTERVAL 1 SECOND AS ts,
+       concat('h', CAST(((o_orderkey // 400) // (1 + (o_orderkey % 400) % 7)) % 1000
+                        AS VARCHAR)) AS content_hash
+FROM orders
+WHERE (o_orderkey % 400) % 50 <> 3 OR o_orderkey < 400
+"""
+
+
+def q_revisit_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive re-crawl schedule (Cho & Garcia-Molina change-rate
+    estimation) over the synthetic fetch-snapshot history — the
+    adaptive extension of update_sources' fixed regular_crawling
+    interval (pgsql:2826-2898). Integer micro-rate + DIV arithmetic
+    after one shared-libm ln (the DSIR determinism rule)."""
+    from thecrowler_spark.operators.revisit import revisit_schedule
+
+    _load(spark, sf_dir, "orders")
+    snaps = spark.sql(_SPARK_SNAPSHOTS)
+    return revisit_schedule(snaps, min_interval_s=900, max_interval_s=604800)
+
+
+def _revisit_schedule_oracle_sql() -> str:
+    return f"""
+    WITH snap AS ({_DUCK_SNAPSHOTS}),
+    lagd AS (
+      SELECT source_id,
+             epoch_us(ts) // 1000000 AS tse,
+             content_hash,
+             lag(content_hash) OVER (
+               PARTITION BY source_id ORDER BY ts, content_hash) AS prev
+      FROM snap
+    ),
+    agg AS (
+      SELECT source_id,
+             count(*) AS n_obs,
+             sum(CASE WHEN prev IS NOT NULL AND prev <> content_hash
+                      THEN 1 ELSE 0 END) AS n_changes,
+             min(tse) AS first_s,
+             max(tse) AS last_s
+      FROM lagd GROUP BY source_id
+    ),
+    est AS (
+      SELECT source_id, n_obs, n_changes, last_s,
+             CASE WHEN n_obs > 1
+                  THEN (last_s - first_s) // (n_obs - 1) END AS avg_interval_s,
+             CASE WHEN n_obs > 1 THEN CAST(floor(
+                    -ln(CAST(2 * (n_obs - 1 - n_changes) + 1 AS DOUBLE)
+                        / CAST(2 * (n_obs - 1) + 1 AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT)
+                  ELSE 0 END AS rate_micro
+      FROM agg
+    ),
+    sched AS (
+      SELECT *,
+             CASE WHEN n_obs <= 1 THEN 900
+                  WHEN rate_micro <= 0 THEN 604800
+                  ELSE least(greatest((avg_interval_s * 1000000) // rate_micro,
+                                      900), 604800)
+             END AS next_interval_s
+      FROM est
+    )
+    SELECT source_id,
+           CAST(n_obs AS BIGINT) AS n_obs,
+           CAST(n_changes AS BIGINT) AS n_changes,
+           CAST(avg_interval_s AS BIGINT) AS avg_interval_s,
+           rate_micro,
+           CAST(next_interval_s AS BIGINT) AS next_interval_s,
+           CAST(last_s + next_interval_s AS BIGINT) AS next_crawl_epoch_s
+    FROM sched
+    """
+
+
 def q_crawl_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end crawl on the synthetic closed-world corpus — the
     engine's core query, now with a FULL DuckDB oracle
@@ -3842,6 +3932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window)."""
     return {
         # --- r5 window: new this round, never driver-graded ----------
+        "revisit_schedule": q_revisit_schedule,
         "dedup_representative": q_dedup_representative,
         "url_quality_filter": q_url_quality_filter,
         "lm_buckets_bigram": q_lm_buckets_bigram,
@@ -3895,12 +3986,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "url_fuzzing": q_url_fuzzing,
         "normalizers": q_normalizers,
-        "search_fts_rank": q_search_fts_rank,
         # ---------------- slot 51+: outside the 50-slot driver window.
-        # email_frontier / pricing_summary (r3 multi-greens) and
-        # streaming_window_counts slipped out when the never-graded
-        # head slots grew (dedup_representative, url_quality_filter,
-        # lm_buckets_bigram per rule (a)).
+        # email_frontier / pricing_summary (r3 multi-greens),
+        # streaming_window_counts and search_fts_rank slipped out when
+        # the never-graded head slots grew (revisit_schedule,
+        # dedup_representative, url_quality_filter, lm_buckets_bigram
+        # per rule (a)).
+        "search_fts_rank": q_search_fts_rank,
         "email_frontier": q_email_frontier,
         "pricing_summary": q_pricing_summary,
         "streaming_window_counts": q_streaming_window_counts,
@@ -5894,6 +5986,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "crawl_bfs": _crawl_bfs_oracle_sql(),
         "crawl_bfs_levels": _crawl_bfs_levels_oracle_sql(),
+        "revisit_schedule": _revisit_schedule_oracle_sql(),
         "pipeline_incremental": _pipeline_incremental_oracle_sql(),
         "scraped_fields": _scraped_fields_oracle_sql(),
         "scraped_json": _scraped_json_oracle_sql(),
