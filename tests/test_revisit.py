@@ -63,6 +63,38 @@ def test_validation(spark):
         revisit_schedule(_snaps(spark, []), min_interval_s=100, max_interval_s=50)
 
 
+def test_adaptive_schedule_gates_completed_claims(spark):
+    """claim_sources(schedule=...): a completed source comes back when
+    NOW reaches its adaptive next_crawl_epoch_s — ahead of (or instead
+    of) the fixed regular_crawling interval."""
+    from thecrowler_spark.operators.frontier import claim_sources
+
+    seeds = spark.createDataFrame(
+        [
+            (i, "completed" if i < 3 else "new", datetime(2020, 1, 2, 12, 0),
+             False, "high", datetime(2019, 1, i), f"https://h{i}.example.com")
+            for i in (1, 2, 3)
+        ],
+        "source_id long, status string, last_updated_at timestamp,"
+        " disabled boolean, priority string, created_at timestamp, url string",
+    )
+    now = "2020-01-02 13:00:00"
+    now_epoch = 1577970000  # 2020-01-02T13:00:00Z
+    schedule = spark.createDataFrame(
+        [(1, now_epoch - 10), (2, now_epoch + 10)],
+        "source_id long, next_crawl_epoch_s long",
+    )
+    base = {r["source_id"] for r in claim_sources(seeds, 10, now=now).collect()}
+    assert base == {3}  # no interval gate, no schedule: only the new source
+    got = {
+        r["source_id"]
+        for r in claim_sources(seeds, 10, now=now, schedule=schedule).collect()
+    }
+    assert got == {1, 3}  # 1 adaptively due, 2 not for another 10 s
+    with pytest.raises(ValueError):
+        claim_sources(seeds, 10, schedule=schedule)  # schedule requires now
+
+
 def test_plan_bounded_window_one_groupby(spark):
     """The lag window partitions on source_id (bounded per-source
     history), never an empty spec; aggregation is partial (no second

@@ -178,6 +178,7 @@ def claim_sources(
     regular_crawling: str | None = None,
     last_error: str = "15 minutes",
     processing_timeout: str = "1 day",
+    schedule: DataFrame | None = None,
 ) -> DataFrame:
     """Frontier scan+claim (S1): eligible → FIFO → limit.
 
@@ -203,6 +204,15 @@ def claim_sources(
     ``now=None`` the r1 status-only gate is kept (callers that manage
     eligibility themselves).
 
+    ``schedule`` (optional, requires ``now``): a per-source adaptive
+    re-crawl schedule — (source_id, next_crawl_epoch_s) rows from
+    :func:`..operators.revisit.revisit_schedule`. ``completed`` sources
+    with a schedule row become eligible when ``now`` reaches their
+    adaptive ``next_crawl_epoch_s`` instead of (in addition to) the
+    fixed ``regular_crawling`` interval — churny sources come back
+    sooner, static sources later. One source-key equi-join; both sides
+    are O(#sources), never O(#URLs).
+
     ``FOR UPDATE SKIP LOCKED`` (many engines claiming from one table
     without collisions) becomes deterministic ownership: engine ``e`` of
     ``n_engines`` only sees sources with
@@ -211,6 +221,8 @@ def claim_sources(
     rendering of the reference's ``engine`` column claim,
     pgsql:2888-2895). The proc's UPDATE leg is :func:`mark_processing`.
     """
+    if schedule is not None and now is None:
+        raise ValueError("schedule requires now (the adaptive gate compares epochs)")
     df = seeds.filter(~F.col("disabled"))
     if priorities:
         df = df.filter(
@@ -247,7 +259,25 @@ def claim_sources(
             elig = elig | lu.isNull() | (lu < cutoff(last_ok_update))
         if regular_crawling:
             elig = elig | ((st == "completed") & (lu < cutoff(regular_crawling)))
+        if schedule is not None:
+            from datetime import datetime, timezone
+
+            now_epoch = int(
+                datetime.fromisoformat(now).replace(tzinfo=timezone.utc).timestamp()
+            )
+            sch = schedule.select(
+                F.col("source_id").alias("_sched_sid"),
+                F.col("next_crawl_epoch_s").alias("_sched_due_s"),
+            )
+            df = df.join(sch, df["source_id"] == F.col("_sched_sid"), "left").drop(
+                "_sched_sid"
+            )
+            elig = elig | (
+                (st == "completed") & (F.col("_sched_due_s") <= F.lit(now_epoch))
+            )
         df = df.filter(elig)
+        if schedule is not None:
+            df = df.drop("_sched_due_s")
     if engine_id is not None and n_engines > 1:
         df = df.filter(F.pmod(F.xxhash64(F.col("source_uid")), F.lit(n_engines)) == engine_id)
     return df.orderBy("created_at", "source_id").limit(limit)
