@@ -3353,6 +3353,120 @@ def _revisit_schedule_oracle_sql() -> str:
     """
 
 
+#: Trap-universe URLs: a calendar trap (one template, ~n/4 distinct
+#: URLs), a session-id trap (hex token in the query), and two benign
+#: families (a static page repeated, a 7-post blog per host).
+_SPARK_TRAP_URLS = """
+SELECT o_orderkey AS id,
+ CASE
+  WHEN o_orderkey % 4 = 0 THEN concat('https://cal.example.com/cal/2024/',
+       CAST(o_orderkey % 12 + 1 AS STRING), '/', CAST(o_orderkey % 28 + 1 AS STRING),
+       '?sid=', CAST(o_orderkey AS STRING))
+  WHEN o_orderkey % 4 = 1 THEN concat('https://shop.example.com/item/',
+       CAST(o_orderkey AS STRING), '?session=', md5(CAST(o_orderkey AS STRING)))
+  WHEN o_orderkey % 4 = 2 THEN concat('https://h', CAST(o_orderkey % 40 AS STRING),
+       '.example.com/about')
+  ELSE concat('https://h', CAST(o_orderkey % 40 AS STRING),
+       '.example.com/blog/post-', CAST(o_orderkey % 7 AS STRING))
+ END AS url
+FROM orders
+"""
+
+_DUCK_TRAP_URLS = """
+SELECT o_orderkey AS id,
+ CASE
+  WHEN o_orderkey % 4 = 0 THEN concat('https://cal.example.com/cal/2024/',
+       CAST(o_orderkey % 12 + 1 AS VARCHAR), '/', CAST(o_orderkey % 28 + 1 AS VARCHAR),
+       '?sid=', CAST(o_orderkey AS VARCHAR))
+  WHEN o_orderkey % 4 = 1 THEN concat('https://shop.example.com/item/',
+       CAST(o_orderkey AS VARCHAR), '?session=', md5(CAST(o_orderkey AS VARCHAR)))
+  WHEN o_orderkey % 4 = 2 THEN concat('https://h', CAST(o_orderkey % 40 AS VARCHAR),
+       '.example.com/about')
+  ELSE concat('https://h', CAST(o_orderkey % 40 AS VARCHAR),
+       '.example.com/blog/post-', CAST(o_orderkey % 7 AS VARCHAR))
+ END AS url
+FROM orders
+"""
+
+#: DuckDB twin of operators.traps.url_template (regexes applied with
+#: the 'g' flag; sorted query keys via list_sort/list_transform).
+_DUCK_TEMPLATE = """
+concat(
+  lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+  regexp_replace(regexp_replace(
+      regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+      '[0-9a-fA-F]{8,}', '{x}', 'g'), '[0-9]+', '{n}', 'g'),
+  CASE WHEN regexp_extract(url, '\\?([^#]*)', 1) = '' THEN ''
+       ELSE concat('?', array_to_string(list_sort(list_transform(
+            string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+            x -> string_split(x, '=')[1])), ','))
+  END)
+"""
+
+
+def q_trap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-trap detection: URL-template explosion stats over the
+    planted trap universe (calendar + session-id traps vs benign
+    static/blog families). One (host, template) groupBy with
+    count-distinct on the 8-byte URL hash."""
+    from thecrowler_spark.operators.traps import detect_traps
+
+    _load(spark, sf_dir, "orders")
+    urls = spark.sql(_SPARK_TRAP_URLS)
+    return detect_traps(urls, min_urls=50)
+
+
+def _trap_detection_oracle_sql() -> str:
+    return f"""
+    WITH u AS ({_DUCK_TRAP_URLS}),
+    t AS (
+      SELECT lower(regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,
+             {_DUCK_TEMPLATE} AS template,
+             url
+      FROM u
+    )
+    SELECT host, template,
+           count(DISTINCT url) AS n_urls,
+           count(DISTINCT url) >= 50 AS is_trap
+    FROM t GROUP BY host, template
+    """
+
+
+def q_trap_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap flagged trap templates to 16 URLs each (deterministic
+    (url, id) order) while benign templates pass through — the
+    two-phase skew-safe rank must equal the oracle's single window."""
+    from thecrowler_spark.operators.traps import detect_traps, filter_trap_urls
+
+    _load(spark, sf_dir, "orders")
+    urls = spark.sql(_SPARK_TRAP_URLS)
+    traps = detect_traps(urls, min_urls=50)
+    return filter_trap_urls(
+        urls, traps, cap_per_template=16, order_cols=("url", "id")
+    ).select("id", "url")
+
+
+def _trap_filter_oracle_sql() -> str:
+    return f"""
+    WITH u AS ({_DUCK_TRAP_URLS}),
+    t AS (
+      SELECT id, url, {_DUCK_TEMPLATE} AS template FROM u
+    ),
+    stats AS (
+      SELECT template, count(DISTINCT url) >= 50 AS is_trap
+      FROM t GROUP BY template
+    ),
+    ranked AS (
+      SELECT t.id, t.url, s.is_trap,
+             row_number() OVER (PARTITION BY t.template
+                                ORDER BY t.url, t.id) AS rn
+      FROM t JOIN stats s USING (template)
+    )
+    SELECT id, url FROM ranked WHERE NOT is_trap OR rn <= 16
+    """
+
+
 def q_crawl_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end crawl on the synthetic closed-world corpus — the
     engine's core query, now with a FULL DuckDB oracle
@@ -3933,6 +4047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r5 window: new this round, never driver-graded ----------
         "revisit_schedule": q_revisit_schedule,
+        "trap_detection": q_trap_detection,
+        "trap_filter": q_trap_filter,
         "dedup_representative": q_dedup_representative,
         "url_quality_filter": q_url_quality_filter,
         "lm_buckets_bigram": q_lm_buckets_bigram,
@@ -3984,14 +4100,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": q_text_tokens,
         "text_tokens_bpe": q_text_tokens_bpe,
         "text_fingerprint": q_text_fingerprint,
-        "url_fuzzing": q_url_fuzzing,
-        "normalizers": q_normalizers,
         # ---------------- slot 51+: outside the 50-slot driver window.
         # email_frontier / pricing_summary (r3 multi-greens),
-        # streaming_window_counts and search_fts_rank slipped out when
-        # the never-graded head slots grew (revisit_schedule,
+        # streaming_window_counts, search_fts_rank, url_fuzzing and
+        # normalizers slipped out when the never-graded head slots grew
+        # (revisit_schedule, trap_detection, trap_filter,
         # dedup_representative, url_quality_filter, lm_buckets_bigram
         # per rule (a)).
+        "url_fuzzing": q_url_fuzzing,
+        "normalizers": q_normalizers,
         "search_fts_rank": q_search_fts_rank,
         "email_frontier": q_email_frontier,
         "pricing_summary": q_pricing_summary,
@@ -5987,6 +6104,8 @@ def oracle_sql() -> dict[str, str]:
         "crawl_bfs": _crawl_bfs_oracle_sql(),
         "crawl_bfs_levels": _crawl_bfs_levels_oracle_sql(),
         "revisit_schedule": _revisit_schedule_oracle_sql(),
+        "trap_detection": _trap_detection_oracle_sql(),
+        "trap_filter": _trap_filter_oracle_sql(),
         "pipeline_incremental": _pipeline_incremental_oracle_sql(),
         "scraped_fields": _scraped_fields_oracle_sql(),
         "scraped_json": _scraped_json_oracle_sql(),
