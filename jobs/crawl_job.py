@@ -52,6 +52,12 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                    help="mega-source escape hatch: >1 shards per-source "
                         "sequencing windows (drops intra-source total order; "
                         "requires --max-links 0)")
+    p.add_argument("--trap-cap", type=int, default=0,
+                   help="cap each exploding URL template to this many links per "
+                        "round (0 = off, reference parity)")
+    p.add_argument("--trap-threshold", type=int, default=1000,
+                   help="distinct URLs per (host, template) in one round that "
+                        "flags a crawl trap")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     p.add_argument("--output", required=True, help="output dir (pages/ visited/ lineage/ checkpoints)")
     p.add_argument("--run-id", default="run0")
@@ -139,6 +145,8 @@ def main(argv: list[str] | None = None) -> None:
         seen_filter=args.seen_filter,
         shuffle_partitions=args.shuffle_partitions,
         ordering_shards=args.ordering_shards,
+        trap_cap=args.trap_cap,
+        trap_threshold=args.trap_threshold,
     )
     engine = CrawlEngine(
         spark, docs, cfg=cfg, robots=robots, budgets=budgets, work_dir=f"{args.output}/state"

@@ -63,6 +63,45 @@ def test_filter_caps_traps_only(spark):
     assert set(kept.columns) == {"id", "url"}
 
 
+def test_engine_trap_cap(spark):
+    """CrawlConfig.trap_cap: a 30-URL calendar trap on one template is
+    capped to 5 fetches while benign pages pass; default-off equals
+    reference parity (all 34 fetched)."""
+    from datetime import datetime, timezone
+
+    from thecrowler_spark.operators.frontier import CrawlConfig, CrawlEngine
+    from thecrowler_spark.sources.corpus import DOCUMENTS_SCHEMA, SEEDS_SCHEMA
+
+    base = "https://trap.example.com"
+    trap_links = [f"{base}/cal/2024/{i}?sid={i}" for i in range(30)]
+    ok_links = [f"{base}/about-{c}" for c in "abc"]
+
+    def spans(links):
+        out = [("title", "t", "", 0)]
+        out += [("link", f"l{i}", l, 1 + i) for i, l in enumerate(links)]
+        return out
+
+    rows = [(f"{base}/p0", spans(trap_links + ok_links))]
+    rows += [(u, spans([])) for u in trap_links + ok_links]
+    docs_df = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    seeds = spark.createDataFrame(
+        [(1, "u1", f"{base}/p0", "high", "new", 2, False, 0, "{}",
+          datetime(2026, 1, 1, tzinfo=timezone.utc))],
+        SEEDS_SCHEMA,
+    )
+    plain = CrawlEngine(spark, docs_df, cfg=CrawlConfig(max_depth=1)).run(seeds)
+    assert plain.counters[1]["pages"] == 34
+
+    capped = CrawlEngine(
+        spark, docs_df, cfg=CrawlConfig(max_depth=1, trap_cap=5, trap_threshold=10)
+    ).run(seeds, run_id="trapcap")
+    assert capped.counters[1]["pages"] == 9  # seed + 5 capped + 3 benign
+    fetched = {r["url"] for r in capped.pages.collect()}
+    assert all(u in fetched for u in ok_links)
+    # the kept trap URLs are the 5 smallest by (link, source_id) order
+    assert sorted(u for u in fetched if "/cal/" in u) == sorted(trap_links)[:5]
+
+
 def test_plan_shapes(spark):
     df = spark.createDataFrame(
         [(i, f"https://t.example.com/p/{i}") for i in range(10)], "id long, url string"

@@ -118,6 +118,17 @@ class CrawlConfig:
     #: The FETCH url is untouched (reference parity: the crawler fetches
     #: the authored link; only infoseed canonicalizes).
     strip_tracking: bool = False
+    #: crawl-trap valve (operators/traps.py): when trap_cap > 0, each
+    #: round's DISCOVERED frontier is template-generalized and any
+    #: (host, template) whose round distinct-URL count reaches
+    #: trap_threshold is capped to trap_cap links (deterministic
+    #: (link, source_id) order, two-phase skew-safe rank). Default off
+    #: = exact reference parity (the reference has only the blunt
+    #: MaxDepth/MaxLinks guards). Capped rows are dropped, not counted
+    #: as skipped (they were never attempted) — the structural
+    #: alternative to burning the whole budget inside a calendar trap.
+    trap_cap: int = 0
+    trap_threshold: int = 1000
 
 
 #: per-source counter fields (TotalPages/Links/Skipped/Duplicates/Errors
@@ -547,7 +558,7 @@ class CrawlEngine:
         # (crawler.go:412), so aggregate first …
         initial_links = frontier.groupBy("source_id").agg(F.count("*").alias("links"))
         # … then: restricted==0 sources never enter the BFS loop (crawler.go:414)
-        frontier = frontier.filter(F.col("restricted") != 0)
+        frontier = self._trap_valve(frontier.filter(F.col("restricted") != 0))
 
         pages = seed_ok.select(
             "source_id",
@@ -726,7 +737,7 @@ class CrawlEngine:
                 # re-attach the chained prior-run state (the no-work_dir
                 # branch unions onto cur_state, which already has it)
                 visited = visited.unionByName(prior_visited)
-            frontier = self._ckpt(new_frontier, run_id, depth, "frontier")
+            frontier = self._ckpt(self._trap_valve(new_frontier), run_id, depth, "frontier")
             if self._seen_mode == "cuckoo" and self._cuckoo is not None:
                 # incremental maintenance: insert only this round's
                 # visited delta (O(delta)); checkpoint the small blob
@@ -826,6 +837,27 @@ class CrawlEngine:
         return CrawlResult(pages, crawl_order, visited, counters, lineage)
 
     # ------------------------------------------------------ level logic
+
+    def _trap_valve(self, frontier: DataFrame) -> DataFrame:
+        """CrawlConfig.trap_cap: cap exploding URL templates in a round's
+        frontier (off by default — reference parity). Applied to the
+        seed-extracted frontier and to every round's discovered links."""
+        if not self.cfg.trap_cap:
+            return frontier
+        from .traps import detect_traps, filter_trap_urls
+
+        tstats = detect_traps(
+            frontier.select(F.col("link").alias("url")),
+            min_urls=self.cfg.trap_threshold,
+        )
+        return filter_trap_urls(
+            frontier,
+            tstats,
+            cap_per_template=self.cfg.trap_cap,
+            url_col="link",
+            order_cols=("link", "source_id"),
+            salt_buckets=self.cfg.salt_buckets,
+        )
 
     def _process_level(
         self,
