@@ -58,6 +58,14 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--trap-threshold", type=int, default=1000,
                    help="distinct URLs per (host, template) in one round that "
                         "flags a crawl trap")
+    p.add_argument("--dust-from", default=None,
+                   help="parquet of a prior run's pages/ — mines DUST rules "
+                        "(learned content-irrelevant URL params) from its "
+                        "fetch log and applies them to this run's URL-seen "
+                        "key (fetch url untouched; default off = parity)")
+    p.add_argument("--dust-min-support", type=int, default=3,
+                   help="duplicate-content witness groups required before a "
+                        "(host, param) pair becomes a DUST rule")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     p.add_argument("--output", required=True, help="output dir (pages/ visited/ lineage/ checkpoints)")
     p.add_argument("--run-id", default="run0")
@@ -148,8 +156,30 @@ def main(argv: list[str] | None = None) -> None:
         trap_cap=args.trap_cap,
         trap_threshold=args.trap_threshold,
     )
+    dust = None
+    if args.dust_from:
+        from pyspark.sql import functions as F
+
+        from thecrowler_spark.operators.dust import dust_rules
+        from thecrowler_spark.operators.spans import parse_documents
+
+        # prior fetch log = prior pages joined to the corpus content
+        # hashes (the job's corpus is hash-defined, so the prior run's
+        # page bodies are reproducible without storing them)
+        prior = spark.read.parquet(args.dust_from).select("url").distinct()
+        log = prior.join(
+            parse_documents(docs).select(
+                F.col("doc_id").alias("url"),
+                "content_hash",
+            ),
+            "url",
+            "inner",
+        )
+        dust = dust_rules(log, min_support=args.dust_min_support)
+
     engine = CrawlEngine(
-        spark, docs, cfg=cfg, robots=robots, budgets=budgets, work_dir=f"{args.output}/state"
+        spark, docs, cfg=cfg, robots=robots, budgets=budgets,
+        work_dir=f"{args.output}/state", dust_rules=dust,
     )
 
     initial_visited = None

@@ -64,6 +64,61 @@ def test_dust_rules_per_host(spark):
     assert got[("b.example.com", "sid")] is False
 
 
+def _engine_docs(spark):
+    a = "https://a.example.com/p0"
+    b1 = "https://a.example.com/b?sid=1"
+    b2 = "https://a.example.com/b?sid=2"
+    c = "https://a.example.com/c"
+
+    def doc(url, links):
+        spans = [("title", f"t {url}", "", 0)] + [
+            ("link", f"l{i}", l, i + 1) for i, l in enumerate(links)
+        ]
+        return (url, spans)
+
+    docs = spark.createDataFrame(
+        [doc(a, [b1, b2, c]), doc(b1, []), doc(b2, []), doc(c, [])],
+        "doc_id string, spans array<struct<kind string, text string,"
+        " media_ref string, offset int>>",
+    )
+    return docs, a, b1, b2, c
+
+
+def test_engine_dust_valve_collapses_learned_params(spark):
+    """CrawlEngine(dust_rules=...): mined sid rule collapses ?sid=
+    variants in the URL-SEEN key — one fetch + one duplicate instead of
+    two fetches; valve off = reference parity (both fetched)."""
+    from pyspark.sql import functions as F
+
+    from thecrowler_spark.operators.frontier import CrawlConfig, CrawlEngine
+
+    docs, a, b1, b2, c = _engine_docs(spark)
+    seeds = spark.createDataFrame(
+        [(1, a, 2, "high", "new", False, "2026-01-01 00:00:00")],
+        "source_id long, url string, restricted int, priority string,"
+        " status string, disabled boolean, created_at string",
+    ).withColumn("created_at", F.col("created_at").cast("timestamp"))
+    cfg = CrawlConfig(max_depth=2, max_rounds=4)
+
+    base = CrawlEngine(spark, docs, cfg=cfg).run(seeds)
+    assert {r["url"] for r in base.pages.collect()} == {a, b1, b2, c}
+    assert base.counters[1]["duplicates"] == 0
+
+    # prior-run fetch log: the two sid variants shared one content hash
+    log = spark.createDataFrame(
+        [(b1, "h_b"), (b2, "h_b")], "url string, content_hash string"
+    )
+    rules = dust_rules(log, min_support=1)
+    res = CrawlEngine(spark, docs, cfg=cfg, dust_rules=rules).run(seeds)
+    got = {r["url"] for r in res.pages.collect()}
+    assert got == {a, b1, c}  # first variant fetched, second deduped
+    assert res.counters[1]["duplicates"] == 1
+    # seen key is the DUST-canonical form (no sid, no '?')
+    vis = {r["norm_url"] for r in res.visited.collect()}
+    assert "https://a.example.com/b" in vis
+    assert not any("sid=" in v for v in vis)
+
+
 def test_apply_dust_rules_canonicalizes(spark):
     rows = [(f"https://a.example.com/p?b=1&sid={i}", "same") for i in range(3)]
     rows += [("https://a.example.com/only?sid=9", "same2")]

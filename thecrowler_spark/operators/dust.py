@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["dust_rules", "apply_dust_rules"]
+__all__ = ["dust_rules", "dust_param_dim", "canonicalize_with_dim", "apply_dust_rules"]
 
 _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
 _PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)"
@@ -99,22 +99,34 @@ def dust_rules(
     )
 
 
-def apply_dust_rules(
-    urls: DataFrame,
-    rules: DataFrame,
-    url_col: str = "url",
-    out_col: str = "canonical_url",
-) -> DataFrame:
-    """Canonicalize URLs with mined rules: drop each host's learned
-    content-irrelevant params (sorted survivors, '?' dropped when none
-    survive). ``rules`` is :func:`dust_rules` output — only ``is_rule``
-    rows are used, broadcast as a per-host param-set dimension; the URL
-    stream never shuffles."""
-    dim = F.broadcast(
+def dust_param_dim(rules: DataFrame) -> DataFrame:
+    """Collapse :func:`dust_rules` output to the tiny per-host dimension
+    (_rhost, _drop:array<string>) that :func:`canonicalize_with_dim`
+    broadcasts. Only ``is_rule`` rows participate."""
+    return (
         rules.filter(F.col("is_rule"))
         .groupBy(F.col("host").alias("_rhost"))
         .agg(F.collect_set("param").alias("_drop"))
     )
+
+
+def canonicalize_with_dim(
+    urls: DataFrame,
+    dim: DataFrame,
+    url_col: str = "url",
+    out_col: str = "canonical_url",
+    passthrough_unmatched: bool = False,
+) -> DataFrame:
+    """Canonicalize a URL column against a pre-built
+    :func:`dust_param_dim`: drop each host's learned content-irrelevant
+    params (sorted survivors, '?' dropped when none survive). The dim is
+    broadcast; the URL stream never shuffles.
+
+    ``passthrough_unmatched=True`` (the engine's seen-key mode) rewrites
+    ONLY rows whose host has a learned rule; every other URL — including
+    unparseable ones — passes through byte-identical, so turning the
+    valve on cannot perturb seen keys outside the learned hosts."""
+    dim = F.broadcast(dim)
     url = F.col(url_col)
     host = F.lower(F.regexp_extract(url, _HOST_RE, 1))
     out = urls.withColumn("_host", host).join(
@@ -137,4 +149,17 @@ def apply_dust_rules(
     canon = F.when(F.size(kept) > 0, F.concat(prefix, F.lit("?"), F.array_join(kept, "&"))).otherwise(
         prefix
     )
+    if passthrough_unmatched:
+        canon = F.when(F.col("_rhost").isNull() | (F.col("_host") == ""), url).otherwise(canon)
     return out.withColumn(out_col, canon).drop("_host", "_rhost", "_drop")
+
+
+def apply_dust_rules(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    out_col: str = "canonical_url",
+) -> DataFrame:
+    """Canonicalize URLs with mined rules — :func:`dust_param_dim` +
+    :func:`canonicalize_with_dim` in one step."""
+    return canonicalize_with_dim(urls, dust_param_dim(rules), url_col, out_col)

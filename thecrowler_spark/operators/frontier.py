@@ -395,6 +395,7 @@ class CrawlEngine:
         robots: DataFrame | None = None,
         budgets: DataFrame | None = None,
         work_dir: str | None = None,
+        dust_rules: DataFrame | None = None,
     ) -> None:
         self.spark = spark
         self.cfg = cfg or CrawlConfig()
@@ -412,6 +413,18 @@ class CrawlEngine:
             raise ValueError(f"unknown seen_filter mode: {mode!r}")
         self._seen_mode = mode
         self._cuckoo: DataFrame | None = None  # incremental blobs (cuckoo mode)
+        #: DUST valve (operators/dust.py): mined (host, param) rules —
+        #: e.g. from a prior run's fetch log via dust_rules() — applied
+        #: to the URL-SEEN DEDUP KEY only (fetch url untouched), the
+        #: learned generalization of cfg.strip_tracking's static list.
+        #: Off (None) = exact reference parity. The dim is a tiny
+        #: per-host table, broadcast at every seen-key site; unmatched
+        #: hosts pass through byte-identical.
+        self._dust_dim: DataFrame | None = None
+        if dust_rules is not None:
+            from .dust import dust_param_dim
+
+            self._dust_dim = dust_param_dim(dust_rules).persist()
         self.parsed = SP.parse_documents(documents).persist()
         # slim projection used by the fetch join (column pruning by hand
         # so the join never drags body/spans through the shuffle)
@@ -426,6 +439,21 @@ class CrawlEngine:
         if self.cfg.strip_tracking:
             return U.normalize_url_seen(U.strip_tracking_params(F.col(c) if isinstance(c, str) else c))
         return U.normalize_url_seen(c)
+
+    def _with_seen_norm(self, df: DataFrame, src_col: str, out_col: str = "norm_url") -> DataFrame:
+        """Attach the seen key as a column. With the DUST valve on, the
+        learned per-host param drop rewrites ``src_col`` first (broadcast
+        dim join — the URL stream never shuffles); :meth:`_seen_norm`
+        then applies the static canonicalization on top."""
+        if self._dust_dim is None:
+            return df.withColumn(out_col, self._seen_norm(src_col))
+        from .dust import canonicalize_with_dim
+
+        df = canonicalize_with_dim(
+            df, self._dust_dim, url_col=src_col, out_col="_dust_u",
+            passthrough_unmatched=True,
+        )
+        return df.withColumn(out_col, self._seen_norm("_dust_u")).drop("_dust_u")
 
     # ------------------------------------------------ ordering shards
 
@@ -566,8 +594,8 @@ class CrawlEngine:
             F.lit(0).cast("long").alias("fetch_seq"),
             F.col("source_url").alias("url"),
         )
-        seed_vis = seed_ok.select(
-            "source_id", self._seen_norm("source_url").alias("norm_url")
+        seed_vis = self._with_seen_norm(seed_ok, "source_url").select(
+            "source_id", "norm_url"
         )
         if prior_vis is not None:
             # this run's depth-0 DELTA: seed keys not already seen
@@ -877,8 +905,8 @@ class CrawlEngine:
         cfg = self.cfg
 
         # resolve relative links (crawler.go:2210-2212) + seen-key
-        lv = level.withColumn("url_link", U.combine_urls("source_url", "link")).withColumn(
-            "norm_url", self._seen_norm("url_link")
+        lv = self._with_seen_norm(
+            level.withColumn("url_link", U.combine_urls("source_url", "link")), "url_link"
         )
         lv = _skip_flags(lv, cfg)
         lv = _robots_block(lv, self.robots)
@@ -944,9 +972,9 @@ class CrawlEngine:
 
         # global-known probe (PreventDuplicateURLs, queries.go:74-88)
         if cfg.prevent_duplicate_urls:
-            known = pages.select(
-                "source_id", self._seen_norm("url").alias("norm_url")
-            ).drop("source_id").distinct().withColumn("_known", F.lit(True))
+            known = self._with_seen_norm(pages, "url").select(
+                "norm_url"
+            ).distinct().withColumn("_known", F.lit(True))
             lv = lv.join(known, ["norm_url"], "left").withColumn(
                 "_known", F.coalesce(F.col("_known"), F.lit(False))
             )
