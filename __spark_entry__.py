@@ -3601,7 +3601,38 @@ def q_crawl_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.run(dfs["seeds"]).crawl_order
 
 
-def _crawl_bfs_oracle_sql(max_depth: int = 2, spec=None, corpus=None) -> str:
+def q_crawl_bfs_dust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full BFS with the DUST valve ON (operators/dust.py): rules
+    mined from the closed-world fetch log (every alias variant is a real
+    doc) collapse learned content-irrelevant params — ``sid`` on
+    d0.example.com — in the URL-SEEN key, while the contradiction host
+    (d1, sid selects items) and the below-support param (ref, one
+    witness group) stay byte-identical. Oracle: the same depth-unrolled
+    CTE replay, now with the MINING (two grouped aggs over the embedded
+    (url, body) log) and the per-host canon (drop learned params, sorted
+    survivors, '?' dropped when none survive, unmatched hosts pass
+    through) recomputed in SQL at every seen-key site."""
+    from pyspark.sql import functions as F
+
+    from thecrowler_spark.operators.dust import dust_rules
+    from thecrowler_spark.operators.frontier import CrawlConfig, CrawlEngine
+    from thecrowler_spark.operators.spans import parse_documents
+    from thecrowler_spark.sources.corpus import corpus_to_spark, dust_corpus
+
+    dfs = corpus_to_spark(spark, dust_corpus())
+    log = parse_documents(dfs["documents"]).select(
+        F.col("doc_id").alias("url"), "content_hash"
+    )
+    rules = dust_rules(log, min_support=2)
+    eng = CrawlEngine(
+        spark, dfs["documents"], cfg=CrawlConfig(max_depth=2, max_rounds=6),
+        dust_rules=rules,
+    )
+    return eng.run(dfs["seeds"]).crawl_order
+
+
+def _crawl_bfs_oracle_sql(max_depth: int = 2, spec=None, corpus=None,
+                          dust_min_support: int | None = None) -> str:
     """DuckDB oracle for q_crawl_bfs: the PageRank/HITS unrolled-CTE
     technique applied to the BFS itself.
 
@@ -3640,6 +3671,87 @@ def _crawl_bfs_oracle_sql(max_depth: int = 2, spec=None, corpus=None) -> str:
     host_re = r"^(?:[^/]*://)?(?:[^/@]*@)?([^/:?#]*)"
     scheme_re = r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/]*)"
 
+    # ---- DUST valve mode (q_crawl_bfs_dust): mine the per-host rule
+    # dim in SQL from the embedded (url, body) log, then rewrite every
+    # seen-key site with the learned canon (dust.py semantics: drop
+    # learned params, sorted survivors, '?' dropped when none survive,
+    # unmatched/unparseable hosts byte-identical).
+    dhost_re = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+    dprefix_re = r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)"
+    dpath_re = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)"
+
+    def _lhost(c: str) -> str:
+        return f"lower(regexp_extract({c}, '{dhost_re}', 1))"
+
+    if dust_min_support is None:
+        mining_ctes = ""
+
+        def seen_norm(c: str) -> str:
+            return f"lower(rtrim(trim({c}), '/'))"
+
+        def dd_join(c: str) -> str:
+            return ""
+    else:
+        import re as _re
+
+        def _body_token(spans) -> str:
+            # body_text mirror (spans.py:66-71): text+link span texts
+            # joined, ws-collapsed — distinctness ≡ sha2(body) classes
+            vis = [s["text"] for s in spans if s["kind"] in ("text", "link")]
+            return _re.sub(r"\s+", " ", " ".join(vis)).strip()
+
+        log_vals = ", ".join(
+            f"('{d['doc_id']}', '{_body_token(d['spans'])}')"
+            for d in corpus["documents"]
+        )
+        mining_ctes = f"""
+        dustlog(url, body) AS (VALUES {log_vals}),
+        dparsed AS (
+          SELECT url, body, {_lhost('url')} AS host,
+                 regexp_extract(url, '{dpath_re}', 1) AS path,
+                 list_filter(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                             x -> x <> '') AS params
+          FROM dustlog
+        ),
+        dexpl AS (SELECT url, body, host, path, params, unnest(params) AS kv FROM dparsed),
+        dbased AS (
+          SELECT url, body, host, string_split(kv, '=')[1] AS param,
+                 concat(host, path, '?',
+                        array_to_string(list_sort(list_filter(params, x -> x <> kv)), '&')) AS base
+          FROM dexpl
+        ),
+        dw AS (
+          SELECT host, param, base, count(DISTINCT url) AS nu, count(DISTINCT body) AS nh
+          FROM dbased GROUP BY host, param, base
+        ),
+        dagg AS (
+          SELECT host, param,
+                 sum(CASE WHEN nu >= 2 AND nh = 1 THEN 1 ELSE 0 END) AS support,
+                 sum(CASE WHEN nh > 1 THEN 1 ELSE 0 END) AS contradictions
+          FROM dw GROUP BY host, param
+        ),
+        dustdim AS (
+          SELECT host AS dhost, list(param) AS drops FROM dagg
+          WHERE support >= {int(dust_min_support)} AND contradictions = 0
+          GROUP BY host
+        ),"""
+
+        def seen_norm(c: str) -> str:
+            params = (f"list_filter(string_split(regexp_extract({c}, '\\?([^#]*)', 1), '&'),"
+                      f" x -> x <> '')")
+            kept = (f"list_sort(list_filter({params},"
+                    f" kv -> NOT list_contains(dd.drops, string_split(kv, '=')[1])))")
+            prefix = (f"(regexp_extract({c}, '{dprefix_re}', 1)"
+                      f" || regexp_extract({c}, '{dpath_re}', 1))")
+            canon = (f"CASE WHEN dd.dhost IS NULL OR {_lhost(c)} = '' THEN {c}"
+                     f" WHEN len({kept}) > 0"
+                     f" THEN {prefix} || '?' || array_to_string({kept}, '&')"
+                     f" ELSE {prefix} END")
+            return f"lower(rtrim(trim({canon}), '/'))"
+
+        def dd_join(c: str) -> str:
+            return f" LEFT JOIN dustdim dd ON dd.dhost = {_lhost(c)}"
+
     def sld(col: str) -> str:
         # substring_index(host, '.', -2) with whole-host fallback
         h = f"regexp_extract(trim({col}), '{host_re}', 1)"
@@ -3654,7 +3766,7 @@ def _crawl_bfs_oracle_sql(max_depth: int = 2, spec=None, corpus=None) -> str:
     body = f"""
         WITH docs(doc_id) AS (VALUES {doc_vals}),
         rawlinks(doc_id, rawpos, href) AS (VALUES {link_vals}),
-        seeds(source_id, source_url, restricted) AS (VALUES {seed_vals}),
+        seeds(source_id, source_url, restricted) AS (VALUES {seed_vals}),{mining_ctes}
         dl0 AS (SELECT doc_id, rawpos, rtrim(trim(href), '/') AS lnk FROM rawlinks),
         dlinks AS (
           SELECT doc_id,
@@ -3679,7 +3791,8 @@ def _crawl_bfs_oracle_sql(max_depth: int = 2, spec=None, corpus=None) -> str:
           FROM seedfetch
         ),
         vis0 AS (
-          SELECT source_id, lower(rtrim(trim(source_url), '/')) AS norm_url FROM seedfetch
+          SELECT source_id, {seen_norm('source_url')} AS norm_url
+          FROM seedfetch{dd_join('source_url')}
         ),
         frontier0 AS (
           SELECT f.source_id, f.source_url, f.restricted,
@@ -3705,7 +3818,7 @@ def _crawl_bfs_oracle_sql(max_depth: int = 2, spec=None, corpus=None) -> str:
           FROM lvl{k}
         ),
         lw{k} AS (
-          SELECT *, lower(rtrim(trim(url_link), '/')) AS norm_url,
+          SELECT lv{k}.*, {seen_norm('url_link')} AS norm_url,
                  (trim(url_link) = ''
                   OR (restricted <> 4
                       AND CASE WHEN starts_with(trim(url_link), '/') THEN FALSE
@@ -3714,7 +3827,7 @@ def _crawl_bfs_oracle_sql(max_depth: int = 2, spec=None, corpus=None) -> str:
                                WHEN restricted = 3 THEN {tld('source_url')} <> {tld('url_link')}
                                ELSE {sld('source_url')} <> {sld('url_link')} END)
                   OR url_link = source_url) AS is_skip
-          FROM lv{k}
+          FROM lv{k}{dd_join('url_link')}
         ),
         cat{k} AS (
           SELECT l.*,
@@ -3781,6 +3894,12 @@ def _crawl_bfs_levels_oracle_sql() -> str:
     from thecrowler_spark.sources.corpus import levels_corpus
 
     return _crawl_bfs_oracle_sql(max_depth=3, corpus=levels_corpus())
+
+
+def _crawl_bfs_dust_oracle_sql() -> str:
+    from thecrowler_spark.sources.corpus import dust_corpus
+
+    return _crawl_bfs_oracle_sql(max_depth=2, corpus=dust_corpus(), dust_min_support=2)
 
 
 # ------------------------------------------- incremental pipeline (2 batches)
@@ -4158,6 +4277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "detected_tech_selectors": q_detected_tech_selectors,
         "crawl_bfs_levels": q_crawl_bfs_levels,
+        "crawl_bfs_dust": q_crawl_bfs_dust,
         "pipeline_incremental": q_pipeline_incremental,
         "multimodal_decode_real": q_multimodal_decode_real,
         "multimodal_resize_real": q_multimodal_resize_real,
@@ -6203,6 +6323,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "crawl_bfs": _crawl_bfs_oracle_sql(),
         "crawl_bfs_levels": _crawl_bfs_levels_oracle_sql(),
+        "crawl_bfs_dust": _crawl_bfs_dust_oracle_sql(),
         "revisit_schedule": _revisit_schedule_oracle_sql(),
         "trap_detection": _trap_detection_oracle_sql(),
         "trap_filter": _trap_filter_oracle_sql(),

@@ -322,6 +322,90 @@ def levels_corpus() -> dict[str, Any]:
     }
 
 
+def dust_corpus() -> dict[str, Any]:
+    """Hand-authored corpus for the DUST-valve crawl (operators/dust.py):
+    query-param alias pages whose content proves which params are
+    crawl-irrelevant. RNG-free, closed-world (every linked variant is a
+    real doc so the mining log covers it).
+
+    - ``d0.example.com`` — ``sid`` never changes content (4 witness
+      groups: list?page=1/2, detail?id=7/8) → learned rule at
+      min_support=2; ``page`` and ``id`` DO change content →
+      contradictions veto them; ``ref`` is content-irrelevant but has
+      only ONE witness group → support 1 < 2, no rule.
+    - ``d1.example.com`` — ``sid`` selects different items →
+      contradiction, no rule; both variants must be fetched.
+
+    body_text = text+link span TEXTS (spans.py:66-71), so alias pairs
+    keep link texts identical while their media_refs carry their own
+    sid through to depth 2.
+    """
+    D0 = "https://d0.example.com"
+    D1 = "https://d1.example.com"
+
+    def texts(doc_text: str, links: list[tuple[str, str]]):
+        spans = [{"kind": "title", "text": "t", "media_ref": "", "offset": 0},
+                 {"kind": "text", "text": doc_text, "media_ref": "", "offset": 1}]
+        for i, (t, href) in enumerate(links):
+            spans.append({"kind": "link", "text": t, "media_ref": href, "offset": i + 2})
+        return spans
+
+    def list_page(page: int, sid: str):
+        return texts(
+            f"listing page {'one' if page == 1 else 'two'} of results",
+            [("more 7", f"{D0}/detail?id=7&sid={sid}"),
+             ("more 8", f"{D0}/detail?id=8&sid={sid}")],
+        )
+
+    docs = [
+        {"doc_id": f"{D0}/start", "spans": texts("start hub for the dust crawl", [
+            ("l1", f"{D0}/list?page=1&sid=aaa"),
+            ("l2", f"{D0}/list?page=1&sid=bbb"),
+            ("l3", f"{D0}/list?page=2&sid=aaa"),
+            ("l4", f"{D0}/list?page=2&sid=bbb"),
+            ("l5", f"{D1}/item?sid=1"),
+            ("l6", f"{D1}/item?sid=2"),
+            ("l7", f"{D0}/about?ref=x"),
+            ("l8", f"{D0}/about?ref=y"),
+            ("l9", f"{D0}/detail?id=7&sid=bbb"),
+        ])},
+        {"doc_id": f"{D0}/list?page=1&sid=aaa", "spans": list_page(1, "aaa")},
+        {"doc_id": f"{D0}/list?page=1&sid=bbb", "spans": list_page(1, "bbb")},
+        {"doc_id": f"{D0}/list?page=2&sid=aaa", "spans": list_page(2, "aaa")},
+        {"doc_id": f"{D0}/list?page=2&sid=bbb", "spans": list_page(2, "bbb")},
+        {"doc_id": f"{D0}/detail?id=7&sid=aaa", "spans": texts("detail seven body", [])},
+        {"doc_id": f"{D0}/detail?id=7&sid=bbb", "spans": texts("detail seven body", [])},
+        {"doc_id": f"{D0}/detail?id=8&sid=aaa", "spans": texts("detail eight body", [])},
+        {"doc_id": f"{D0}/detail?id=8&sid=bbb", "spans": texts("detail eight body", [])},
+        {"doc_id": f"{D0}/about?ref=x", "spans": texts("about this site", [])},
+        {"doc_id": f"{D0}/about?ref=y", "spans": texts("about this site", [])},
+        {"doc_id": f"{D1}/item?sid=1", "spans": texts("item one payload", [])},
+        {"doc_id": f"{D1}/item?sid=2", "spans": texts("item two payload", [])},
+    ]
+
+    from datetime import datetime, timezone
+
+    seeds = [{
+        "source_id": 1,
+        "source_uid": "uid-dust",
+        "url": f"{D0}/start",
+        "priority": "high",
+        "status": "new",
+        "restricted": 2,
+        "disabled": False,
+        "flags": 0,
+        "config": "{}",
+        "created_at": datetime(2026, 1, 1, tzinfo=timezone.utc),
+    }]
+    return {
+        "documents": docs,
+        "seeds": seeds,
+        "robots_rules": [],
+        "politeness_budgets": [],
+        "page_set": {d["doc_id"] for d in docs},
+    }
+
+
 def corpus_to_spark(spark: SparkSession, corpus: dict[str, Any]) -> dict[str, DataFrame]:
     """Materialize the python corpus as Spark DataFrames (typed schemas)."""
     docs_rows = [
