@@ -258,3 +258,27 @@ def test_select_representatives_no_window_partial_agg(spark):
     plan = _plan(select_representatives(comps, docs))
     assert "Window" not in plan
     assert "partial_max" in plan or "HashAggregate" in plan
+
+
+def test_dust_canon_broadcasts_dim_no_url_shuffle(spark):
+    """The DUST valve's seen-key rewrite (dust.canonicalize_with_dim)
+    must broadcast the tiny per-host dim — the URL stream itself never
+    exchanges for the canon."""
+    from thecrowler_spark.operators.dust import canonicalize_with_dim, dust_param_dim, dust_rules
+
+    log = spark.createDataFrame(
+        [(f"https://h.example.com/p?page={p}&sid={s}", f"h{p}")
+         for p in range(4) for s in range(3)],
+        "url string, content_hash string",
+    )
+    dim = dust_param_dim(dust_rules(log, min_support=2))
+    urls = spark.range(2000).select(
+        F.concat(F.lit("https://h.example.com/p?page=1&sid="), F.col("id")).alias("url")
+    )
+    plan = _plan(canonicalize_with_dim(urls, dim, passthrough_unmatched=True))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    # no shuffle of the URL stream: the only exchanges are the broadcast
+    # and the dim's own tiny aggregation — never a hashpartitioning on
+    # the url column
+    assert "hashpartitioning(url" not in plan
