@@ -2749,6 +2749,52 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LG.hits_fixedpoint(_spark_edges(spark, sf_dir), n_iter=3)
 
 
+def _opic_spark_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared synthetic edges minus src%10==7 out-edges (danglers)."""
+    return _spark_edges(spark, sf_dir).filter(F.expr("src % 10 <> 7"))
+
+
+def q_opic_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPIC online page importance (Abiteboul WWW'03) — the adaptive
+    frontier-priority signal: cash distributes along out-links each
+    round, flooring remainders + dangling-node cash recycle through a
+    virtual node, importance = history + cash. Exact int64 fixed point,
+    so the ITERATIVE algorithm carries a full unrolled-CTE DuckDB
+    oracle (5 rounds) like pagerank/hits; the edge set drops src%10==7
+    out-edges so the dangling/virtual-pot path is graded too."""
+    from thecrowler_spark.operators.opic import opic_importance
+
+    return opic_importance(_opic_spark_edges(spark, sf_dir), n_iter=5)
+
+
+def q_frontier_claim_opic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 + OPIC valve: the frontier claim ordered by OPIC importance
+    (highest cash+history first, FIFO within ties) instead of the
+    reference's static-priority FIFO — the OPIC paper's intended use
+    ('crawl the page holding the most cash next'). One source-key
+    equi-join of the claim gate to the importance table; default-off
+    valve (claim_sources(importance=None) keeps update_sources
+    parity, pgsql:2887)."""
+    from thecrowler_spark.operators.frontier import claim_sources
+    from thecrowler_spark.operators.opic import opic_importance
+
+    _load(spark, sf_dir, "documents")
+    seeds = spark.sql(
+        """
+        SELECT doc_id AS source_id,
+               concat('https://d', CAST(doc_id AS STRING), '.example.com/') AS url,
+               'high' AS priority, 'new' AS status, false AS disabled,
+               timestamp'2024-01-01 00:00:00'
+                 + make_interval(0, 0, 0, 0, 0, 0, CAST(doc_id AS INT)) AS created_at
+        FROM documents
+        """
+    )
+    imp = opic_importance(_opic_spark_edges(spark, sf_dir), n_iter=2).select(
+        F.col("node").alias("source_id"), "imp_fp"
+    )
+    return claim_sources(seeds, 100, importance=imp)
+
+
 def _hits_oracle_sql(n_iter: int = 3, scale: int = 1_000_000) -> str:
     """Unrolled HITS iterations mirroring hits_fixedpoint exactly
     (integer DIV normalization; '//' ≡ Spark DIV on non-negatives)."""
@@ -2799,6 +2845,68 @@ def _pagerank_oracle_sql(n_iter: int = 5, scale: int = 1_000_000_000, damping: i
     body += f"""
         SELECT node, CAST(r AS BIGINT) AS rank_fp FROM {prev}"""
     return body
+
+
+#: the OPIC link graph: the shared synthetic edges minus every edge
+#: whose src ends in 7 — those nodes become DANGLING (no out-links),
+#: grading the virtual-node leak path, not just the happy equi-join.
+_OPIC_EDGES_WITH = f"""WITH nn AS (SELECT count(*) AS n FROM documents),
+        e0 AS ({_EDGES_SQL}),
+        e AS (SELECT src, dst FROM e0 WHERE src % 10 <> 7)"""
+
+
+def _opic_cte_body(n_iter: int, scale: int = 1_000_000_000) -> str:
+    """Unrolled synchronous-OPIC rounds mirroring
+    thecrowler_spark.operators.opic.opic_importance exactly: per-edge
+    cash DIV outdeg, flooring remainders + dangling cash leak to the
+    virtual pot, pot redistributes pot DIV N per node next round
+    ('//' and '%' ≡ Spark DIV/% on the non-negative values here).
+    Ends with it{n_iter} holding (node, cash, hist)."""
+    body = f"""
+        {_OPIC_EDGES_WITH},
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        nx AS (SELECT count(*) AS n FROM nodes),
+        outd AS (SELECT src AS node, count(*) AS od FROM e GROUP BY src),
+        it0 AS (SELECT node, CAST({scale} // nx.n AS BIGINT) AS cash,
+                       CAST(0 AS BIGINT) AS hist
+                FROM nodes CROSS JOIN nx),
+        v0 AS (SELECT CAST(0 AS BIGINT) AS v)"""
+    for k in range(1, n_iter + 1):
+        p = k - 1
+        body += f""",
+        c{k} AS (
+          SELECT e.dst AS node, CAST(sum(p.cash // outd.od) AS BIGINT) AS c
+          FROM e JOIN it{p} p ON e.src = p.node JOIN outd ON e.src = outd.node
+          GROUP BY e.dst
+        ),
+        lk{k} AS (
+          SELECT CAST(coalesce(sum(CASE WHEN outd.od IS NULL THEN p.cash
+                                        ELSE p.cash % outd.od END), 0) AS BIGINT) AS leak
+          FROM it{p} p LEFT JOIN outd ON p.node = outd.node
+        ),
+        vs{k} AS (SELECT v // nx.n AS share, v % nx.n AS vrem
+                  FROM v{p} CROSS JOIN nx),
+        it{k} AS (
+          SELECT n.node,
+                 CAST(coalesce(c{k}.c, 0) + vs{k}.share AS BIGINT) AS cash,
+                 CAST(p.hist + p.cash AS BIGINT) AS hist
+          FROM nodes n JOIN it{p} p ON n.node = p.node
+          LEFT JOIN c{k} ON n.node = c{k}.node
+          CROSS JOIN vs{k}
+        ),
+        v{k} AS (SELECT CAST(lk{k}.leak + vs{k}.vrem AS BIGINT) AS v
+                 FROM lk{k} CROSS JOIN vs{k})"""
+    return body
+
+
+def _opic_oracle_sql(n_iter: int = 5) -> str:
+    return (
+        _opic_cte_body(n_iter)
+        + f"""
+        SELECT node, cash AS cash_fp, hist AS hist_fp,
+               CAST(cash + hist AS BIGINT) AS imp_fp
+        FROM it{n_iter}"""
+    )
 
 
 #: multi-line documents with corpus-wide boilerplate lines — same
@@ -4263,6 +4371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window)."""
     return {
         # --- r5 window: new this round, never driver-graded ----------
+        "opic_importance": q_opic_importance,
+        "frontier_claim_opic": q_frontier_claim_opic,
         "revisit_schedule": q_revisit_schedule,
         "trap_detection": q_trap_detection,
         "trap_filter": q_trap_filter,
@@ -4316,9 +4426,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_snippets": q_search_snippets,
         "robots_parse": q_robots_parse,
         "text_quality": q_text_quality,
+        # ---------------- slot 51+: outside the 50-slot driver window.
+        # text_tokens / text_tokens_bpe slipped past the boundary when
+        # the OPIC pair took the head per rule (a); both stay green in
+        # the full-registry oracle-gate runs.
         "text_tokens": q_text_tokens,
         "text_tokens_bpe": q_text_tokens_bpe,
-        # ---------------- slot 51+: outside the 50-slot driver window.
         # email_frontier / pricing_summary (r3 multi-greens),
         # streaming_window_counts, search_fts_rank, url_fuzzing,
         # normalizers and text_fingerprint slipped out when the
@@ -5887,6 +6000,20 @@ def oracle_sql() -> dict[str, str]:
             FROM outd FULL JOIN ind ON outd.node = ind.node
         """,
         "pagerank": _pagerank_oracle_sql(n_iter=5),
+        "opic_importance": _opic_oracle_sql(n_iter=5),
+        "frontier_claim_opic": _opic_cte_body(2) + """,
+            impt AS (SELECT node AS source_id, cash + hist AS imp FROM it2),
+            seeds AS (
+              SELECT doc_id AS source_id,
+                     concat('https://d', CAST(doc_id AS VARCHAR), '.example.com/') AS url,
+                     'high' AS priority, 'new' AS status, false AS disabled,
+                     TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL '1 second' AS created_at
+              FROM documents)
+            SELECT s.source_id, s.url, s.priority, s.status, s.disabled, s.created_at
+            FROM seeds s LEFT JOIN impt i ON s.source_id = i.source_id
+            ORDER BY coalesce(i.imp, 0) DESC, s.created_at, s.source_id
+            LIMIT 100
+        """,
         "text_tokens_bpe": """
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS INT) AS n_bpe_tokens

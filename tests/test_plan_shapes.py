@@ -282,3 +282,24 @@ def test_dust_canon_broadcasts_dim_no_url_shuffle(spark):
     # and the dim's own tiny aggregation — never a hashpartitioning on
     # the url column
     assert "hashpartitioning(url" not in plan
+
+
+def test_opic_rounds_are_equijoin_partial_agg_no_window(spark):
+    """Each OPIC round must be an edges⋈cash equi-join + a dst-key
+    partial agg; N and the virtual pot enter as broadcast 1-row
+    aggregates. No window function (a per-node running anything would
+    serialize), no cartesian on the node/edge stream (the only
+    nested-loop joins are the broadcast 1-row pot/N attachments)."""
+    from thecrowler_spark.operators.opic import opic_importance
+
+    edges = spark.range(5000).select(
+        (F.col("id") % 500).alias("src"), ((F.col("id") * 7 + 3) % 500).alias("dst")
+    )
+    plan = _plan(opic_importance(edges, n_iter=2))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    # hot-page in-degree skew dies map-side: contribution sums are
+    # partial-agg'd before the dst-key exchange
+    assert "partial_sum" in plan or "partial sum" in plan.lower()
+    # the 1-row pot/N legs ride broadcasts, not shuffles
+    assert "BroadcastExchange" in plan

@@ -190,6 +190,7 @@ def claim_sources(
     last_error: str = "15 minutes",
     processing_timeout: str = "1 day",
     schedule: DataFrame | None = None,
+    importance: DataFrame | None = None,
 ) -> DataFrame:
     """Frontier scan+claim (S1): eligible → FIFO → limit.
 
@@ -223,6 +224,16 @@ def claim_sources(
     fixed ``regular_crawling`` interval — churny sources come back
     sooner, static sources later. One source-key equi-join; both sides
     are O(#sources), never O(#URLs).
+
+    ``importance`` (optional): per-source adaptive priority —
+    (source_id, imp_fp) rows, e.g. OPIC importance over the link graph
+    of past crawls (:func:`..operators.opic.opic_importance`, Abiteboul
+    WWW'03).  When given, eligible sources are claimed highest
+    importance first, FIFO within ties; sources without a row rank as
+    0.  This is the adaptive upgrade of the proc's static priority
+    string — the OPIC paper's intended use (crawl the page holding the
+    most cash next).  One source-key equi-join, both sides O(#sources),
+    never O(#URLs).  Default ``None`` = reference-parity FIFO.
 
     ``FOR UPDATE SKIP LOCKED`` (many engines claiming from one table
     without collisions) becomes deterministic ownership: engine ``e`` of
@@ -291,6 +302,20 @@ def claim_sources(
             df = df.drop("_sched_due_s")
     if engine_id is not None and n_engines > 1:
         df = df.filter(F.pmod(F.xxhash64(F.col("source_uid")), F.lit(n_engines)) == engine_id)
+    if importance is not None:
+        imp = importance.select(
+            F.col("source_id").alias("_imp_sid"), F.col("imp_fp").alias("_imp")
+        )
+        df = (
+            df.join(imp, df["source_id"] == F.col("_imp_sid"), "left")
+            .drop("_imp_sid")
+            .withColumn("_imp", F.coalesce(F.col("_imp"), F.lit(0)))
+        )
+        return (
+            df.orderBy(F.desc("_imp"), "created_at", "source_id")
+            .limit(limit)
+            .drop("_imp")
+        )
     return df.orderBy("created_at", "source_id").limit(limit)
 
 
