@@ -63,6 +63,14 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                         "(learned content-irrelevant URL params) from its "
                         "fetch log and applies them to this run's URL-seen "
                         "key (fetch url untouched; default off = parity)")
+    p.add_argument("--opic-from", default=None,
+                   help="prior run's pages parquet: re-seed THIS run from "
+                        "OPIC importance over the prior crawl's link graph "
+                        "(Abiteboul WWW'03 — claim the frontier pages "
+                        "holding the most cash) instead of the static "
+                        "lowest-id seed list")
+    p.add_argument("--opic-rounds", type=int, default=3,
+                   help="OPIC rounds over the prior link graph (--opic-from)")
     p.add_argument("--dust-min-support", type=int, default=3,
                    help="duplicate-content witness groups required before a "
                         "(host, param) pair becomes a DUST rule")
@@ -122,6 +130,69 @@ def build_inputs(spark, args):
     return docs, seeds, robots, budgets
 
 
+def opic_seed_claim(spark, docs, prior_pages, n_seeds: int, n_rounds: int = 3):
+    """Adaptive re-seed (``--opic-from``): the next run's seed claim
+    ordered by OPIC importance over the PRIOR crawl's link graph —
+    the paper's intended frontier policy ('crawl the page holding the
+    most cash next', Abiteboul WWW'03 §3), replacing ``build_inputs``'
+    static lowest-id seed list.
+
+    Only prior-CRAWLED pages distribute cash (their out-links are the
+    prior run's observed graph; the job's corpus is hash-defined, so
+    the link lists are reproducible without storing them — same trick
+    as ``--dust-from``).  Candidates are the discovered-but-uncrawled
+    frontier (link targets minus crawled pages), so the claim resumes
+    the crawl where the most importance accumulated.  Shapes: one
+    src-semi-join to bound edges to the observed graph, K OPIC rounds
+    (equi-join + dst-key partial agg each), one source-key equi-join
+    at the claim gate — every side O(#pages), never O(#URLs²).
+    """
+    from pyspark.sql import functions as F
+
+    from thecrowler_spark.operators.frontier import claim_sources
+    from thecrowler_spark.operators.opic import opic_importance
+    from thecrowler_spark.sources.corpus import SEEDS_SCHEMA
+
+    crawled = prior_pages.select(F.col("url").alias("src")).distinct()
+    links = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.expr("filter(spans, s -> s.kind = 'link')")).alias("s"),
+    ).select("src", F.col("s.media_ref").alias("dst"))
+    edges = links.join(crawled, "src", "left_semi")
+    imp = opic_importance(edges, n_iter=n_rounds)
+
+    pid = F.regexp_extract("url", r"p([0-9]+)$", 1).cast("long")
+    # deterministic FIFO tie-break within equal importance: discovery
+    # order = the page id embedded in the URL
+    cands = (
+        edges.select(F.col("dst").alias("url"))
+        .distinct()
+        .join(crawled.select(F.col("src").alias("url")), "url", "left_anti")
+        .withColumn("_pid", pid)
+        .select(
+            F.col("_pid").alias("source_id"),
+            F.sha2(F.col("url"), 256).alias("source_uid"),
+            "url",
+            F.lit("high").alias("priority"),
+            F.lit("new").alias("status"),
+            F.lit(2).cast("int").alias("restricted"),
+            F.lit(False).alias("disabled"),
+            F.lit(0).cast("int").alias("flags"),
+            F.lit("{}").alias("config"),
+            (
+                F.lit("2024-01-01 00:00:00").cast("timestamp")
+                + F.expr("make_interval(0,0,0,0,0,0, CAST(_pid AS INT))")
+            ).alias("created_at"),
+        )
+    )
+    cands = cands.select(*[F.col(f.name).cast(f.dataType) for f in SEEDS_SCHEMA.fields])
+    imp_by_sid = imp.select(
+        F.regexp_extract("node", r"p([0-9]+)$", 1).cast("long").alias("source_id"),
+        "imp_fp",
+    )
+    return claim_sources(cands, n_seeds, importance=imp_by_sid)
+
+
 def main(argv: list[str] | None = None) -> None:
     args = parse_args(argv if argv is not None else sys.argv[1:])
 
@@ -156,6 +227,12 @@ def main(argv: list[str] | None = None) -> None:
         trap_cap=args.trap_cap,
         trap_threshold=args.trap_threshold,
     )
+    if args.opic_from:
+        prior_pages = spark.read.parquet(args.opic_from)
+        seeds = opic_seed_claim(
+            spark, docs, prior_pages, args.seeds, n_rounds=args.opic_rounds
+        )
+
     dust = None
     if args.dust_from:
         from pyspark.sql import functions as F

@@ -125,3 +125,52 @@ def test_claim_sources_opic_priority_valve(spark):
     imp2 = spark.createDataFrame([(3, 5)], "source_id long, imp_fp long")
     got2 = [r.source_id for r in claim_sources(seeds, limit=2, importance=imp2).collect()]
     assert got2 == [3, 1]
+
+
+def test_opic_seed_claim_resumes_crawl_at_the_richest_frontier(spark):
+    """--opic-from wiring: the next run's seeds are the
+    discovered-but-uncrawled pages ranked by OPIC importance over the
+    prior crawl's observed link graph — equal to an independent
+    recompute (opic_importance + pandas sort), and never a page the
+    prior run already fetched."""
+    from jobs.crawl_job import opic_seed_claim
+    from thecrowler_spark.sources.corpus import big_corpus_df
+
+    docs = big_corpus_df(spark, n_docs=80, n_hosts=5, links_per_page=3)
+    # prior run "crawled" the 10 lowest page ids
+    pid = F.regexp_extract("doc_id", r"p([0-9]+)$", 1).cast("long")
+    prior = (
+        docs.select("doc_id", pid.alias("p"))
+        .filter(F.col("p") < 10)
+        .select(F.col("doc_id").alias("url"))
+    )
+
+    claimed = opic_seed_claim(spark, docs, prior, n_seeds=6, n_rounds=2)
+    rows = claimed.collect()
+    assert len(rows) == 6
+    crawled_urls = {r.url for r in prior.collect()}
+    assert not crawled_urls & {r.url for r in rows}
+
+    # independent recompute of the expected order
+    links = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.expr("filter(spans, s -> s.kind = 'link')")).alias("s"),
+    ).select("src", F.col("s.media_ref").alias("dst"))
+    edges = links.join(prior.select(F.col("url").alias("src")), "src", "left_semi")
+    imp = {
+        r.node: r.imp_fp for r in opic_importance(edges, n_iter=2).collect()
+    }
+    frontier = {
+        r.dst for r in edges.select("dst").distinct().collect()
+    } - crawled_urls
+    import re
+
+    def key(u):
+        p = int(re.search(r"p([0-9]+)$", u).group(1))
+        return (-imp.get(u, 0), p, p)
+
+    expect = sorted(frontier, key=key)[:6]
+    assert [r.url for r in rows] == expect
+    # claimed frame carries the full seed schema the engine expects
+    for c in ("source_id", "source_uid", "restricted", "status", "created_at"):
+        assert c in claimed.columns
