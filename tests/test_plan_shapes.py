@@ -303,3 +303,32 @@ def test_opic_rounds_are_equijoin_partial_agg_no_window(spark):
     assert "partial_sum" in plan or "partial sum" in plan.lower()
     # the 1-row pot/N legs ride broadcasts, not shuffles
     assert "BroadcastExchange" in plan
+
+
+def test_opic_seed_claim_bounded_topk_no_cartesian(spark):
+    """The job-level OPIC re-seed (crawl_job --opic-from) must stay
+    equi-join-shaped end-to-end: no cartesian anywhere (the OPIC
+    rounds, the frontier anti-join, and the importance attachment are
+    all keyed joins), and the final importance ordering is the bounded
+    top-k (TakeOrderedAndProject), never a global Sort of the
+    candidate stream."""
+    from jobs.crawl_job import opic_seed_claim
+    from thecrowler_spark.sources.corpus import big_corpus_df
+
+    docs = big_corpus_df(spark, n_docs=200, n_hosts=8, links_per_page=3)
+    pid = F.regexp_extract("doc_id", r"p([0-9]+)$", 1).cast("long")
+    prior = (
+        docs.select("doc_id", pid.alias("p"))
+        .filter(F.col("p") < 20)
+        .select(F.col("doc_id").alias("url"))
+    )
+    plan = _plan(opic_seed_claim(spark, docs, prior, n_seeds=10, n_rounds=2))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # a GLOBAL Sort outside the top-k would mean the whole candidate
+    # frontier sorts on one ordering pass; the per-partition sorts of
+    # sort-merge joins (global=false) are fine
+    import re
+
+    globals_ = re.findall(r"\bSort \[[^\]]*\], true\b", plan)
+    assert not globals_, f"unexpected global Sort nodes: {len(globals_)}"
