@@ -4362,11 +4362,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     item 2). Policy: (a) never-driver-graded queries first, (b) queries
     whose implementation or oracle changed this round, (c) queries with
     the OLDEST last driver green, deferring multi-green stalwarts when
-    the registry (111) exceeds two windows. Goal: every oracled query's
+    the registry (118) exceeds two windows. Goal: every oracled query's
     last driver-green row is as recent as 50-slot rotation allows
-    (r5: the late-round never-graded queries — scraping engine,
-    semantic dedup, bigram LM — take the head per rule (a), deferring
-    14 r3-green stalwarts past the window; all 111 remain green in
+    (r5 window: 21 never-graded + the 3 r2-last queries + 19 r3-last +
+    7 changed-path r4 re-proves; every query OUTSIDE the window was
+    driver-green in r3 or later, and all 118 stay green in
     scripts/oracle_gate.py full-registry runs regardless of the driver
     window)."""
     return {
@@ -4405,15 +4405,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
+        # --- last driver green was r2 — OLDEST first per rule (c) ----
+        "url_combine": q_url_combine,
+        "events_recent": q_events_recent,
+        "webobjects_dedup": q_webobjects_dedup,
         # --- last driver green was r3 — rotate in -------------------
         "robots_wildcard": q_robots_wildcard,
-        "customer_quartiles": q_customer_quartiles,
-        "crawl_counters": q_crawl_counters,
         "dedup_lines": q_dedup_lines,
         "events_asof_bucketed": q_events_asof_bucketed,
         "search_netinfo": q_search_netinfo,
         "search_httpinfo": q_search_httpinfo,
-        "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "dataset_split": q_dataset_split,
         "dataset_pack": q_dataset_pack,
@@ -4506,9 +4507,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
-        "url_combine": q_url_combine,
-        "events_recent": q_events_recent,
-        "webobjects_dedup": q_webobjects_dedup,
+        # r1/r2/r3 triple- and double-greens deferred for the r2-last
+        # trio rotated into the head (rule c); green in the full gate.
+        "customer_quartiles": q_customer_quartiles,
+        "crawl_counters": q_crawl_counters,
+        "ann_lsh": q_ann_lsh,
     }
 
 
