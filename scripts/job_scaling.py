@@ -55,7 +55,12 @@ def _ceiling(lo: int, hi: int) -> float:
 
 
 def _submit(cores: int, args, workdir: str, tag: str) -> dict:
-    heap_mb = max(int(cores * 0.75 * 1024), 1024)
+    # Per-core heap mirrors a real cluster's executor memory scaling with
+    # N; the fixed base mirrors the driver, whose footprint (plans, the
+    # synthetic-corpus build, checkpoint bookkeeping) does not shrink at
+    # small N. Without the base, the N=2 leg OOMs on large jobs that the
+    # 4N leg survives — which would fake a >1 efficiency.
+    heap_mb = args.base_heap_mb + max(int(cores * 0.75 * 1024), 1024)
     cmd = [
         "spark-submit",
         "--master", f"local[{cores}]",
@@ -69,9 +74,14 @@ def _submit(cores: int, args, workdir: str, tag: str) -> dict:
     ]
     if os.path.exists("/usr/bin/taskset"):
         cmd = ["/usr/bin/taskset", "-c", f"0-{cores - 1}"] + cmd
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
-    last = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(last)
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=5400)
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        sys.stderr.write(f"# {tag}: spark-submit produced no JSON "
+                         f"(exit {out.returncode}); last stderr:\n")
+        sys.stderr.write("\n".join(out.stderr.strip().splitlines()[-40:]) + "\n")
+        raise RuntimeError(f"{tag} failed")
+    return json.loads(lines[-1])
 
 
 def main() -> None:
@@ -83,6 +93,8 @@ def main() -> None:
     p.add_argument("--lo", type=int, default=2)
     p.add_argument("--hi", type=int, default=8)
     p.add_argument("--runs", type=int, default=2)
+    p.add_argument("--base-heap-mb", type=int, default=3072,
+                   help="fixed driver-side heap added on top of 0.75g/core")
     args = p.parse_args()
 
     zip_path = os.path.join(REPO, "dist", "thecrowler_spark.zip")
@@ -109,7 +121,8 @@ def main() -> None:
         eff = (hi_t / lo_t) / (args.hi / args.lo)
         print(json.dumps({
             "metric": "spark-submit crawl_job URLs fetched+deduped/sec, "
-                      "CPU-pinned, heap 0.75g/core",
+                      "CPU-pinned, heap base+0.75g/core",
+            "base_heap_mb": args.base_heap_mb,
             "docs": args.docs, "seeds": args.seeds, "max_depth": args.max_depth,
             f"urls_per_sec_c{args.lo}": lo_t,
             f"urls_per_sec_c{args.hi}": hi_t,
