@@ -101,9 +101,16 @@ def build_inputs(spark, args):
         spark, n_docs=args.docs, n_hosts=args.hosts, links_per_page=args.links
     )
     # seeds = the N lowest page ids' URLs (guaranteed in-corpus),
-    # deterministic: ordered by the numeric page id embedded in the URL
+    # deterministic: the numeric page id embedded in the URL. The ids
+    # are dense 0..n_docs-1 by construction (big_corpus_df uses
+    # spark.range), so "the N lowest" is exactly `pid < N` — a fully
+    # parallel filter. An orderBy+limit here would plan a top-k that
+    # funnels every seed row through the driver/one partition, a
+    # serial phase that caps N->4N job scaling at large seed counts.
     pid = F.regexp_extract("doc_id", r"p([0-9]+)$", 1).cast("long")
-    seed_urls = docs.select("doc_id", pid.alias("pid")).orderBy("pid").limit(args.seeds)
+    seed_urls = docs.select("doc_id", pid.alias("pid")).filter(
+        F.col("pid") < args.seeds
+    )
     seeds = seed_urls.select(
         F.col("pid").alias("source_id"),
         F.sha2(F.col("doc_id"), 256).alias("source_uid"),
@@ -278,6 +285,21 @@ def main(argv: list[str] | None = None) -> None:
     pages_n = result.pages.count()
     visited_n = result.visited.count()
     elapsed = time.time() - t0
+    for row in result.lineage:
+        # per-round observability (north-rule lineage+metrics): one
+        # stderr line per BFS round so a scaling run can attribute
+        # wall time to rounds without re-reading checkpoints
+        print(
+            "# round {r}: {f} fetched, {s} skipped, {d} dup, "
+            "{e:.1f}s".format(
+                r=row.get("round"),
+                f=row.get("fetched", 0),
+                s=row.get("skipped", 0),
+                d=row.get("duplicates", 0),
+                e=row.get("elapsed_sec", 0.0),
+            ),
+            file=sys.stderr,
+        )
 
     index_snaps = None
     if args.write_index:

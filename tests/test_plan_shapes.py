@@ -332,3 +332,31 @@ def test_opic_seed_claim_bounded_topk_no_cartesian(spark):
 
     globals_ = re.findall(r"\bSort \[[^\]]*\], true\b", plan)
     assert not globals_, f"unexpected global Sort nodes: {len(globals_)}"
+
+
+def test_job_seed_leg_is_parallel_filter(spark):
+    """crawl_job's seed derivation ("the N lowest page ids") must plan
+    as a parallel filter over the dense id space — never a top-k /
+    global limit, which funnels every seed row through one partition
+    (or the driver) and shows up as a serial phase that caps the
+    job-level N->4N scaling pair at large seed counts. The seed set is
+    identical either way because big_corpus_df ids are dense 0..n-1."""
+    import argparse
+
+    from jobs.crawl_job import build_inputs
+
+    args = argparse.Namespace(
+        docs=500, hosts=8, links=3, seeds=50, budget_per_round=100
+    )
+    docs, seeds, robots, budgets = build_inputs(spark, args)
+    plan = _plan(seeds)
+    assert "TakeOrderedAndProject" not in plan
+    assert "CollectLimit" not in plan
+    assert "GlobalLimit" not in plan
+    import re
+
+    globals_ = re.findall(r"\bSort \[[^\]]*\], true\b", plan)
+    assert not globals_, f"unexpected global Sort nodes: {len(globals_)}"
+    # and the set semantics hold: exactly the N lowest dense ids
+    got = sorted(r["source_id"] for r in seeds.select("source_id").collect())
+    assert got == list(range(50))

@@ -450,11 +450,22 @@ class CrawlEngine:
             from .dust import dust_param_dim
 
             self._dust_dim = dust_param_dim(dust_rules).persist()
+        #: full parse (langid, keywords, content_hash, …) for index-star
+        #: consumers only — persist() is lazy, so a crawl that never
+        #: reads .parsed (the common case) never pays for it
         self.parsed = SP.parse_documents(documents).persist()
-        # slim projection used by the fetch join (column pruning by hand
-        # so the join never drags body/spans through the shuffle)
-        self.fetch_side = self.parsed.select(
-            F.col("doc_id"), F.col("links"), F.col("title")
+        # slim fetch-join projection built DIRECTLY from the raw corpus:
+        # the crawl loop needs only (doc_id, links, title), all cheap
+        # span projections. Deriving this from self.parsed would chain
+        # the caches — materializing the fetch side would force the full
+        # parse of the ENTIRE corpus (trigram langid + keyword sort +
+        # sha256 per doc) before the first fetch, an O(corpus) round-0
+        # phase the frontier never uses; at 10^10 URLs the corpus side
+        # must stay a lazy scan that the fetch equi-join prunes.
+        self.fetch_side = documents.select(
+            F.col("doc_id"),
+            SP.extracted_links(F.col("spans")).alias("links"),
+            SP.title(F.col("spans")).alias("title"),
         ).persist()
 
     def _seen_norm(self, c) -> F.Column:
