@@ -52,7 +52,10 @@ minhash-signature keys (cross-batch fuzzy dedup, signature-equality
 rule), and cumulative line counts (a footer below the boilerplate
 threshold in every single batch still trips it cumulatively) — the
 pipeline twin of the crawl engine's chained visited set. Shipped
-batches are never retro-edited.
+batches are never retro-edited. All three state merges are
+replay-idempotent: hashes/sigs via distinct unions, line counts via
+per-batch tags (--batch-tag), so at-least-once redelivery never
+over-counts.
 
 Scale notes: every stage is shuffle-bounded the same way the graded
 queries are (band-key equi-joins for LSH, hash-keyed line dedup,
@@ -64,6 +67,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -107,6 +111,13 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                         "cross-batch fuzzy dedup (full-signature keys), and "
                         "cumulative boilerplate line counts — the continuous-"
                         "feed twin of the crawl engine's chained visited set")
+    p.add_argument("--batch-tag", default=None,
+                   help="idempotency key for this batch's line-count state "
+                        "contribution (default: basename of --output). A "
+                        "replayed batch REPLACES its own tagged rows instead "
+                        "of re-adding them, so at-least-once redelivery "
+                        "(streaming foreachBatch, CLI retry on the same "
+                        "output dir) never over-counts")
     p.add_argument("--budget", type=int, default=2048, help="tokens per pack")
     p.add_argument("--buckets", type=int, default=64, help="packing streams")
     p.add_argument("--train", type=float, default=0.98)
@@ -267,24 +278,50 @@ def run_pipeline(spark, args, docs_df=None) -> dict:
 
     # incremental state (--state): prior-batch knowledge arrives as
     # LakeTable snapshots. Commit order at the end is hashes → sigs →
-    # line counts; hash/sig replays are idempotent (distinct unions),
-    # a line-count replay over-counts (counts only grow, so boilerplate
-    # can only trip the threshold EARLIER — the conservative direction).
+    # line counts. ALL three state tables are tag-scoped: every row
+    # carries the batch_tag that contributed it, and the prior state a
+    # batch READS excludes its own tag — so a replayed batch (streaming
+    # foreachBatch at-least-once, CLI retry on the same output dir)
+    # sees exactly the state the first delivery saw, re-derives the
+    # same outputs (its own committed hashes can't shadow its docs as
+    # exact_dup_prior), and its commit REPLACES its earlier tagged
+    # rows instead of re-adding them. Tags stay bounded (≤ 2): each
+    # commit folds every other tag into `_compacted` — durable by then,
+    # since only the LATEST batch can be redelivered.
     lake_hashes = lake_sigs = lake_lines = None
     prior_hashes = prior_sigs = prior_lines = None
     new_hashes = new_sigs = batch_lines = None
+    prior_hashes_other = prior_sigs_other = prior_lines_other = None
+    batch_tag = args.batch_tag or os.path.basename(args.output.rstrip("/")) or "_batch"
+
+    def _read_tagged(lake):
+        """All state rows EXCEPT this batch's tag (None if no snapshot).
+        Legacy untagged snapshots read as one `_compacted` tag."""
+        if lake.current_snapshot() is None:
+            return None
+        raw = lake.read()
+        if "batch_tag" not in raw.columns:
+            raw = raw.withColumn("batch_tag", F.lit("_compacted"))
+        return raw.filter(F.col("batch_tag") != batch_tag)
+
     if args.state:
         from thecrowler_spark.sources.lake import LakeTable
 
         lake_hashes = LakeTable(spark, f"{args.state}/seen_hashes")
         lake_sigs = LakeTable(spark, f"{args.state}/sig_keys")
         lake_lines = LakeTable(spark, f"{args.state}/line_counts")
-        if lake_hashes.current_snapshot() is not None:
-            prior_hashes = lake_hashes.read()
-        if lake_sigs.current_snapshot() is not None:
-            prior_sigs = lake_sigs.read()
-        if lake_lines.current_snapshot() is not None:
-            prior_lines = lake_lines.read()
+        prior_hashes_other = _read_tagged(lake_hashes)
+        if prior_hashes_other is not None:
+            prior_hashes = prior_hashes_other.select("content_hash").distinct()
+        prior_sigs_other = _read_tagged(lake_sigs)
+        if prior_sigs_other is not None:
+            prior_sigs = prior_sigs_other.select("sig_key").distinct()
+        prior_lines_other = _read_tagged(lake_lines)
+        if prior_lines_other is not None:
+            prior_lines = (
+                prior_lines_other.groupBy("line_hash")
+                .agg(F.sum("n_occurrences").alias("n_occurrences"))
+            )
 
     _content_hash = F.sha2(TX.normalize_text("text"), 256)
 
@@ -632,25 +669,38 @@ def run_pipeline(spark, args, docs_df=None) -> dict:
         manifest["dropped_rows"] = spark.read.parquet(f"{out}/dropped").count()
 
     # state commits last, each a LakeTable snapshot (outputs already on
-    # disk; see replay note above)
+    # disk). Shape shared by all three: fold every other tag into
+    # `_compacted` + this batch's rows under its own tag (see the
+    # replay-idempotency note at the state-read block). A replayed
+    # batch re-derives identical batch rows from identical prior state,
+    # so the rewrite is a no-op rather than an over-count.
+    def _commit_tagged(lake, prior_other, batch_rows, fold, cols):
+        tagged = batch_rows.withColumn("batch_tag", F.lit(batch_tag))
+        if prior_other is None:
+            merged = tagged
+        else:
+            merged = fold(prior_other).withColumn(
+                "batch_tag", F.lit("_compacted")
+            ).unionByName(tagged)
+        return lake.write(merged.select("batch_tag", *cols))
+
     if lake_hashes is not None and new_hashes is not None:
-        merged = new_hashes if prior_hashes is None else (
-            prior_hashes.select("content_hash").unionByName(new_hashes).distinct()
+        manifest["state_seen_hashes"] = _commit_tagged(
+            lake_hashes, prior_hashes_other, new_hashes,
+            lambda p: p.select("content_hash").distinct(), ["content_hash"],
         )
-        manifest["state_seen_hashes"] = lake_hashes.write(merged)
     if lake_sigs is not None and new_sigs is not None:
-        merged = new_sigs if prior_sigs is None else (
-            prior_sigs.select("sig_key").unionByName(new_sigs).distinct()
+        manifest["state_sig_keys"] = _commit_tagged(
+            lake_sigs, prior_sigs_other, new_sigs,
+            lambda p: p.select("sig_key").distinct(), ["sig_key"],
         )
-        manifest["state_sig_keys"] = lake_sigs.write(merged)
     if lake_lines is not None and batch_lines is not None:
-        merged = batch_lines if prior_lines is None else (
-            prior_lines.select("line_hash", "n_occurrences")
-            .unionByName(batch_lines)
-            .groupBy("line_hash")
-            .agg(F.sum("n_occurrences").alias("n_occurrences"))
+        manifest["state_line_counts"] = _commit_tagged(
+            lake_lines, prior_lines_other, batch_lines,
+            lambda p: p.groupBy("line_hash").agg(
+                F.sum("n_occurrences").alias("n_occurrences")
+            ), ["line_hash", "n_occurrences"],
         )
-        manifest["state_line_counts"] = lake_lines.write(merged)
 
     if sources_dim is not None:
         sources_dim.unpersist()

@@ -149,6 +149,86 @@ def test_pipeline_incremental_state(spark, tmp_path):
     assert "fresh fourth piece" in t2[23]  # the real content survived
 
 
+def test_pipeline_incremental_replay_idempotent(spark, tmp_path):
+    """At-least-once redelivery: re-running a batch against the same
+    state dir with the same --batch-tag (here: the same output dir)
+    REPLACES its line-count contribution instead of re-adding it.
+
+    Planted distinction: the footer appears 2x in b1 and 1x in b2 —
+    cumulative 3. A doc in b3 carries it once more: 3+1=4 <= 4, so the
+    footer must SHIP in b3. Under the old always-add merge, replaying
+    b2 would push the prior count to 4, and b3 would see 4+1=5 > 4 and
+    wrongly drop the footer. Also pins the bounded-state invariant
+    (<= 2 tags after any number of batches)."""
+    footer = "subscribe to our newsletter today please friends"
+    bodies = [
+        "a healthy article with plenty of distinct informative tokens "
+        "covering many separate topics like rivers mountains forests "
+        "deserts oceans climates seasons minerals animals and plants",
+        "an entirely separate essay describing how glaciers carve wide "
+        "valleys through ancient granite over countless winters "
+        "leaving moraines and polished stone behind the melting ice",
+        "completely different document about spark query planning with "
+        "many distinct useful tokens covering shuffles joins windows "
+        "aggregates partitions codegen pushdown pruning skew salting",
+        "a fresh fourth piece on tidal estuaries where brackish water "
+        "mixes daily nutrients feeding migratory birds crabs oysters "
+        "and seagrass meadows along the shifting muddy channels",
+    ]
+    batches = [
+        [(1, "\n".join([bodies[0], footer, bodies[1], footer]))],   # footer x2
+        [(2, "\n".join([bodies[2], footer]))],                      # footer x1
+        [(3, "\n".join([bodies[3], footer]))],                      # footer x1
+    ]
+    state = str(tmp_path / "state")
+    outs = []
+
+    def _tree(out):
+        docs = {(r["doc_id"], r["text"]) for r in
+                spark.read.parquet(out + "/documents").select("doc_id", "text").collect()}
+        try:
+            dropped = {(r["doc_id"], r["reason"]) for r in
+                       spark.read.parquet(out + "/dropped").collect()}
+        except Exception:
+            dropped = set()
+        return docs, dropped
+
+    for i, rows in enumerate(batches):
+        inp = str(tmp_path / f"in{i}")
+        out = str(tmp_path / f"out{i}")
+        outs.append(out)
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(inp)
+        argv = ["--input", inp, "--output", out, "--state", state,
+                "--budget", "64", "--buckets", "2"]
+        m_first = run_pipeline(spark, parse_args(argv))
+        if i == 1:  # redeliver batch 2: same input, output dir, tag
+            first_tree = _tree(out)
+            m_replay = run_pipeline(spark, parse_args(argv))
+            # the replayed delivery re-derives the SAME outputs — its
+            # own committed hashes must not shadow its docs as
+            # exact_dup_prior / fuzzy_dup_prior
+            assert _tree(out) == first_tree
+            assert first_tree[0]  # non-vacuous: the batch shipped docs
+            assert m_replay["stages"] == m_first["stages"]
+
+    # the replay did not inflate the cumulative count: b3 ships the footer
+    t3 = {r["doc_id"]: r["text"] for r in
+          spark.read.parquet(outs[2] + "/documents").select("doc_id", "text").collect()}
+    assert footer in t3[3]
+
+    # bounded tagged state: everything except the latest tag is folded
+    from thecrowler_spark.sources.lake import LakeTable
+    st = LakeTable(spark, f"{state}/line_counts").read()
+    tags = {r["batch_tag"] for r in st.select("batch_tag").distinct().collect()}
+    assert tags == {"_compacted", "out2"}
+    from pyspark.sql import functions as F
+    footer_hash_count = (
+        st.filter(F.col("line_hash") == F.xxhash64(F.lit(footer)))
+        .agg(F.sum("n_occurrences")).collect()[0][0]
+    )
+    assert footer_hash_count == 4  # 2 + 1 + 1, replay invisible
+
+
 def test_pipeline_model_filter_and_span_stage(spark, tmp_path):
     """--model-weights drops exactly the doc the classifier scores
     negative; --span-w strips a corpus-repeated token run from both

@@ -16,12 +16,13 @@ per trigger) produces byte-identical outputs to two sequential
 ``run_pipeline`` calls with the same state dir — asserted by
 tests/test_streaming_curation.py.
 
-Failure/replay: foreachBatch is at-least-once; on a replayed batch the
-hash/sig state merges are idempotent (distinct unions) and line counts
-over-count in the conservative direction (boilerplate trips earlier) —
-see run_pipeline's state-commit note. The per-batch output directory
-is keyed by batch_id, so a replay overwrites its own tree rather than
-corrupting a neighbor's.
+Failure/replay: foreachBatch is at-least-once; a replayed batch is
+fully idempotent — hash/sig state merges are distinct unions, and line
+counts are tagged per batch (the tag derives from the
+``batch=<id>`` output basename) so a replay REPLACES its own
+contribution instead of re-adding it — see run_pipeline's state-commit
+note. The per-batch output directory is keyed by batch_id, so a
+replay overwrites its own tree rather than corrupting a neighbor's.
 """
 
 from __future__ import annotations
