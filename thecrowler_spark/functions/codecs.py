@@ -53,6 +53,12 @@ def sample_pattern(n: int, seed: int) -> np.ndarray:
 # ------------------------------------------------------------------- PPM
 
 
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Encode one (h, w, 3) uint8 array as binary PPM (P6, maxval 255)."""
+    h, w = img.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + img.tobytes()
+
+
 def make_ppm(w: int, h: int, seed: int, frames: int = 1) -> bytes:
     """Binary PPM (P6, maxval 255). ``frames > 1`` concatenates
     multiple images in one stream — the Netpbm spec explicitly allows
@@ -60,8 +66,7 @@ def make_ppm(w: int, h: int, seed: int, frames: int = 1) -> bytes:
     frame sampling."""
     out = bytearray()
     for f in range(frames):
-        out += f"P6\n{w} {h}\n255\n".encode("ascii")
-        out += pixel_pattern(w, h, seed + f).tobytes()
+        out += encode_ppm(pixel_pattern(w, h, seed + f))
     return bytes(out)
 
 
@@ -109,7 +114,12 @@ def decode_ppm(data: bytes) -> list[np.ndarray]:
 def make_bmp(w: int, h: int, seed: int) -> bytes:
     """24-bit uncompressed (BI_RGB) bottom-up BMP with the standard
     4-byte row padding; pixel order BGR per the format."""
-    img = pixel_pattern(w, h, seed)
+    return encode_bmp(pixel_pattern(w, h, seed))
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Encode one (h, w, 3) uint8 array as 24-bit BI_RGB BMP."""
+    h, w = img.shape[:2]
     row_bytes = w * 3
     pad = (4 - row_bytes % 4) % 4
     raster = bytearray()
@@ -180,7 +190,14 @@ def make_png(w: int, h: int, seed: int) -> bytes:
     genuine defiltering — a decoder that merely strips the filter byte
     reconstructs wrong pixels on every row past the first and fails the
     pattern hash (the encoder/decoder-separation rule above)."""
-    img = pixel_pattern(w, h, seed).astype(np.int64)
+    return encode_png(pixel_pattern(w, h, seed))
+
+
+def encode_png(img_u8: np.ndarray) -> bytes:
+    """Encode one (h, w, 3) uint8 array as 8-bit RGB non-interlaced
+    PNG with the cycling 0..4 scanline filters (see :func:`make_png`)."""
+    img = img_u8.astype(np.int64)
+    h, w = img.shape[:2]
     raw = bytearray()
     prev = np.zeros((w, _PNG_BPP), dtype=np.int64)
     for y in range(h):
@@ -342,3 +359,93 @@ def resize_nearest(img: np.ndarray, tw: int, th: int) -> np.ndarray:
     ys = (np.arange(th, dtype=np.int64) * h) // th
     xs = (np.arange(tw, dtype=np.int64) * w) // tw
     return img[ys][:, xs]
+
+
+# ------------------------------------------------- perceptual hashing
+
+#: aHash grid — 8×8 cells → 64-bit hash (the classic average-hash).
+AHASH_GRID = 8
+
+
+def neardup_pattern(w: int, h: int, seed: int) -> np.ndarray:
+    """Deterministic (h, w, 3) uint8 image with COARSE structure: each
+    of the 8×8 aHash-aligned regions is pinned clearly light (200±8) or
+    dark (40±8) by a per-(cell, seed) integer hash, plus fine per-pixel
+    noise. Unlike :func:`pixel_pattern` (affine in seed — its aHash is
+    seed-invariant because every cell mean shifts uniformly), two seeds
+    here differ in ~half the coarse cells, so cross-seed Hamming
+    distance is large while single-pixel perturbations cannot move a
+    cell mean across the ~480-gray-unit light/dark gap. That is the
+    property the near-dup fixtures need: container changes and small
+    retouches stay within the radius; different images never do."""
+    y = np.arange(h, dtype=np.uint64)[:, None, None]
+    x = np.arange(w, dtype=np.uint64)[None, :, None]
+    c = np.arange(3, dtype=np.uint64)[None, None, :]
+    ci = (y * np.uint64(AHASH_GRID)) // np.uint64(h)
+    cj = (x * np.uint64(AHASH_GRID)) // np.uint64(w)
+    hb = (
+        ci * np.uint64(2654435761)
+        + cj * np.uint64(2246822519)
+        + np.uint64(seed) * np.uint64(668265263)
+    )
+    hb = (hb ^ (hb >> np.uint64(13))) * np.uint64(1274126177)
+    coarse = np.where(((hb >> np.uint64(17)) & np.uint64(1)).astype(bool), 200, 40)
+    fine = (
+        x * np.uint64(31) + y * np.uint64(37) + c * np.uint64(41)
+        + np.uint64(seed) * np.uint64(43)
+    )
+    fine = ((fine * np.uint64(2654435761)) >> np.uint64(24)) % np.uint64(17)
+    return (coarse + fine.astype(np.int64) - 8).astype(np.uint8)
+
+
+def spot_perturb(img: np.ndarray, n_spots: int, seed: int) -> np.ndarray:
+    """Set ``n_spots`` deterministic single pixels to white — the
+    small-retouch perturbation (dust spec / watermark pixel) that a
+    perceptual hash must shrug off."""
+    out = img.copy()
+    h, w = img.shape[:2]
+    for s in range(n_spots):
+        out[(seed * 7 + s * 13) % h, (seed * 11 + s * 17) % w] = 255
+    return out
+
+
+def fill_cell(img: np.ndarray, ci: int, cj: int, value: int = 255) -> np.ndarray:
+    """Fill one aHash grid cell with a constant — the LARGE local edit
+    (pasted logo / redaction box) that should flip at most a bit or two
+    of the hash but keep the pair inside a small Hamming radius."""
+    out = img.copy()
+    h, w = img.shape[:2]
+    g = AHASH_GRID
+    out[(ci * h) // g : ((ci + 1) * h) // g, (cj * w) // g : ((cj + 1) * w) // g] = value
+    return out
+
+
+def ahash64(img: np.ndarray) -> int:
+    """64-bit average hash: mean gray (r+g+b, integer) per 8×8 grid
+    cell; bit k (row-major, bit 0 = MSB) is 1 iff cell k's mean exceeds
+    the mean of the 64 cell means. Exact integer arithmetic via
+    Fractions (cells differ in pixel count when dims aren't multiples
+    of 8), so the value is bit-reproducible across engines. Returned as
+    a SIGNED int64 (two's complement) so it round-trips through Spark
+    LongType and DuckDB BIGINT unchanged."""
+    from fractions import Fraction
+
+    h, w = img.shape[:2]
+    g = AHASH_GRID
+    gray = img.astype(np.int64).sum(axis=2)
+    ys = [(i * h) // g for i in range(g + 1)]
+    xs = [(j * w) // g for j in range(g + 1)]
+    means = [
+        Fraction(
+            int(gray[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].sum()),
+            (ys[i + 1] - ys[i]) * (xs[j + 1] - xs[j]),
+        )
+        for i in range(g)
+        for j in range(g)
+    ]
+    thr = sum(means) / (g * g)
+    hv = 0
+    for k, m in enumerate(means):
+        if m > thr:
+            hv |= 1 << (63 - k)
+    return hv - (1 << 64) if hv >= (1 << 63) else hv

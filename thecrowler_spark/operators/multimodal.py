@@ -454,3 +454,171 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 8) -> D
             )
 
     return df.mapInPandas(batches, FRAMES_SCHEMA)
+
+
+# ----------------------------------------------- perceptual near-dup
+
+#: near-dup fixture spec: (container, edit) per variant of each image
+#: group. v0..v2 are the SAME pixels in three containers (the
+#: mirror-hosted-copy case); v3/v4 add 1–2 single-pixel spots (small
+#: retouch); v5 pastes a white block over one aHash cell (logo /
+#: redaction). All six must land within MEDIA_HAMMING of each other;
+#: different groups (different neardup_pattern seeds) are ≥ ~20 bits
+#: apart — measured in tests/test_media_phash.py.
+NEARDUP_VARIANTS: "list[tuple[str, str]]" = [
+    ("ppm", "none"),
+    ("bmp", "none"),
+    ("png", "none"),
+    ("ppm", "spot1"),
+    ("bmp", "spot2"),
+    ("png", "cell"),
+]
+NEARDUP_W, NEARDUP_H = 24, 16
+N_NEARDUP_GROUPS = 12
+#: Hamming radius for media near-dups. With 4×16-bit chunk blocking,
+#: radius ≤ 3 is pigeonhole-EXACT: a pair within the radius shares at
+#: least one chunk, so the banded equi-join has perfect recall.
+MEDIA_HAMMING = 3
+
+
+def neardup_image(group: int, variant: int):
+    """Decoded (h, w, 3) pixels for a (group, variant) pair — the
+    ground-truth pixel content both the fixture bytes and the oracle's
+    expected aHash derive from."""
+    from thecrowler_spark.functions import codecs as C
+
+    img = C.neardup_pattern(NEARDUP_W, NEARDUP_H, seed=1000 + group * 97)
+    edit = NEARDUP_VARIANTS[variant][1]
+    if edit == "spot1":
+        img = C.spot_perturb(img, 1, seed=group * 31 + variant)
+    elif edit == "spot2":
+        img = C.spot_perturb(img, 2, seed=group * 31 + variant)
+    elif edit == "cell":
+        img = C.fill_cell(img, 2, 3)
+    return img
+
+
+@lru_cache(maxsize=None)
+def neardup_payload(group: int, variant: int) -> bytes:
+    """Encoded fixture bytes for (group, variant) in the variant's
+    container format. Cached — the fixture set is small and immutable."""
+    from thecrowler_spark.functions import codecs as C
+
+    img = neardup_image(group, variant)
+    fmt = NEARDUP_VARIANTS[variant][0]
+    enc = {"ppm": C.encode_ppm, "bmp": C.encode_bmp, "png": C.encode_png}[fmt]
+    return enc(img)
+
+
+def neardup_ext(variant: int) -> str:
+    return NEARDUP_VARIANTS[variant][0]
+
+
+def attach_neardup_payloads(
+    refs: DataFrame, group_col: str = "grp", variant_col: str = "variant"
+) -> DataFrame:
+    """Attach near-dup fixture bytes via an Arrow-batched pandas UDF."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def synth(g: pd.Series, v: pd.Series) -> pd.Series:
+        return pd.Series(
+            [neardup_payload(int(gi), int(vi)) for gi, vi in zip(g, v)]
+        )
+
+    return refs.withColumn(
+        "payload", synth(F.col(group_col), F.col(variant_col))
+    ).withColumn("media_type", media_type_expr(F.col("media_ref")))
+
+
+PHASH_SCHEMA = "media_ref string, media_type string, phash long"
+
+
+def media_phash(df: DataFrame) -> DataFrame:
+    """Perceptual average-hash over REAL decoded pixels: decode the
+    binary payload (PPM/BMP/PNG), 8×8 block-mean aHash → signed 64-bit
+    ``phash`` (functions/codecs.ahash64). The content-addressable key
+    for image near-dup at corpus scale: computed once per object in an
+    Arrow-batched ``mapInPandas`` pass that fuses into the scan — no
+    shuffle, no driver involvement. Non-image (or compressed-format)
+    payloads raise, same contract as decode_media_real."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from thecrowler_spark.functions import codecs as C
+
+        dec = {
+            "image/x-portable-pixmap": lambda b: C.decode_ppm(b)[0],
+            "image/bmp": C.decode_bmp,
+            "image/png": C.decode_png,
+        }
+        for pdf in it:
+            hashes = []
+            for payload, mtype in zip(pdf["payload"], pdf["media_type"]):
+                if mtype not in dec:
+                    raise NotImplementedError(
+                        f"perceptual hash of {mtype} requires pillow/libav — "
+                        "not in this container"
+                    )
+                hashes.append(C.ahash64(dec[mtype](bytes(payload))))
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "media_type": pdf["media_type"],
+                    "phash": pd.array(hashes, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, PHASH_SCHEMA)
+
+
+def media_near_dups(
+    sig: DataFrame,
+    ref_col: str = "media_ref",
+    hash_col: str = "phash",
+    max_hamming: int = MEDIA_HAMMING,
+) -> DataFrame:
+    """Near-dup image pairs by aHash Hamming distance, blocked on the
+    four 16-bit chunks of the hash — the same pigeonhole blocking as
+    text SimHash (operators/dedup.simhash_near_dups): distance ≤ 3 ⇒
+    at least one chunk equal, so candidates come from 4 equi-joins on
+    8-byte-ish keys, NEVER an all-pairs product. At 10^10 images the
+    join shuffles on (chunk_idx, chunk) — hot chunks are bounded by
+    near-identical image clusters, the thing the operator exists to
+    find. Output: (ref_a, ref_b, hamming), ref_a < ref_b."""
+    chunk = [
+        F.shiftrightunsigned(F.col(hash_col), 48 - 16 * c).bitwiseAND(F.lit(0xFFFF))
+        for c in range(4)
+    ]
+    chunks = sig.select(
+        F.col(ref_col).alias("id"),
+        F.col(hash_col).alias("ph"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(c).alias("chunk_idx"), chunk[c].alias("chunk"))
+                for c in range(4)
+            ])
+        ).alias("ch"),
+    ).select("id", "ph", "ch.chunk_idx", "ch.chunk")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("ref_a"),
+            F.col("b.id").alias("ref_b"),
+            F.col("a.ph").alias("ph_a"),
+            F.col("b.ph").alias("ph_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("ref_a", "ref_b", "hamming")
+    )
