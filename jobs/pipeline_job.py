@@ -130,6 +130,12 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                         "sum, skew-safe); requires a 'source' input column. "
                         "Docs beyond their source's budget drop as "
                         "'mixture_budget'")
+    p.add_argument("--media", default=None,
+                   help="media parquet (media_ref, payload binary, media_type) — "
+                        "perceptual image dedup stage: real decode → aHash → "
+                        "chunk-blocked Hamming pairs → connected components; "
+                        "writes out/media_pairs + out/media_kept (min-ref "
+                        "representative per near-dup group)")
     p.add_argument("--links", default=None,
                    help="crawl links parquet (src, dst, anchor) for --anchor-corpus")
     p.add_argument("--anchor-corpus", action="store_true",
@@ -661,6 +667,34 @@ def run_pipeline(spark, args, docs_df=None) -> dict:
             roll = roll.join(margins_by_source, "source", "left")
         roll.write.mode("overwrite").parquet(f"{out}/sources")
         manifest["stages"]["source_rollup"] = spark.read.parquet(f"{out}/sources").count()
+    # 8b. perceptual media dedup (optional, --media): aHash over real
+    #     decoded pixels (Arrow mapInPandas, fuses into the scan) →
+    #     16-bit-chunk-blocked Hamming pairs (pigeonhole-exact at
+    #     radius 3, never all-pairs) → min-label components → keep the
+    #     MIN ref of each near-dup group (deterministic; groups are
+    #     mirror copies + small retouches, so any member is a faithful
+    #     representative). Media that pairs with nothing passes through.
+    if getattr(args, "media", None):
+        from thecrowler_spark.operators import multimodal as MM
+        from thecrowler_spark.operators.dedup import connected_components
+
+        media_sig = MM.media_phash(spark.read.parquet(args.media)).persist()
+        manifest["stages"]["media_in"] = media_sig.count()
+        media_pairs = MM.media_near_dups(media_sig).persist()
+        manifest["stages"]["media_pairs"] = media_pairs.count()
+        comps = connected_components(media_pairs, "ref_a", "ref_b")
+        losers = comps.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias("media_ref")
+        )
+        media_kept = media_sig.join(losers, "media_ref", "left_anti")
+        media_pairs.write.mode("overwrite").parquet(f"{out}/media_pairs")
+        media_kept.write.mode("overwrite").parquet(f"{out}/media_kept")
+        manifest["stages"]["media_kept"] = spark.read.parquet(
+            f"{out}/media_kept"
+        ).count()
+        media_pairs.unpersist()
+        media_sig.unpersist()
+
     if dropped_parts:
         d = dropped_parts[0]
         for part in dropped_parts[1:]:

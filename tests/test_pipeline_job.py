@@ -545,3 +545,46 @@ def test_pipeline_keep_policy_best(spark, tmp_path):
     kept_best = {r["doc_id"] for r in spark.read.parquet(out_best + "/documents").collect()}
     assert 1 in kept_min and 5 not in kept_min
     assert 5 in kept_best and 1 not in kept_best
+
+
+def test_pipeline_media_dedup_stage(spark, tmp_path):
+    """--media: planted near-dup image groups (same pixels in three
+    containers + retouches) collapse to their min ref; the singleton
+    group passes through untouched; pairs and kept sets are exact."""
+    from thecrowler_spark.operators import multimodal as MM
+
+    rows = []
+    # groups 0 and 1: all six variants (mirror copies + retouches)
+    for g in (0, 1):
+        for v in range(len(MM.NEARDUP_VARIANTS)):
+            rows.append((f"https://img.example.com/g{g}v{v}.{MM.neardup_ext(v)}", g, v))
+    # group 2: a single lone image — no near-dup, must pass through
+    rows.append(("https://img.example.com/g2v0.ppm", 2, 0))
+    refs = spark.createDataFrame(rows, "media_ref string, grp int, variant int")
+    media_path = str(tmp_path / "media.parquet")
+    MM.attach_neardup_payloads(refs).select(
+        "media_ref", "payload", "media_type"
+    ).write.parquet(media_path)
+
+    docs_path = str(tmp_path / "docs.parquet")
+    out = str(tmp_path / "out")
+    mk = lambda i: " ".join(f"doc{i}tok{j}" for j in range(40))
+    spark.createDataFrame(
+        [(i, mk(i)) for i in range(1, 4)], "doc_id long, text string"
+    ).write.parquet(docs_path)
+
+    args = parse_args(
+        ["--input", docs_path, "--output", out, "--media", media_path]
+    )
+    m = run_pipeline(spark, args)
+    assert m["stages"]["media_in"] == 13
+    # C(6,2) pairs within each of the two full groups, none across
+    assert m["stages"]["media_pairs"] == 2 * 15
+    # one representative per full group + the singleton
+    assert m["stages"]["media_kept"] == 3
+    kept = {r.media_ref for r in spark.read.parquet(f"{out}/media_kept").collect()}
+    assert kept == {
+        min(f"https://img.example.com/g{g}v{v}.{MM.neardup_ext(v)}"
+            for v in range(len(MM.NEARDUP_VARIANTS)))
+        for g in (0, 1)
+    } | {"https://img.example.com/g2v0.ppm"}
