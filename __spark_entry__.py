@@ -4458,6 +4458,346 @@ def _pipeline_incremental_oracle_sql() -> str:
     """
 
 
+# --------------------------------------------------------- RSS/Atom feeds
+
+def _feed_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic RSS/Atom corpus over documents: doc_id%5 picks the
+    feed kind (0/1 rss, 2 atom, 3 blank, 4 malformed); item fields are
+    md5(doc_id,pos) tokens plus arithmetic rotations so the oracle can
+    recompute every expected value from the raw table without parsing
+    XML. Exercises: root-relative + absolute + guid-fallback links, the
+    rel="alternate" Atom link pick, description→content snippet
+    fallback, RFC1123Z / RFC3339-offset / unparseable pubDate layouts,
+    published→updated fallback, element categories vs term+label
+    attribute categories, author+dc:creator vs name/email blocks."""
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    i = F.col("doc_id")
+    s = i.cast("string")
+    m = i % 5
+    dd = F.lpad((1 + i % 25).cast("string"), 2, "0")
+    feed_url = F.concat(F.lit("https://feeds.example.com/f"), s, F.lit("/feed.xml"))
+
+    def tok(p: int) -> Column:
+        return F.substring(
+            F.md5(F.concat(F.lit("fd-"), s, F.lit(f"-{p}"))), 1, 8
+        )
+
+    def rss_item(p: int) -> Column:
+        link = {
+            0: F.concat(F.lit("<link>/a/"), s, F.lit("/x</link>")),
+            1: F.lit(""),  # absent → guid fallback
+            2: F.concat(F.lit("<link>https://x.example.com/"), s, F.lit("/c</link>")),
+        }[p]
+        guid = (
+            F.concat(F.lit("<guid>https://g.example.com/"), s, F.lit("</guid>"))
+            if p == 1
+            else F.concat(F.lit("<guid>rss-"), s, F.lit(f"-{p}</guid>"))
+        )
+        desc = (
+            F.lit("")  # absent → content fallback
+            if p == 1
+            else F.concat(F.lit("<description>Desc "), tok(p), F.lit("</description>"))
+        )
+        pub = {
+            0: F.concat(F.lit("<pubDate>Tue, "), dd, F.lit(" Jan 2024 06:07:08 +0000</pubDate>")),
+            1: F.concat(F.lit("<pubDate>not a date "), tok(p), F.lit("</pubDate>")),
+            2: F.concat(F.lit("<pubDate>2024-03-"), dd, F.lit("T05:00:00+02:00</pubDate>")),
+        }[p]
+        return F.concat(
+            F.lit("<item><title>Title "), tok(p), F.lit("</title>"),
+            link, guid, desc,
+            F.lit("<content:encoded>Body "), tok(p), F.lit("</content:encoded>"),
+            pub,
+            F.lit("<category>cat"), (i % 7).cast("string"), F.lit("</category>"),
+            F.lit("<author>author"), (i % 5).cast("string"), F.lit("@example.com</author>"),
+            F.lit("<dc:creator>Writer "), (i % 5).cast("string"), F.lit("</dc:creator>"),
+            F.lit("</item>"),
+        )
+
+    def atom_entry(p: int) -> Column:
+        link = (
+            F.concat(
+                F.lit('<link rel="self" href="https://feeds.example.com/f'), s,
+                F.lit('/self"/><link rel="alternate" href="/e/'), s, F.lit('"/>'),
+            )
+            if p == 0
+            else F.concat(F.lit('<link href="https://x.example.com/'), s, F.lit('/e1"/>'))
+        )
+        summary = (
+            F.concat(F.lit("<summary>Sum "), tok(p), F.lit("</summary>"))
+            if p == 0
+            else F.lit("")  # absent → content fallback
+        )
+        published = (
+            F.concat(F.lit("<published>2024-02-"), dd, F.lit("T01:02:03Z</published>"))
+            if p == 0
+            else F.lit("")  # absent → updated fallback
+        )
+        return F.concat(
+            F.lit("<entry><title>Title "), tok(p), F.lit("</title>"),
+            link, summary,
+            F.lit("<content>Body "), tok(p), F.lit("</content>"),
+            published,
+            F.lit("<updated>2024-02-"), dd, F.lit("T04:05:06Z</updated>"),
+            F.lit("<id>tag:example.com,2024:"), s, F.lit(f":{p}</id>"),
+            F.lit('<category term="at'), (i % 3).cast("string"),
+            F.lit('" label="Label '), (i % 3).cast("string"), F.lit('"/>'),
+            F.lit("<author><name>Name "), (i % 4).cast("string"),
+            F.lit("</name><email>a"), (i % 4).cast("string"),
+            F.lit("@example.com</email></author>"),
+            F.lit("</entry>"),
+        )
+
+    rss_body = F.concat(
+        F.lit('<?xml version="1.0"?><rss version="2.0"><channel><title>F'), s,
+        F.lit("</title>"), rss_item(0), rss_item(1), rss_item(2),
+        F.lit("</channel></rss>"),
+    )
+    atom_body = F.concat(
+        F.lit('<?xml version="1.0"?><feed xmlns="http://www.w3.org/2005/Atom"><title>F'),
+        s, F.lit("</title>"), atom_entry(0), atom_entry(1), F.lit("</feed>"),
+    )
+    body = (
+        F.when(m == 3, F.lit(""))
+        .when(m == 4, F.lit("<html><body>not a feed</body></html>"))
+        .when(m == 2, atom_body)
+        .otherwise(rss_body)
+    )
+    return docs.select(
+        i.alias("feed_order"), feed_url.alias("feed_url"), body.alias("body")
+    )
+
+
+def q_feed_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed-item discovery (rss_feed.go Search/parseFeedResults
+    set-at-a-time): empty query matches every field group; extraction +
+    link normalization + timestamp normalization + global feed-order
+    rank, trimmed to the page_size×max_pages budget (50×2)."""
+    from thecrowler_spark.operators.feeds import parse_feed_items
+
+    return parse_feed_items(
+        _feed_fixture(spark, sf_dir), query="", page_size=50, max_pages=2
+    )
+
+
+def q_feed_items_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-item discovery with a live query ('cat3'): the
+    matchedFeedFields whole-substring path selects only the RSS feeds
+    whose rotated <category> is cat3 (categories group alone matches)."""
+    from thecrowler_spark.operators.feeds import parse_feed_items
+
+    return parse_feed_items(
+        _feed_fixture(spark, sf_dir), query="cat3", page_size=50, max_pages=2
+    )
+
+
+def _feed_items_oracle_sql(query_cat: str | None = None, limit: int = 100) -> str:
+    """DuckDB replay of q_feed_items from the raw documents table: the
+    fixture's field arithmetic is recomputed directly (no XML round
+    trip), then ranked by (feed position, item position) and trimmed —
+    the same contract the Spark side must recover by actually parsing
+    the authored XML."""
+    tok = "substr(md5('fd-' || i || '-' || p), 1, 8)"
+    if query_cat is None:
+        matched = "'title,link,content,categories,authors'"
+        cat_filter = ""
+        atom_cond = "TRUE"
+    else:
+        matched = "'categories'"
+        cat_filter = f" AND i % 7 = {int(query_cat.removeprefix('cat'))}"
+        atom_cond = "FALSE"  # atom term+label 'atN Label N' never matches catN
+    return f"""
+        WITH f AS (
+          SELECT doc_id AS i, doc_id % 5 AS m,
+                 lpad(CAST(1 + doc_id % 25 AS VARCHAR), 2, '0') AS dd,
+                 'https://feeds.example.com/f' || doc_id || '/feed.xml' AS feed_url
+          FROM documents
+        ),
+        items AS (
+          SELECT i, p, feed_url,
+                 'Title ' || {tok} AS title,
+                 CASE p WHEN 0 THEN 'https://feeds.example.com/a/' || i || '/x'
+                        WHEN 1 THEN 'https://g.example.com/' || i
+                        ELSE 'https://x.example.com/' || i || '/c' END AS url,
+                 CASE p WHEN 1 THEN 'Body ' || {tok}
+                        ELSE 'Desc ' || {tok} END AS snippet,
+                 CASE p WHEN 1 THEN 'https://g.example.com/' || i
+                        ELSE 'rss-' || i || '-' || p END AS item_id,
+                 CASE p WHEN 0 THEN '2024-01-' || dd || 'T06:07:08Z'
+                        WHEN 1 THEN 'not a date ' || {tok}
+                        ELSE '2024-03-' || dd || 'T03:00:00Z' END AS published_timestamp
+          FROM f, (VALUES (0), (1), (2)) pp(p)
+          WHERE m IN (0, 1){cat_filter}
+          UNION ALL
+          SELECT i, p, feed_url,
+                 'Title ' || {tok} AS title,
+                 CASE p WHEN 0 THEN 'https://feeds.example.com/e/' || i
+                        ELSE 'https://x.example.com/' || i || '/e1' END AS url,
+                 CASE p WHEN 0 THEN 'Sum ' || {tok}
+                        ELSE 'Body ' || {tok} END AS snippet,
+                 'tag:example.com,2024:' || i || ':' || p AS item_id,
+                 CASE p WHEN 0 THEN '2024-02-' || dd || 'T01:02:03Z'
+                        ELSE '2024-02-' || dd || 'T04:05:06Z' END AS published_timestamp
+          FROM f, (VALUES (0), (1)) pp(p)
+          WHERE m = 2 AND {atom_cond}
+        ),
+        ranked AS (
+          SELECT feed_url,
+                 CAST(ROW_NUMBER() OVER (ORDER BY i, p) AS INT) AS rank,
+                 url, title, snippet, item_id, published_timestamp
+          FROM items
+        )
+        SELECT feed_url, rank, CAST(1.0 AS DOUBLE) / rank AS score, url, title,
+               snippet, item_id, published_timestamp, {matched} AS matched_fields
+        FROM ranked WHERE rank <= {limit}
+    """
+
+
+# -------------------------------------------------------- Common Crawl CDX
+
+def _cdx_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic CDX index-page corpus over documents: doc_id%8
+    picks the body form (0-3 ndjson, 4-5 json array, 6 blank,
+    7 malformed truncated line); each well-formed page carries 3
+    capture records whose fields are md5 tokens + arithmetic rotations
+    so the oracle recomputes every expected value from the raw table
+    without parsing JSON. URL noise (www./case/default-port variants on
+    independent residues) makes distinct raw URLs SURT-collapse."""
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    i = F.col("doc_id")
+    s = i.cast("string")
+    k = i % 8
+    dd = F.lpad((1 + i % 28).cast("string"), 2, "0")
+
+    def rec(p: int) -> Column:
+        url = F.concat(
+            F.when(i % 2 == 0, F.lit("https://WWW.")).otherwise(F.lit("https://")),
+            F.lit("h"), (i % 9).cast("string"), F.lit(".Example.com"),
+            F.when(i % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.lit("/p/"), (i % 50).cast("string"), F.lit(f"/{p}?b=2&a=1"),
+        )
+        if p == 1:
+            url = F.when(i % 3 == 0, F.lit("")).otherwise(url)
+        ts = F.concat(F.lit("202605"), dd, F.lit(f"0{p}0203"))
+        if p == 2:
+            ts = F.when(i % 5 == 0, F.lit("")).otherwise(ts)
+        return F.concat(
+            F.lit('{"urlkey":"com,example,h'), (i % 9).cast("string"),
+            F.lit(")/p/"), (i % 50).cast("string"), F.lit(f"/{p}"),
+            F.lit('","url":"'), url,
+            F.lit('","mime":"'),
+            F.lit("application/pdf") if p == 2 else F.lit("text/html"),
+            F.lit('","status":"'),
+            (F.when(i % 4 == 0, F.lit("404")).otherwise(F.lit("200"))
+             if p == 0 else F.lit("200")),
+            F.lit('","digest":"'),
+            F.substring(F.md5(F.concat(F.lit("cdx-"), s, F.lit(f"-{p}"))), 1, 12),
+            F.lit('","timestamp":"'), ts,
+            F.lit('","filename":"crawl-data/seg-'), (i % 7).cast("string"),
+            F.lit('.warc.gz"}'),
+        )
+
+    ndjson = F.concat_ws("\n", rec(0), rec(1), rec(2))
+    json_arr = F.concat(F.lit("["), F.concat_ws(",", rec(0), rec(1), rec(2)), F.lit("]"))
+    body = (
+        F.when(k == 6, F.lit(""))
+        .when(k == 7, F.concat(rec(0), F.lit('\n{"url":"https://x.example.com/bad","status":')))
+        .when(k.isin(4, 5), json_arr)
+        .otherwise(ndjson)
+    )
+    index_name = F.concat(F.lit("cc-idx-"), (i % 5).cast("string"))
+    return docs.select(
+        i.cast("int").alias("page_order"), index_name.alias("index_name"),
+        body.alias("body"),
+    )
+
+
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common Crawl CDX provider set-at-a-time (common_crawl_index.go
+    Search/parseCommonCrawlIndexResults): ndjson + json-array parsing,
+    blank-url skip, capture-title fallback, global (page, line) rank,
+    reciprocal score, boundedOptions trim (30×2)."""
+    from thecrowler_spark.operators.cdx import parse_cdx_records
+
+    return parse_cdx_records(_cdx_pages(spark, sf_dir), page_size=30, max_pages=2)
+
+
+def q_cdx_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDX frontier-seed scale path: untrimmed records → locally
+    computed SURT urlkey (www/case/default-port variants collapse) →
+    newest capture per key via one partial-agg max(struct) groupBy."""
+    from thecrowler_spark.operators.cdx import cdx_records, latest_captures, surt_key
+
+    recs = cdx_records(_cdx_pages(spark, sf_dir)).select(
+        surt_key(F.col("url")).alias("surt"),
+        "url", "timestamp", "digest", "mime", "status",
+    )
+    return latest_captures(recs, key_col="surt")
+
+
+def _cdx_items_cte() -> str:
+    """Shared DuckDB replay of _cdx_pages' kept records (well-formed
+    pages only, blank-url rows dropped), one row per (i, p)."""
+    dg = "substr(md5('cdx-' || i || '-' || p), 1, 12)"
+    return f"""
+        pages AS (
+          SELECT doc_id AS i, doc_id % 8 AS k,
+                 lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') AS dd
+          FROM documents
+        ),
+        items AS (
+          SELECT i, p, 'cc-idx-' || (i % 5) AS index_name,
+                 (CASE WHEN i % 2 = 0 THEN 'https://WWW.' ELSE 'https://' END)
+                   || 'h' || (i % 9) || '.Example.com'
+                   || (CASE WHEN i % 4 = 0 THEN ':443' ELSE '' END)
+                   || '/p/' || (i % 50) || '/' || p || '?b=2&a=1' AS url,
+                 CASE WHEN p = 2 AND i % 5 = 0 THEN ''
+                      ELSE '202605' || dd || '0' || p || '0203' END AS ts,
+                 CASE WHEN p = 2 THEN 'application/pdf' ELSE 'text/html' END AS mime,
+                 CASE WHEN p = 0 AND i % 4 = 0 THEN '404' ELSE '200' END AS status,
+                 {dg} AS digest,
+                 'com,example,h' || (i % 9) || ')/p/' || (i % 50) || '/' || p AS urlkey,
+                 'crawl-data/seg-' || (i % 7) || '.warc.gz' AS filename,
+                 'com,example,h' || (i % 9) || ')/p/' || (i % 50) || '/' || p
+                   || '?a=1&b=2' AS surt
+          FROM pages, (VALUES (0), (1), (2)) pp(p)
+          WHERE k < 6 AND NOT (p = 1 AND i % 3 = 0)
+        )"""
+
+
+def _cdx_index_oracle_sql(limit: int = 60) -> str:
+    return f"""
+        WITH {_cdx_items_cte()},
+        ranked AS (
+          SELECT index_name,
+                 CAST(ROW_NUMBER() OVER (ORDER BY i, p) AS INT) AS rank,
+                 url,
+                 CASE WHEN ts = '' THEN 'Common Crawl capture'
+                      ELSE 'Common Crawl capture ' || ts END AS title,
+                 digest, ts AS timestamp, mime, status, urlkey, filename
+          FROM items
+        )
+        SELECT index_name, rank, CAST(1.0 AS DOUBLE) / rank AS score, url,
+               title, digest, timestamp, mime, status, urlkey, filename
+        FROM ranked WHERE rank <= {limit}
+    """
+
+
+def _cdx_latest_oracle_sql() -> str:
+    return f"""
+        WITH {_cdx_items_cte()}
+        SELECT surt, url, ts AS timestamp, digest, mime, status
+        FROM (
+          SELECT surt, url, ts, digest, mime, status,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY surt
+                   ORDER BY ts DESC, digest DESC, url DESC, mime DESC, status DESC
+                 ) AS rn
+          FROM items
+        ) WHERE rn = 1
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the grading order: the driver grades the first
     50 entries only, so the window is curated per round (r2 verdict
@@ -4466,13 +4806,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the OLDEST last driver green, deferring multi-green stalwarts when
     the registry (118) exceeds two windows. Goal: every oracled query's
     last driver-green row is as recent as 50-slot rotation allows
-    (r5 window: 23 never-graded + the 3 r2-last queries + 17 r3-last +
-    7 changed-path r4 re-proves; every query OUTSIDE the window was
-    driver-green in r3 or later, and all 120 stay green in
+    (r5 window: 27 never-graded + 10 changed-path r4 re-proves + the 3
+    r2-last queries + 10 r3-last; every query OUTSIDE the window was
+    driver-green in r3 or later, and all 124 stay green in
     scripts/oracle_gate.py full-registry runs regardless of the driver
     window)."""
     return {
         # --- r5 window: new this round, never driver-graded ----------
+        "feed_items": q_feed_items,
+        "feed_items_query": q_feed_items_query,
+        "cdx_index": q_cdx_index,
+        "cdx_latest": q_cdx_latest,
         "media_phash": q_media_phash,
         "media_neardup": q_media_neardup,
         "opic_importance": q_opic_importance,
@@ -4524,12 +4868,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_pack": q_dataset_pack,
         "pack_interleaved": q_pack_interleaved,
         "text_ngrams": q_text_ngrams,
+        # ---------------- slot 51+: outside the 50-slot driver window.
+        # text_repetition .. search_snippets slid past the boundary when
+        # the feed_items and cdx pairs took the head per rule (a); all
+        # were driver-green in r3 and stay green in the full gate.
         "text_repetition": q_text_repetition,
         "text_quality_filter": q_text_quality_filter,
         "text_tfidf": q_text_tfidf,
         "text_pii_redact": q_text_pii_redact,
         "search_snippets": q_search_snippets,
-        # ---------------- slot 51+: outside the 50-slot driver window.
         # robots_parse / text_quality / text_tokens / text_tokens_bpe
         # slipped past the boundary when the OPIC pair and then the
         # media_phash/media_neardup pair took the head per rule (a);
@@ -5195,6 +5542,10 @@ def oracle_sql() -> dict[str, str]:
         "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
     )
     out = {
+        "feed_items": _feed_items_oracle_sql(),
+        "feed_items_query": _feed_items_oracle_sql("cat3"),
+        "cdx_index": _cdx_index_oracle_sql(),
+        "cdx_latest": _cdx_latest_oracle_sql(),
         "url_normalize": f"""
             WITH urls AS ({_DUCK_URLS})
             SELECT id, url,
