@@ -360,3 +360,47 @@ def test_job_seed_leg_is_parallel_filter(spark):
     # and the set semantics hold: exactly the N lowest dense ids
     got = sorted(r["source_id"] for r in seeds.select("source_id").collect())
     assert got == list(range(50))
+
+
+def test_feed_items_no_udf_no_cartesian_topk(spark):
+    from thecrowler_spark.operators.feeds import parse_feed_items
+
+    feeds = spark.createDataFrame(
+        [(0, "https://feeds.example.com/f.xml", "<rss><channel></channel></rss>")],
+        "feed_order int, feed_url string, body string",
+    )
+    plan = _plan(parse_feed_items(feeds, query="x", page_size=10, max_pages=1))
+    # extraction is pure JVM column expressions; the global rank is a
+    # distributed TakeOrdered into the two-phase row number — no
+    # single-task global sort, no Python in the hot path
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cdx_parse_no_udf_and_latest_is_partial_agg(spark):
+    from thecrowler_spark.operators.cdx import (
+        cdx_records, latest_captures, parse_cdx_records, surt_key,
+    )
+
+    pages = spark.createDataFrame(
+        [(0, "idx", '{"url":"https://example.com/","timestamp":"20260101000000"}')],
+        "page_order int, index_name string, body string",
+    )
+    plan = _plan(parse_cdx_records(pages, page_size=10, max_pages=1))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+    recs = cdx_records(pages).select(
+        surt_key(F.col("url")).alias("surt"), "url", "timestamp", "digest"
+    )
+    lplan = _plan(latest_captures(recs, key_col="surt"))
+    # newest-per-key must be partial→final aggregation (a 10^6-capture
+    # urlkey collapses map-side before the ONE key exchange), never a
+    # window; struct max compiles to SortAggregate whose sorts are
+    # per-partition (global=false) — no range exchange / global sort
+    assert "Window" not in lplan
+    assert "partial_max" in lplan
+    assert "rangepartitioning" not in lplan
+    assert "], true, 0" not in lplan  # any Sort present is per-partition only
