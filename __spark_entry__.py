@@ -4653,6 +4653,86 @@ def _feed_items_oracle_sql(query_cat: str | None = None, limit: int = 100) -> st
     """
 
 
+# ------------------------------------------------------ infoseed claim gate
+
+def q_infoseed_claim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InformationSeed scan+claim (information_seed_claims.go:89-260):
+    lifecycle eligibility (new/pending, stale-processing re-claim,
+    error retry backoff, NULL-timestamp immediate eligibility), trimmed
+    priority restriction, FIFO limit, and the UPDATE leg (processing /
+    engine / last_processed_at / attempts+1) applied to the claimed
+    rows — the infoseed sibling of frontier_claim."""
+    from thecrowler_spark.operators.infoseed import claim_information_seeds
+
+    _load(spark, sf_dir, "orders")
+    seeds = spark.sql(
+        """
+        SELECT o_orderkey AS information_seed_id,
+               concat('seed query ', CAST(o_orderkey AS STRING)) AS information_seed,
+               CASE CAST(o_orderkey % 5 AS INT)
+                 WHEN 0 THEN 'new' WHEN 1 THEN ' Pending ' WHEN 2 THEN 'processing'
+                 WHEN 3 THEN 'error' ELSE 'completed' END AS status,
+               CASE WHEN o_orderpriority LIKE '1%' THEN 'high' ELSE 'low' END AS priority,
+               '' AS engine,
+               o_orderkey % 13 = 0 AS disabled,
+               CAST(o_orderkey % 4 AS INT) AS attempts,
+               o_orderdate AS created_at,
+               CASE WHEN o_orderkey % 2 = 0 THEN NULL
+                    ELSE timestamp'1995-06-01 00:00:00'
+                         - make_interval(0, 0, 0, 0, 0, CAST(o_orderkey % 90 AS INT), 0)
+               END AS last_processed_at,
+               CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                    ELSE timestamp'1995-06-01 00:00:00'
+                         - make_interval(0, 0, 0, 0, 0, CAST(o_orderkey % 120 AS INT), 0)
+               END AS last_error_at
+        FROM orders
+        """
+    )
+    claimed = claim_information_seeds(
+        seeds, 200, "engine-a", "1995-06-01 00:00:00", priority=" high ",
+        processing_timeout="1 hour", retry_after="45 minutes",
+    )
+    return claimed.select(
+        "information_seed_id", "information_seed", "status", "priority",
+        "engine", "attempts", "created_at", "last_processed_at",
+    )
+
+
+def _infoseed_claim_oracle_sql() -> str:
+    return """
+        WITH seeds AS (
+          SELECT o_orderkey AS id,
+                 'seed query ' || o_orderkey AS information_seed,
+                 CASE CAST(o_orderkey % 5 AS INT)
+                   WHEN 0 THEN 'new' WHEN 1 THEN ' Pending ' WHEN 2 THEN 'processing'
+                   WHEN 3 THEN 'error' ELSE 'completed' END AS status,
+                 CASE WHEN o_orderpriority LIKE '1%' THEN 'high' ELSE 'low' END AS priority,
+                 o_orderkey % 13 = 0 AS disabled,
+                 CAST(o_orderkey % 4 AS INT) AS attempts,
+                 o_orderdate AS created_at,
+                 CASE WHEN o_orderkey % 2 = 0 THEN NULL
+                      ELSE TIMESTAMP '1995-06-01 00:00:00' - to_minutes(o_orderkey % 90)
+                 END AS lpa,
+                 CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                      ELSE TIMESTAMP '1995-06-01 00:00:00' - to_minutes(o_orderkey % 120)
+                 END AS lea
+          FROM orders
+        )
+        SELECT id AS information_seed_id, information_seed,
+               'processing' AS status, priority, 'engine-a' AS engine,
+               CAST(attempts + 1 AS INT) AS attempts, created_at,
+               TIMESTAMP '1995-06-01 00:00:00' AS last_processed_at
+        FROM seeds
+        WHERE NOT disabled AND priority = 'high'
+          AND (lower(trim(status)) IN ('new', 'pending')
+               OR (lower(trim(status)) = 'processing' AND (lpa IS NULL OR
+                   lpa < TIMESTAMP '1995-06-01 00:00:00' - to_minutes(60)))
+               OR (lower(trim(status)) = 'error' AND (lea IS NULL OR
+                   lea < TIMESTAMP '1995-06-01 00:00:00' - to_minutes(45))))
+        ORDER BY created_at, id LIMIT 200
+    """
+
+
 # -------------------------------------------------------- Common Crawl CDX
 
 def _cdx_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4806,9 +4886,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the OLDEST last driver green, deferring multi-green stalwarts when
     the registry (118) exceeds two windows. Goal: every oracled query's
     last driver-green row is as recent as 50-slot rotation allows
-    (r5 window: 27 never-graded + 10 changed-path r4 re-proves + the 3
-    r2-last queries + 10 r3-last; every query OUTSIDE the window was
-    driver-green in r3 or later, and all 124 stay green in
+    (r5 window: 28 never-graded + 10 changed-path r4 re-proves + the 3
+    r2-last queries + 9 r3-last (robots_wildcard..pack_interleaved); every query OUTSIDE the window was
+    driver-green in r3 or later, and all 125 stay green in
     scripts/oracle_gate.py full-registry runs regardless of the driver
     window)."""
     return {
@@ -4817,6 +4897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_items_query": q_feed_items_query,
         "cdx_index": q_cdx_index,
         "cdx_latest": q_cdx_latest,
+        "infoseed_claim": q_infoseed_claim,
         "media_phash": q_media_phash,
         "media_neardup": q_media_neardup,
         "opic_importance": q_opic_importance,
@@ -4867,11 +4948,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "dataset_pack": q_dataset_pack,
         "pack_interleaved": q_pack_interleaved,
-        "text_ngrams": q_text_ngrams,
         # ---------------- slot 51+: outside the 50-slot driver window.
-        # text_repetition .. search_snippets slid past the boundary when
-        # the feed_items and cdx pairs took the head per rule (a); all
-        # were driver-green in r3 and stay green in the full gate.
+        # text_ngrams .. search_snippets slid past the boundary when the
+        # feed_items/cdx/infoseed_claim head entries took slots per rule
+        # (a); all were driver-green in r3 and stay green in the full
+        # gate.
+        "text_ngrams": q_text_ngrams,
         "text_repetition": q_text_repetition,
         "text_quality_filter": q_text_quality_filter,
         "text_tfidf": q_text_tfidf,
@@ -5546,6 +5628,7 @@ def oracle_sql() -> dict[str, str]:
         "feed_items_query": _feed_items_oracle_sql("cat3"),
         "cdx_index": _cdx_index_oracle_sql(),
         "cdx_latest": _cdx_latest_oracle_sql(),
+        "infoseed_claim": _infoseed_claim_oracle_sql(),
         "url_normalize": f"""
             WITH urls AS ({_DUCK_URLS})
             SELECT id, url,
