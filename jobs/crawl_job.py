@@ -69,6 +69,11 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                         "(Abiteboul WWW'03 — claim the frontier pages "
                         "holding the most cash) instead of the static "
                         "lowest-id seed list")
+    p.add_argument("--seeds-from-cdx", default=None,
+                   help="parquet dir of fetched CDX index pages "
+                        "(page_order, index_name, body); seeds become the "
+                        "freshest in-corpus captures (SURT-matched) instead "
+                        "of the lowest-id list")
     p.add_argument("--opic-rounds", type=int, default=3,
                    help="OPIC rounds over the prior link graph (--opic-from)")
     p.add_argument("--dust-min-support", type=int, default=3,
@@ -200,6 +205,64 @@ def opic_seed_claim(spark, docs, prior_pages, n_seeds: int, n_rounds: int = 3):
     return claim_sources(cands, n_seeds, importance=imp_by_sid)
 
 
+def cdx_seed_claim(spark, docs, cdx_pages, n_seeds: int):
+    """Seed from a Common Crawl CDX index dump (``--seeds-from-cdx``):
+    fetched index pages (page_order, index_name, body) → capture
+    records → locally computed SURT urlkey → newest capture per key →
+    200/text-or-blank valve → in-corpus gate (SURT equi-join against
+    the corpus URL universe, so www/case/port variants still match) →
+    freshest-first claim, replacing ``build_inputs``' static lowest-id
+    seed list.
+
+    Shapes: parse is embarrassingly parallel JVM expressions;
+    newest-per-key is one partial-agg groupBy; the corpus gate is one
+    surt-key equi-join (both sides pruned to two columns); the claim is
+    a TakeOrdered top-k bounded by n_seeds — fine for any real seed
+    count, and the only ordered step (everything upstream is
+    order-free, so the N→4N job scaling profile keeps no serial phase
+    proportional to the corpus).
+    """
+    from pyspark.sql import functions as F
+
+    from thecrowler_spark.operators.cdx import cdx_records, latest_captures, surt_key
+    from thecrowler_spark.sources.corpus import SEEDS_SCHEMA
+
+    pages = (
+        spark.read.parquet(cdx_pages) if isinstance(cdx_pages, str) else cdx_pages
+    )
+    recs = cdx_records(pages).where(
+        F.col("status").isin("", "200")
+        & (F.col("mime").startswith("text/") | (F.col("mime") == ""))
+    )
+    latest = latest_captures(
+        recs.select(
+            surt_key(F.col("url")).alias("surt"),
+            "url", "timestamp", "digest", "mime", "status",
+        ),
+        key_col="surt",
+    )
+    corpus = docs.select(
+        F.col("doc_id").alias("corpus_url"), surt_key(F.col("doc_id")).alias("surt")
+    )
+    cand = latest.join(corpus, "surt", "inner")
+    picked = cand.orderBy(F.desc("timestamp"), "surt").limit(n_seeds)
+
+    pid = F.regexp_extract("corpus_url", r"p([0-9]+)$", 1).cast("long")
+    seeds = picked.select(
+        pid.alias("source_id"),
+        F.sha2(F.col("corpus_url"), 256).alias("source_uid"),
+        F.col("corpus_url").alias("url"),
+        F.lit("high").alias("priority"),
+        F.lit("new").alias("status"),
+        F.lit(2).cast("int").alias("restricted"),
+        F.lit(False).alias("disabled"),
+        F.lit(0).cast("int").alias("flags"),
+        F.lit("{}").alias("config"),
+        F.current_timestamp().alias("created_at"),
+    )
+    return seeds.select(*[F.col(f.name).cast(f.dataType) for f in SEEDS_SCHEMA.fields])
+
+
 def main(argv: list[str] | None = None) -> None:
     args = parse_args(argv if argv is not None else sys.argv[1:])
 
@@ -239,6 +302,8 @@ def main(argv: list[str] | None = None) -> None:
         seeds = opic_seed_claim(
             spark, docs, prior_pages, args.seeds, n_rounds=args.opic_rounds
         )
+    elif args.seeds_from_cdx:
+        seeds = cdx_seed_claim(spark, docs, args.seeds_from_cdx, args.seeds)
 
     dust = None
     if args.dust_from:

@@ -223,3 +223,50 @@ def test_cdx_records_untrimmed_and_surt_pipeline(spark):
            latest_captures(keyed, key_col="surt").collect()}
     assert out["com,example)/dup"]["digest"] == "D2"  # www variant collapsed
     assert out["com,example)/other"]["digest"] == "D3"
+
+
+def test_cdx_seed_claim_in_corpus_surt_match_and_freshest_first(spark):
+    """--seeds-from-cdx wiring: seeds are the freshest in-corpus
+    captures; SURT matching lets www/case/port URL variants claim the
+    canonical corpus page; non-200 and out-of-corpus captures never
+    seed; output is SEEDS_SCHEMA-shaped with the canonical URL."""
+    from jobs.crawl_job import cdx_seed_claim
+    from thecrowler_spark.sources.corpus import SEEDS_SCHEMA, big_corpus_df
+
+    docs = big_corpus_df(spark, n_docs=40, n_hosts=4, links_per_page=2)
+    pid = F.regexp_extract("doc_id", r"p([0-9]+)$", 1).cast("long")
+    by_pid = {
+        r["p"]: r["doc_id"]
+        for r in docs.select("doc_id", pid.alias("p"))
+        .filter(F.col("p").isin(3, 7, 11, 19)).collect()
+    }
+
+    def variant(u):  # https://hX.example.com/pN → uppercase www + :443 form
+        host_path = u.removeprefix("https://")
+        host, path = host_path.split("/", 1)
+        return f"https://WWW.{host.upper()}:443/{path}"
+
+    def line(u, ts, status="200", mime="text/html"):
+        return (f'{{"url":"{u}","timestamp":"{ts}","status":"{status}",'
+                f'"mime":"{mime}","digest":"D{ts}"}}')
+
+    body = "\n".join([
+        line(by_pid[3], "20260105000000"),
+        line(variant(by_pid[3]), "20260210000000"),   # newer variant, same SURT
+        line(by_pid[7], "20260301000000"),            # freshest key
+        line(by_pid[11], "20260102000000"),
+        line("https://other.example.org/x", "20261231000000"),  # out-of-corpus
+        line(by_pid[19], "20261130000000", status="404"),       # valve drop
+    ])
+    pages = spark.createDataFrame(
+        [(0, "cc", body)], "page_order int, index_name string, body string"
+    )
+    seeds = cdx_seed_claim(spark, docs, pages, n_seeds=2)
+    rows = sorted(seeds.collect(), key=lambda r: r["source_id"])
+    assert [r["url"] for r in rows] == sorted(
+        [by_pid[7], by_pid[3]],
+        key=lambda u: int(u.rsplit("p", 1)[1]),
+    )
+    assert [f.name for f in seeds.schema.fields] == [f.name for f in SEEDS_SCHEMA.fields]
+    assert all(r["status"] == "new" and r["priority"] == "high" for r in rows)
+    assert {r["source_id"] for r in rows} == {3, 7}
