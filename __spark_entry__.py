@@ -4733,6 +4733,129 @@ def _infoseed_claim_oracle_sql() -> str:
     """
 
 
+# ------------------------------------------------- candidate persist policy
+
+def _persist_fixture(spark: SparkSession, sf_dir: str):
+    """Sources (orderkey<300) + a 600-candidate discovery batch:
+    existing hits, brand-new URLs, %450 duplicate collisions (the
+    sequential loop's insert-race branch), %7 query-encoded URLs
+    (NormalizeSourceURL decode), %5 meaningful config overrides."""
+    _load(spark, sf_dir, "orders")
+    sources = spark.sql(
+        """
+        SELECT o_orderkey + 1000 AS source_id,
+               concat('https://src', CAST(o_orderkey AS STRING), '.example.test/') AS url,
+               concat('name', CAST(o_orderkey AS STRING)) AS name,
+               'high' AS priority, CAST(2 AS INT) AS restricted,
+               CAST(0 AS INT) AS flags,
+               CASE WHEN o_orderkey % 4 = 0 THEN '{"version":"old"}' ELSE '{}' END AS config,
+               false AS disabled, 'completed' AS status
+        FROM orders WHERE o_orderkey < 300
+        """
+    )
+    cands = spark.sql(
+        """
+        SELECT CAST(o_orderkey AS INT) AS cand_order,
+               concat('https://src', CAST(o_orderkey % 450 AS STRING), '.example.test/',
+                      CASE WHEN o_orderkey % 7 = 0 THEN '?q=%2Fa%3Ab' ELSE '' END) AS url,
+               concat('title', CAST(o_orderkey AS STRING)) AS title,
+               concat('prov', CAST(o_orderkey % 3 AS STRING)) AS provider,
+               'seed query' AS query,
+               CAST(o_orderkey % 10 AS INT) AS rank,
+               CAST(o_orderkey % 10 AS DOUBLE) / 4 AS score,
+               'discovered' AS reason,
+               CASE WHEN o_orderkey % 5 = 0
+                    THEN concat('{"v":"', CAST(o_orderkey AS STRING), '"}') END
+                 AS config_override
+        FROM orders WHERE o_orderkey < 600
+        """
+    )
+    return sources, cands
+
+
+def _persist_out(spark: SparkSession, sf_dir: str):
+    from thecrowler_spark.operators.persist import persist_candidates
+
+    sources, cands = _persist_fixture(spark, sf_dir)
+    return persist_candidates(sources, cands, seed_id=1)
+
+
+def q_persist_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate→Source persistence policy (runner.go persistCandidates
+    + UpsertSourceWithPolicy): per-candidate audit of
+    created / linked / linked_config_updated actions, deterministic
+    max-id+rank id assignment, duplicate-URL race branch."""
+    return _persist_out(spark, sf_dir)["audit"]
+
+
+def q_persist_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The discovery-metadata link upsert
+    (LinkSourceToInformationSeedWithDiscoveryMetadata): one idempotent
+    row per (source, seed), last linking candidate's non-null fields
+    win (the ON CONFLICT COALESCE in all three DBMS arms)."""
+    return _persist_out(spark, sf_dir)["links"]
+
+
+_PERSIST_CTES = """
+        src AS (
+          SELECT o_orderkey + 1000 AS source_id,
+                 'https://src' || o_orderkey || '.example.test/' AS url
+          FROM orders WHERE o_orderkey < 300
+        ),
+        cand AS (
+          SELECT CAST(o_orderkey AS INT) AS cand_order,
+                 'https://src' || (o_orderkey % 450) || '.example.test/' ||
+                   CASE WHEN o_orderkey % 7 = 0 THEN '?q=/a:b' ELSE '' END AS url,
+                 'prov' || (o_orderkey % 3) AS provider,
+                 'seed query' AS query,
+                 CAST(o_orderkey % 10 AS INT) AS rank,
+                 CAST(o_orderkey % 10 AS DOUBLE) / 4 AS score,
+                 'discovered' AS reason,
+                 CASE WHEN o_orderkey % 5 = 0
+                      THEN '{"v":"' || o_orderkey || '"}' ELSE '{}' END AS config
+          FROM orders WHERE o_orderkey < 600
+        ),
+        firsts AS (SELECT url, min(cand_order) AS first_order FROM cand GROUP BY url),
+        j AS (
+          SELECT c.*, f.first_order, s.source_id AS ex_id
+          FROM cand c JOIN firsts f USING (url) LEFT JOIN src s USING (url)
+        ),
+        newurls AS (
+          SELECT url,
+                 (SELECT max(source_id) FROM src)
+                   + ROW_NUMBER() OVER (ORDER BY first_order) AS new_id
+          FROM (SELECT DISTINCT url, first_order FROM j WHERE ex_id IS NULL)
+        ),
+        audit AS (
+          SELECT j.cand_order, j.url, COALESCE(j.ex_id, n.new_id) AS source_id,
+                 CASE WHEN j.ex_id IS NULL AND j.cand_order = j.first_order
+                        THEN 'created'
+                      WHEN trim(j.config) NOT IN ('', 'null', '{}')
+                        THEN 'linked_config_updated'
+                      ELSE 'linked' END AS action,
+                 j.provider, j.query, j.rank, j.score, j.reason
+          FROM j LEFT JOIN newurls n USING (url)
+        )"""
+
+
+def _persist_candidates_oracle_sql() -> str:
+    return f"WITH {_PERSIST_CTES} SELECT cand_order, url, source_id, action FROM audit"
+
+
+def _persist_links_oracle_sql() -> str:
+    return f"""
+        WITH {_PERSIST_CTES}
+        SELECT source_id, CAST(1 AS INT) AS information_seed_id,
+               provider AS discovery_provider, query AS discovery_query,
+               rank AS discovery_rank, score AS candidate_score,
+               reason AS candidate_reason
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY source_id ORDER BY cand_order DESC) AS rn
+              FROM audit)
+        WHERE rn = 1
+    """
+
+
 # -------------------------------------------------------- Common Crawl CDX
 
 def _cdx_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4886,9 +5009,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the OLDEST last driver green, deferring multi-green stalwarts when
     the registry (118) exceeds two windows. Goal: every oracled query's
     last driver-green row is as recent as 50-slot rotation allows
-    (r5 window: 28 never-graded + 10 changed-path r4 re-proves + the 3
-    r2-last queries + 9 r3-last (robots_wildcard..pack_interleaved); every query OUTSIDE the window was
-    driver-green in r3 or later, and all 125 stay green in
+    (r5 window: 30 never-graded + 10 changed-path r4 re-proves + the 3
+    r2-last queries + 7 r3-last (robots_wildcard..dataset_split); every query OUTSIDE the window was
+    driver-green in r3 or later, and all 127 stay green in
     scripts/oracle_gate.py full-registry runs regardless of the driver
     window)."""
     return {
@@ -4898,6 +5021,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": q_cdx_index,
         "cdx_latest": q_cdx_latest,
         "infoseed_claim": q_infoseed_claim,
+        "persist_candidates": q_persist_candidates,
+        "persist_links": q_persist_links,
         "media_phash": q_media_phash,
         "media_neardup": q_media_neardup,
         "opic_importance": q_opic_importance,
@@ -5629,6 +5754,8 @@ def oracle_sql() -> dict[str, str]:
         "cdx_index": _cdx_index_oracle_sql(),
         "cdx_latest": _cdx_latest_oracle_sql(),
         "infoseed_claim": _infoseed_claim_oracle_sql(),
+        "persist_candidates": _persist_candidates_oracle_sql(),
+        "persist_links": _persist_links_oracle_sql(),
         "url_normalize": f"""
             WITH urls AS ({_DUCK_URLS})
             SELECT id, url,
