@@ -4733,6 +4733,148 @@ def _infoseed_claim_oracle_sql() -> str:
     """
 
 
+# ------------------------------------------------ search JSON adapters
+
+def _adapter_pages(spark: SparkSession, sf_dir: str, provider: str) -> DataFrame:
+    """Deterministic provider-response corpus over documents. generic:
+    doc_id%6 picks the payload shape (0/1 results objects with scores,
+    2 organic_results mixed string/object/number/no-url items, 3 array
+    root of URL strings, 4 blank, 5 malformed). brave: web.results
+    entries with a rank-consuming blank-url entry on %7, 4 blank,
+    5 malformed non-array results."""
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    i = F.col("doc_id")
+    s = i.cast("string")
+    k = i % 6
+
+    def tok(p: int) -> Column:
+        return F.substring(
+            F.md5(F.concat(F.lit("sa-"), s, F.lit(f"-{p}"))), 1, 8
+        )
+
+    if provider == "generic":
+        def obj(p: int) -> Column:
+            return F.concat(
+                F.lit('{"url":"https://g'), (i % 9).cast("string"),
+                F.lit(".example/p"), s, F.lit(f"/{p}"),
+                F.lit('","title":"T '), tok(p),
+                F.lit('","snippet":"S '), tok(p),
+                F.lit('","score":'), ((i % 8).cast("double") / 4).cast("string"),
+                F.lit("}"),
+            )
+
+        results = F.concat(
+            F.lit('{"results":['), obj(0), F.lit(","), obj(1), F.lit(","),
+            obj(2), F.lit('],"total":3}'),
+        )
+        organic = F.concat(
+            F.lit('{"organic_results":["https://gs.example/'), s,
+            F.lit('",{"link":"https://gl.example/'), s,
+            F.lit('","summary":"S '), tok(1),
+            F.lit('"},7,{"name":"x"}]}'),
+        )
+        arr_root = F.concat(
+            F.lit('["https://ga.example/'), s, F.lit('/a","https://ga.example/'),
+            s, F.lit('/b"]'),
+        )
+        body = (
+            F.when(k == 4, F.lit(""))
+            .when(k == 5, F.lit("not json {"))
+            .when(k == 2, organic)
+            .when(k == 3, arr_root)
+            .otherwise(results)
+        )
+    else:
+        def entry(p: int) -> Column:
+            return F.concat(
+                F.lit('{"title":"T '), tok(p),
+                F.lit('","url":"https://b'), (i % 9).cast("string"),
+                F.lit(".example/p"), s, F.lit(f"/{p}"),
+                F.lit('","description":"D '), tok(p), F.lit('"}'),
+            )
+
+        blank_entry = F.lit('{"title":"x","url":""},')
+        ok_body = F.concat(
+            F.lit('{"web":{"total":2,"results":['),
+            F.when(i % 7 == 0, blank_entry).otherwise(F.lit("")),
+            entry(0), F.lit(","), entry(1), F.lit("]}}"),
+        )
+        body = (
+            F.when(k == 4, F.lit(""))
+            .when(k == 5, F.lit('{"web":{"results":{"bad":1}}}'))
+            .otherwise(ok_body)
+        )
+    return docs.select(i.cast("int").alias("page_order"), body.alias("body"))
+
+
+def q_search_adapter_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic JSON provider adapter (parseResults/findResultItems/
+    resultFromValue): key-chain item discovery, string/object/skip item
+    shapes, rank consumption by skipped items, score passthrough,
+    budget trim without re-rank."""
+    from thecrowler_spark.operators.search_adapters import parse_search_results
+
+    return parse_search_results(
+        _adapter_pages(spark, sf_dir, "generic"), provider="generic",
+        page_size=50, max_pages=2,
+    )
+
+
+def q_search_adapter_brave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brave adapter (parseBraveResults): required web.results section
+    (malformed pages audited out), description→snippet, reciprocal
+    rank, blank-url entries consuming ranks."""
+    from thecrowler_spark.operators.search_adapters import parse_search_results
+
+    return parse_search_results(
+        _adapter_pages(spark, sf_dir, "brave_search"), provider="brave_search",
+        page_size=50, max_pages=2,
+    )
+
+
+def _adapter_oracle_sql(provider: str, limit: int = 100) -> str:
+    tok = "substr(md5('sa-' || i || '-' || p), 1, 8)"
+    if provider == "generic":
+        items = f"""
+          SELECT i, p, CAST(p + 1 AS INT) AS rank,
+                 'https://g' || (i % 9) || '.example/p' || i || '/' || p AS url,
+                 'T ' || {tok} AS title, 'S ' || {tok} AS snippet,
+                 CAST(i % 8 AS DOUBLE) / 4 AS score
+          FROM pages, (VALUES (0), (1), (2)) pp(p) WHERE k IN (0, 1)
+          UNION ALL
+          SELECT i, 0, 1, 'https://gs.example/' || i, '', '', CAST(0 AS DOUBLE)
+          FROM pages WHERE k = 2
+          UNION ALL
+          SELECT i, 1, 2, 'https://gl.example/' || i, '',
+                 'S ' || {tok.replace("' || p", "' || 1")}, CAST(0 AS DOUBLE)
+          FROM pages, (VALUES (1)) pp(p) WHERE k = 2
+          UNION ALL
+          SELECT i, p, CAST(p + 1 AS INT),
+                 'https://ga.example/' || i || CASE p WHEN 0 THEN '/a' ELSE '/b' END,
+                 '', '', CAST(0 AS DOUBLE)
+          FROM pages, (VALUES (0), (1)) pp(p) WHERE k = 3"""
+    else:
+        items = f"""
+          SELECT i, p + CASE WHEN i % 7 = 0 THEN 1 ELSE 0 END AS p,
+                 CAST(p + 1 + CASE WHEN i % 7 = 0 THEN 1 ELSE 0 END AS INT) AS rank,
+                 'https://b' || (i % 9) || '.example/p' || i || '/' || p AS url,
+                 'T ' || {tok} AS title, 'D ' || {tok} AS snippet,
+                 CAST(1.0 AS DOUBLE)
+                   / (p + 1 + CASE WHEN i % 7 = 0 THEN 1 ELSE 0 END) AS score
+          FROM pages, (VALUES (0), (1)) pp(p) WHERE k IN (0, 1, 2, 3)"""
+    return f"""
+        WITH pages AS (
+          SELECT doc_id AS i, doc_id % 6 AS k FROM documents
+        ),
+        items AS ({items}),
+        trimmed AS (
+          SELECT * FROM items ORDER BY i, p LIMIT {limit}
+        )
+        SELECT CAST(i AS INT) AS page_order, rank, score, url, title, snippet
+        FROM trimmed
+    """
+
+
 # ------------------------------------------------- candidate persist policy
 
 def _persist_fixture(spark: SparkSession, sf_dir: str):
@@ -5009,9 +5151,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the OLDEST last driver green, deferring multi-green stalwarts when
     the registry (118) exceeds two windows. Goal: every oracled query's
     last driver-green row is as recent as 50-slot rotation allows
-    (r5 window: 30 never-graded + 10 changed-path r4 re-proves + the 3
-    r2-last queries + 7 r3-last (robots_wildcard..dataset_split); every query OUTSIDE the window was
-    driver-green in r3 or later, and all 127 stay green in
+    (r5 window: 32 never-graded + 10 changed-path r4 re-proves + the 3
+    r2-last queries + 5 r3-last (robots_wildcard..search_httpinfo); every query OUTSIDE the window was
+    driver-green in r3 or later, and all 129 stay green in
     scripts/oracle_gate.py full-registry runs regardless of the driver
     window)."""
     return {
@@ -5023,6 +5165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infoseed_claim": q_infoseed_claim,
         "persist_candidates": q_persist_candidates,
         "persist_links": q_persist_links,
+        "search_adapter_generic": q_search_adapter_generic,
+        "search_adapter_brave": q_search_adapter_brave,
         "media_phash": q_media_phash,
         "media_neardup": q_media_neardup,
         "opic_importance": q_opic_importance,
@@ -5756,6 +5900,8 @@ def oracle_sql() -> dict[str, str]:
         "infoseed_claim": _infoseed_claim_oracle_sql(),
         "persist_candidates": _persist_candidates_oracle_sql(),
         "persist_links": _persist_links_oracle_sql(),
+        "search_adapter_generic": _adapter_oracle_sql("generic"),
+        "search_adapter_brave": _adapter_oracle_sql("brave_search"),
         "url_normalize": f"""
             WITH urls AS ({_DUCK_URLS})
             SELECT id, url,
