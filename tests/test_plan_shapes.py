@@ -404,3 +404,61 @@ def test_cdx_parse_no_udf_and_latest_is_partial_agg(spark):
     assert "partial_max" in lplan
     assert "rangepartitioning" not in lplan
     assert "], true, 0" not in lplan  # any Sort present is per-partition only
+
+
+def test_infoseed_claim_and_merge_shapes(spark):
+    from thecrowler_spark.operators.infoseed import (
+        claim_information_seeds, merge_claimed_seeds,
+    )
+
+    seeds = spark.range(200).select(
+        F.col("id").alias("information_seed_id"),
+        F.concat(F.lit("seed-"), F.col("id")).alias("information_seed"),
+        F.lit("new").alias("status"), F.lit("").alias("priority"),
+        F.lit("").alias("engine"), F.lit(False).alias("disabled"),
+        F.lit(0).cast("int").alias("attempts"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("created_at"),
+        F.lit(None).cast("timestamp").alias("last_processed_at"),
+        F.lit(None).cast("timestamp").alias("last_error_at"),
+    )
+    claimed = claim_information_seeds(seeds, 10, "e", "2026-03-01 00:00:00")
+    plan = _plan(claimed)
+    # FIFO limit = TakeOrdered, eligibility a pure filter — no window,
+    # no global sort exchange
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan and "rangepartitioning" not in plan
+    mplan = _plan(merge_claimed_seeds(seeds, claimed))
+    # the big seed table must not shuffle: claimed side broadcasts
+    assert "BroadcastHashJoin" in mplan or "BroadcastExchange" in mplan
+    assert "CartesianProduct" not in mplan
+
+
+def test_persist_candidates_shapes(spark):
+    from thecrowler_spark.operators.persist import persist_candidates
+
+    sources = spark.range(50).select(
+        F.col("id").alias("source_id"),
+        F.concat(F.lit("https://s"), F.col("id"), F.lit(".test/")).alias("url"),
+        F.lit("n").alias("name"), F.lit("high").alias("priority"),
+        F.lit(2).cast("int").alias("restricted"), F.lit(0).cast("int").alias("flags"),
+        F.lit("{}").alias("config"), F.lit(False).alias("disabled"),
+        F.lit("new").alias("status"),
+    )
+    cands = spark.range(300).select(
+        F.col("id").cast("int").alias("cand_order"),
+        F.concat(F.lit("https://s"), F.col("id") % 150, F.lit(".test/")).alias("url"),
+        F.lit("t").alias("title"), F.lit("p").alias("provider"),
+        F.lit("q").alias("query"), F.lit(1).cast("int").alias("rank"),
+        F.lit(0.5).alias("score"), F.lit("r").alias("reason"),
+    )
+    import re
+
+    out = persist_candidates(sources, cands, seed_id=1)
+    for df in (out["audit"], out["links"]):
+        plan = _plan(df)
+        # url-key equi-joins + partial aggs; the only window allowed is
+        # global_row_number's O(#partitions) _pid prefix sum — never one
+        # over the candidate stream (url/cand_order keys)
+        for spec in re.findall(r"windowspecdefinition\((\w+)#", plan):
+            assert spec == "_pid", plan[:2000]
+        assert "CartesianProduct" not in plan
