@@ -4733,6 +4733,134 @@ def _infoseed_claim_oracle_sql() -> str:
     """
 
 
+# ----------------------------------------------- metric observation derive
+
+_METRICS_CFG = [
+    {"metric_id": 1, "value_type": "count", "bucket": "1h",
+     "selector": {"event": "click", "provider": "prov1"},
+     "dimensions": [{"key": "host", "field": "host"}]},
+    {"metric_id": 2, "value_type": "integer", "bucket": "1d",
+     "selector": {"field": "stats.count", "where": {"status": "ok"}}},
+    {"metric_id": 3, "value_type": "string", "bucket": "none",
+     "selector": {"event": "error", "value": "provider"},
+     "dimensions": [{"key": "kind", "value": "err"}]},
+    {"metric_id": 4, "value_type": "decimal", "bucket": "5m",
+     "selector": {"field": "score", "where": {"provider": "prov2"}}},
+]
+
+
+def q_metric_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-driven time-series observation derivation
+    (emitInformationSeedMetricTx): selector matching over JSON event
+    fields (event + where-path + lifecycle keys), count/integer/
+    string/decimal value typing, bucket bounds (1h/1d/5m/none),
+    length-framed value hashes, NUL-framed dedupe keys, dimension
+    JSON, and lag-window change detection with numeric deltas."""
+    from thecrowler_spark.operators.metricsderive import derive_observations
+
+    _load(spark, sf_dir, "events")
+    ev = spark.sql(
+        """
+        SELECT event_id, event_type AS event,
+               concat('u', CAST(user_id AS STRING)) AS identity,
+               concat('seed=', CAST(user_id % 20 AS STRING)) AS scope,
+               ts AS observed_at,
+               concat('{"provider":"prov', CAST(event_id % 4 AS STRING),
+                      '","status":"',
+                      CASE CAST(event_id % 3 AS INT)
+                        WHEN 0 THEN 'ok' WHEN 1 THEN ' Warn ' ELSE 'fail' END,
+                      '","stats":{"count":"', CAST(event_id % 50 AS STRING),
+                      '"},"host":"h', CAST(user_id % 10 AS STRING),
+                      '","score":"', CAST(event_id % 7 AS STRING), '.5"}')
+                 AS fields
+        FROM events
+        """
+    )
+    return derive_observations(ev, _METRICS_CFG)
+
+
+def _metric_observations_oracle_sql() -> str:
+    framed = ("sha256('5:value|' || length(vt) || ':' || vt || '|' "
+              "|| length('present:' || rep) || ':present:' || rep || '|')")
+    return f"""
+        WITH ev AS (
+          SELECT event_id, event_type AS event,
+                 'u' || user_id AS identity,
+                 'seed=' || (user_id % 20) AS scope,
+                 ts AS observed_at,
+                 'prov' || (event_id % 4) AS provider,
+                 CASE CAST(event_id % 3 AS INT)
+                   WHEN 0 THEN 'ok' WHEN 1 THEN ' Warn ' ELSE 'fail' END AS status,
+                 CAST(event_id % 50 AS VARCHAR) AS cnt,
+                 'h' || (user_id % 10) AS host,
+                 (event_id % 7) || '.5' AS score
+          FROM events
+        ),
+        obs AS (
+          SELECT 1 AS metric_id, event_id, identity, scope, observed_at,
+                 date_trunc('hour', observed_at) AS bucket_start,
+                 date_trunc('hour', observed_at) + INTERVAL 1 HOUR AS bucket_end,
+                 'count' AS vt, CAST(1 AS BIGINT) AS value_int,
+                 CAST(NULL AS DOUBLE) AS value_num,
+                 CAST(NULL AS VARCHAR) AS value_text,
+                 '1' AS rep, '{{"host":"' || host || '"}}' AS dims,
+                 CAST(NULL AS DOUBLE) AS numval
+          FROM ev WHERE event = 'click' AND provider = 'prov1'
+          UNION ALL
+          SELECT 2, event_id, identity, scope, observed_at,
+                 date_trunc('day', observed_at),
+                 date_trunc('day', observed_at) + INTERVAL 1 DAY,
+                 'integer', CAST(cnt AS BIGINT), NULL, NULL,
+                 CAST(CAST(cnt AS BIGINT) AS VARCHAR), '{{}}', NULL
+          FROM ev WHERE lower(trim(status)) = 'ok'
+          UNION ALL
+          SELECT 3, event_id, identity, scope, observed_at,
+                 observed_at, observed_at,
+                 'string', NULL, NULL, provider, provider,
+                 '{{"kind":"err"}}', NULL
+          FROM ev WHERE event = 'error'
+          UNION ALL
+          SELECT 4, event_id, identity, scope, observed_at,
+                 TIMESTAMP '1970-01-01 00:00:00'
+                   + ((CAST(floor(epoch(observed_at)) AS BIGINT) // 300) * 300)
+                     * INTERVAL 1 SECOND,
+                 TIMESTAMP '1970-01-01 00:00:00'
+                   + ((CAST(floor(epoch(observed_at)) AS BIGINT) // 300) * 300)
+                     * INTERVAL 1 SECOND + INTERVAL 5 MINUTE,
+                 'decimal', NULL, CAST(score AS DOUBLE), NULL, score, '{{}}',
+                 CAST(score AS DOUBLE)
+          FROM ev WHERE provider = 'prov2'
+        ),
+        hashed AS (
+          SELECT *, {framed} AS value_hash FROM obs
+        ),
+        chg AS (
+          SELECT *,
+                 lag(value_hash) OVER w AS prev_value_hash,
+                 lag(numval) OVER w AS prev_num
+          FROM hashed
+          WINDOW w AS (PARTITION BY metric_id, scope, dims
+                       ORDER BY observed_at, event_id)
+        )
+        SELECT CAST(metric_id AS INT) AS metric_id, event_id, identity, scope,
+               observed_at, bucket_start, bucket_end, vt AS value_type,
+               value_int, value_num, value_text, value_hash,
+               dims AS dimensions,
+               sha256('information-seed' || chr(0) || metric_id || chr(0)
+                      || identity || chr(0) || value_hash || chr(0) || dims)
+                 AS dedupe_key,
+               prev_value_hash,
+               CASE WHEN prev_value_hash IS NULL THEN 'new'
+                    WHEN prev_value_hash <> value_hash THEN 'changed'
+                    ELSE 'unchanged' END AS change_type,
+               CASE WHEN prev_num IS NOT NULL AND numval IS NOT NULL
+                    THEN numval - prev_num END AS change_delta_numeric,
+               prev_value_hash IS NULL OR prev_value_hash <> value_hash
+                 AS is_changed
+        FROM chg
+    """
+
+
 # ------------------------------------------------ search JSON adapters
 
 def _adapter_pages(spark: SparkSession, sf_dir: str, provider: str) -> DataFrame:
@@ -5151,9 +5279,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the OLDEST last driver green, deferring multi-green stalwarts when
     the registry (118) exceeds two windows. Goal: every oracled query's
     last driver-green row is as recent as 50-slot rotation allows
-    (r5 window: 32 never-graded + 10 changed-path r4 re-proves + the 3
-    r2-last queries + 5 r3-last (robots_wildcard..search_httpinfo); every query OUTSIDE the window was
-    driver-green in r3 or later, and all 129 stay green in
+    (r5 window: 33 never-graded + 10 changed-path r4 re-proves + the 3
+    r2-last queries + 4 r3-last (robots_wildcard..search_netinfo); every query OUTSIDE the window was
+    driver-green in r3 or later, and all 130 stay green in
     scripts/oracle_gate.py full-registry runs regardless of the driver
     window)."""
     return {
@@ -5167,6 +5295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "persist_links": q_persist_links,
         "search_adapter_generic": q_search_adapter_generic,
         "search_adapter_brave": q_search_adapter_brave,
+        "metric_observations": q_metric_observations,
         "media_phash": q_media_phash,
         "media_neardup": q_media_neardup,
         "opic_importance": q_opic_importance,
@@ -5902,6 +6031,7 @@ def oracle_sql() -> dict[str, str]:
         "persist_links": _persist_links_oracle_sql(),
         "search_adapter_generic": _adapter_oracle_sql("generic"),
         "search_adapter_brave": _adapter_oracle_sql("brave_search"),
+        "metric_observations": _metric_observations_oracle_sql(),
         "url_normalize": f"""
             WITH urls AS ({_DUCK_URLS})
             SELECT id, url,
