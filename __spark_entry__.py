@@ -34,10 +34,51 @@ TABLES = (
 _SW_SQL = ", ".join(f"'{w}'" for w in TX.STOPWORDS_EN)
 
 
-def _load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+def _scan_bytes(path: str) -> int:
+    import os
+
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path)
+            for f in fs
+            if not f.startswith(("_", "."))
+        )
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return 1 << 62
+
+
+def _load(
+    spark: SparkSession, sf_dir: str, *names: str, widen: tuple[str, ...] = ()
+) -> dict[str, DataFrame]:
+    """Read + register the driver tables.
+
+    Tables named in ``widen`` are round-robin repartitioned to the
+    session default parallelism when the input cannot produce at least
+    one scan task per core (guide §2.5 "input skew: one huge
+    unsplittable file → repartition immediately after the read"): the
+    driver's fixtures are single-file single-row-group parquet, so a
+    scan-rooted stage otherwise runs as ONE task regardless of core
+    count. The trade is an extra small exchange (and, on the widened
+    table, predicate pushdown), so it is opt-in per query: measured, it
+    pays only where the per-row compute above the scan is heavy (HOF
+    text kernels, regex chains, per-pair vector math) and loses where
+    the scan feeds a cheap projection or an immediate partial aggregate.
+    The size condition is scale-adaptive, not tuned to local mode: any
+    input big enough to produce >= one task per core at the session's
+    maxPartitionBytes is left alone, so at production scale the
+    repartition never engages.
+    """
     out = {}
+    n_par = spark.sparkContext.defaultParallelism
+    max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20)))
     for n in names:
-        df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        path = f"{sf_dir}/{n}.parquet"
+        df = spark.read.parquet(path)
+        if n in widen and _scan_bytes(path) < n_par * max_split:
+            df = df.repartition(n_par)
         df.createOrReplaceTempView(n)
         out[n] = df
     return out
@@ -126,7 +167,7 @@ def _values_sql(quote: str = "'") -> str:
 
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1/P3 + URLToHost: both normalizations and host extraction."""
-    _load(spark, sf_dir, "orders")
+    _load(spark, sf_dir, "orders", widen=("orders",))
     urls = spark.sql(_SPARK_URLS)
     return urls.select(
         "id",
@@ -240,14 +281,22 @@ def q_frontier_claim_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_politeness_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-host window-rank budget (core politeness operator, SURVEY §2.5)."""
+    """Per-host window-rank budget (core politeness operator, SURVEY §2.5).
+
+    r6 optimization (guide §2.3 "project before the exchange"): the
+    host/url strings are concatenated AFTER the rank filter — only the
+    ≤100 surviving rows pay string building, and the rank sort/exchange
+    move three narrow numeric columns instead of two ~60-byte strings.
+    Result is identical (same columns from the same source keys)."""
     _load(spark, sf_dir, "lineitem")
     return spark.sql(
         """
-        SELECT host, url, fetch_rank FROM (
-          SELECT concat('h', CAST(l_suppkey % 20 AS STRING), '.example.com') AS host,
-                 concat('https://h', CAST(l_suppkey % 20 AS STRING), '.example.com/o',
-                        CAST(l_orderkey AS STRING), '/', CAST(l_linenumber AS STRING)) AS url,
+        SELECT concat('h', CAST(hk AS STRING), '.example.com') AS host,
+               concat('https://h', CAST(hk AS STRING), '.example.com/o',
+                      CAST(l_orderkey AS STRING), '/', CAST(l_linenumber AS STRING)) AS url,
+               fetch_rank
+        FROM (
+          SELECT l_suppkey % 20 AS hk, l_orderkey, l_linenumber,
                  ROW_NUMBER() OVER (PARTITION BY l_suppkey % 20 ORDER BY l_orderkey, l_linenumber) AS fetch_rank
           FROM lineitem
         ) WHERE fetch_rank <= 5
@@ -1171,7 +1220,7 @@ def q_content_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A2: global keyword dictionary with counts, top 100."""
-    docs = _load(spark, sf_dir, "documents")["documents"]
+    docs = _load(spark, sf_dir, "documents", widen=("documents",))["documents"]
     kw = docs.select(F.explode(TX.keywords_array(F.lower(F.col("text")))).alias("keyword"))
     return (
         kw.groupBy("keyword")
@@ -1614,7 +1663,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (md5 permutations — portable)."""
     docs = (
-        _load(spark, sf_dir, "documents")["documents"]
+        _load(spark, sf_dir, "documents", widen=("documents",))["documents"]
         .filter(F.col("doc_id") < 100)
         .filter(F.size(TX.tokens(F.col("text"))) >= 3)
     )
@@ -1624,7 +1673,7 @@ def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH banding candidates."""
     docs = (
-        _load(spark, sf_dir, "documents")["documents"]
+        _load(spark, sf_dir, "documents", widen=("documents",))["documents"]
         .filter(F.col("doc_id") < 300)
         .filter(F.size(TX.tokens(F.col("text"))) >= 3)
     )
@@ -1642,7 +1691,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash-LSH candidate pairs (min-label propagation; component id =
     kept canonical doc id)."""
     docs = (
-        _load(spark, sf_dir, "documents")["documents"]
+        _load(spark, sf_dir, "documents", widen=("documents",))["documents"]
         .filter(F.col("doc_id") < 300)
         .filter(F.size(TX.tokens(F.col("text"))) >= 3)
     )
@@ -1785,7 +1834,7 @@ def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(diameter) rounds die on long chains). Cross-validated on the
     identical recursive-CTE oracle."""
     docs = (
-        _load(spark, sf_dir, "documents")["documents"]
+        _load(spark, sf_dir, "documents", widen=("documents",))["documents"]
         .filter(F.col("doc_id") < 300)
         .filter(F.size(TX.tokens(F.col("text"))) >= 3)
     )
@@ -1817,7 +1866,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k (exact ANN baseline)."""
-    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
+    emb = _load(spark, sf_dir, "embeddings", widen=("embeddings",))["embeddings"]
     emb = emb.withColumn("embedding", F.transform(F.col("embedding"), lambda x: x.cast("double")))
     corpus = emb.filter(F.col("vec_id") >= 5)
     queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
@@ -2097,7 +2146,7 @@ def q_text_langmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/alpha/stopword-ratio blend."""
-    docs = _load(spark, sf_dir, "documents")["documents"]
+    docs = _load(spark, sf_dir, "documents", widen=("documents",))["documents"]
     return docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
 
 

@@ -231,6 +231,16 @@ def run_pipeline(spark, args, docs_df=None) -> dict:
     dropped_parts = []
     cached = [docs]
 
+    # wall-seconds between stage-count actions — optimization telemetry
+    # (guide §1: measure first). Extra manifest key; consumers that read
+    # input_rows/stages/dropped_rows are unaffected.
+    _last_mark = [time.time()]
+
+    def _mark(name):
+        now = time.time()
+        manifest.setdefault("stage_secs", {})[name] = round(now - _last_mark[0], 3)
+        _last_mark[0] = now
+
     def stage(df):
         # persist at every stage boundary: each stage's manifest count is
         # an action and the final writes replay the chain — without the
@@ -280,6 +290,7 @@ def run_pipeline(spark, args, docs_df=None) -> dict:
         pre = docs
         docs = stage(docs.join(url_losers, "doc_id", "left_anti"))
         manifest["stages"]["url_filter"] = docs.count()
+        _mark("url_filter")
         retire(pre)
 
     # incremental state (--state): prior-batch knowledge arrives as
@@ -343,6 +354,7 @@ def run_pipeline(spark, args, docs_df=None) -> dict:
         pre = docs
         docs = stage(docs.join(prior_dups, "doc_id", "left_anti"))
         manifest["stages"]["exact_dedup_prior"] = docs.count()
+        _mark("exact_dedup_prior")
         retire(pre)
 
     # 1. exact dedup — keep the min doc_id per canonical content key
@@ -352,6 +364,7 @@ def run_pipeline(spark, args, docs_df=None) -> dict:
     ))
     drop(docs.join(survivors.select("doc_id"), "doc_id", "left_anti"), "exact_dup")
     manifest["stages"]["exact_dedup"] = survivors.count()
+    _mark("exact_dedup")
     if lake_hashes is not None:
         # snapshot the batch's shipped content hashes while the stage
         # cache is hot; committed after the output writes succeed
@@ -398,6 +411,7 @@ def run_pipeline(spark, args, docs_df=None) -> dict:
     survivors = stage(survivors.join(fuzzy_losers, "doc_id", "left_anti"))
     drop(fuzzy_losers, "fuzzy_dup")
     manifest["stages"]["fuzzy_dedup"] = survivors.count()
+    _mark("fuzzy_dedup")
     retire(exact_survivors)
     retire(fuzzy_losers)
 
@@ -423,6 +437,7 @@ def run_pipeline(spark, args, docs_df=None) -> dict:
             prev = survivors
             survivors = stage(survivors.join(prior_fuzzy, "doc_id", "left_anti"))
             manifest["stages"]["fuzzy_dedup_prior"] = survivors.count()
+            _mark("fuzzy_dedup_prior")
             retire(prev)
             new_sigs = keyed.join(prior_fuzzy, "doc_id", "left_anti").select("sig_key")
         else:
@@ -453,6 +468,7 @@ def run_pipeline(spark, args, docs_df=None) -> dict:
         prev = survivors
         survivors = stage(survivors.join(sem_losers, "doc_id", "left_anti"))
         manifest["stages"]["semantic_dedup"] = survivors.count()
+        _mark("semantic_dedup")
         retire(prev)
         retire(sem_losers)
 
@@ -470,6 +486,7 @@ def run_pipeline(spark, args, docs_df=None) -> dict:
     fuzzy_survivors = survivors
     cleaned = cleaned_all.filter(F.length("text") > 0)
     manifest["stages"]["line_dedup"] = cleaned.count()
+    _mark("line_dedup")
     retire(fuzzy_survivors)
 
     # 3b. exact-substring span dedup (optional, --span-w > 0): strip
@@ -483,6 +500,7 @@ def run_pipeline(spark, args, docs_df=None) -> dict:
         line_cache = cleaned_all
         cleaned = spanned.filter(F.length("text") > 0)
         manifest["stages"]["span_dedup"] = cleaned.count()
+        _mark("span_dedup")
         retire(line_cache)
         cleaned_all = spanned  # the cache retire() frees after stage 4
 
@@ -492,6 +510,7 @@ def run_pipeline(spark, args, docs_df=None) -> dict:
     drop(verdicts.filter(~F.col("keep")).select("doc_id"), "quality")
     survivors = stage(cleaned.join(kept, "doc_id", "inner"))
     manifest["stages"]["quality"] = survivors.count()
+    _mark("quality")
     retire(cleaned_all)
     retire(verdicts)
     quality_cache = survivors
@@ -513,6 +532,7 @@ def run_pipeline(spark, args, docs_df=None) -> dict:
         prev = survivors
         survivors = stage(survivors.join(kept_ids, "doc_id", "inner"))
         manifest["stages"]["model_filter"] = survivors.count()
+        _mark("model_filter")
         if getattr(args, "source_rollup", False):
             # tiny per-source margin sums (n_sources rows), pinned while
             # the scored cache is hot so retire() below stays safe
@@ -551,6 +571,7 @@ def run_pipeline(spark, args, docs_df=None) -> dict:
         prev = survivors
         survivors = stage(survivors.join(tail_ids, "doc_id", "left_anti"))
         manifest["stages"]["lm_filter"] = survivors.count()
+        _mark("lm_filter")
         retire(prev)
         retire(buckets)
         quality_cache = survivors
@@ -564,6 +585,7 @@ def run_pipeline(spark, args, docs_df=None) -> dict:
         drop(flags, "contaminated")
         survivors = survivors.join(flags, "doc_id", "left_anti")
         manifest["stages"]["decontaminated"] = survivors.count()
+        _mark("decontaminated")
 
     # 6. language ID + per-language stats. Default = the trigram
     #    quality path (broadcast profile join + one doc-key shuffle;
@@ -594,6 +616,7 @@ def run_pipeline(spark, args, docs_df=None) -> dict:
              "dsir_unselected")
         survivors = stage(survivors.join(sel_ids, "doc_id", "left_semi"))
         manifest["stages"]["dsir"] = survivors.count()
+        _mark("dsir")
         retire(sel_ids)
 
     if getattr(args, "langid", "trigram") == "trigram":
@@ -623,6 +646,7 @@ def run_pipeline(spark, args, docs_df=None) -> dict:
         drop(mixed.filter(~F.col("included")).select("doc_id"), "mixture_budget")
         sized = mixed.filter(F.col("included")).select(*sized.columns)
         manifest["stages"]["mixture"] = sized.count()
+        _mark("mixture")
 
     # 7. split + pack
     weights = {"train": args.train, "val": args.val, "test": args.test}
@@ -632,11 +656,14 @@ def run_pipeline(spark, args, docs_df=None) -> dict:
         buckets=args.buckets,
     ))
     manifest["stages"]["packed"] = packed.count()
+    _mark("packed")
     retire(quality_cache)
 
     out = args.output
     packed.write.mode("overwrite").parquet(f"{out}/documents")
+    _mark("write_documents")
     stats.write.mode("overwrite").parquet(f"{out}/stats")
+    _mark("write_stats")
 
     # 8. optional analytics outputs over the curated survivor set
     if getattr(args, "anchor_corpus", False):
@@ -649,6 +676,7 @@ def run_pipeline(spark, args, docs_df=None) -> dict:
         )
         anchors.write.mode("overwrite").parquet(f"{out}/anchors")
         manifest["stages"]["anchor_corpus"] = spark.read.parquet(f"{out}/anchors").count()
+        _mark("anchor_corpus")
     if getattr(args, "source_rollup", False):
         roll = (
             sources_dim.join(packed.select("doc_id", "n_tokens"), "doc_id", "left")
@@ -667,6 +695,7 @@ def run_pipeline(spark, args, docs_df=None) -> dict:
             roll = roll.join(margins_by_source, "source", "left")
         roll.write.mode("overwrite").parquet(f"{out}/sources")
         manifest["stages"]["source_rollup"] = spark.read.parquet(f"{out}/sources").count()
+        _mark("source_rollup")
     # 8b. perceptual media dedup (optional, --media): aHash over real
     #     decoded pixels (Arrow mapInPandas, fuses into the scan) →
     #     16-bit-chunk-blocked Hamming pairs (pigeonhole-exact at
@@ -680,8 +709,10 @@ def run_pipeline(spark, args, docs_df=None) -> dict:
 
         media_sig = MM.media_phash(spark.read.parquet(args.media)).persist()
         manifest["stages"]["media_in"] = media_sig.count()
+        _mark("media_in")
         media_pairs = MM.media_near_dups(media_sig).persist()
         manifest["stages"]["media_pairs"] = media_pairs.count()
+        _mark("media_pairs")
         comps = connected_components(media_pairs, "ref_a", "ref_b")
         losers = comps.filter(F.col("id") != F.col("component")).select(
             F.col("id").alias("media_ref")
@@ -692,6 +723,7 @@ def run_pipeline(spark, args, docs_df=None) -> dict:
         manifest["stages"]["media_kept"] = spark.read.parquet(
             f"{out}/media_kept"
         ).count()
+        _mark("media_kept")
         media_pairs.unpersist()
         media_sig.unpersist()
 
@@ -701,6 +733,7 @@ def run_pipeline(spark, args, docs_df=None) -> dict:
             d = d.unionByName(part)
         d.write.mode("overwrite").parquet(f"{out}/dropped")
         manifest["dropped_rows"] = spark.read.parquet(f"{out}/dropped").count()
+        _mark("write_dropped")
 
     # state commits last, each a LakeTable snapshot (outputs already on
     # disk). Shape shared by all three: fold every other tag into

@@ -110,14 +110,38 @@ def minhash_signatures(
     """MinHash signature per doc: mh_i = min over shingles of md5(i:shingle).
 
     md5-as-permutation is portable (DuckDB computes identical digests),
-    so the whole signature has an exact SQL oracle. One shuffle.
+    so the whole signature has an exact SQL oracle.
+
+    r6 optimization (guide §2.4 "remove shuffles outright"): the min is
+    per-document, so it needs NO shuffle at all — each signature column
+    is ``array_min(transform(distinct_shingles, s -> md5(i:s)))`` over a
+    per-row shingle array. The previous explode → distinct → groupBy(id)
+    shape paid two exchanges plus (because ``min(string)`` has no
+    fixed-width buffer) two SortAggregates with full sorts of the
+    (id, shingle) stream. ``array_distinct`` keeps the md5 count equal
+    to the old distinct pair stream; values are identical (min over a
+    set == min over its multiset). Docs with zero tokens produced no
+    exploded rows before and are filtered identically here.
     """
-    sh = doc_shingles(docs, text_col, id_col, k)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
-        for i in range(n_hashes)
-    ]
-    return sh.groupBy("id").agg(*aggs)
+    sig = docs.filter(F.size(TX.tokens(text_col)) > 0).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(TX.shingles(text_col, k)).alias("_sh"),
+    )
+
+    def _mh(i: int):
+        # unary closure — a `lambda s, i=i:` default arg would make
+        # F.transform treat it as a binary (element, index) lambda
+        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+
+    # two Projects on purpose: _sh is non-cheap and referenced n_hashes
+    # times, so CollapseProject keeps it materialized once per row
+    return sig.select(
+        "id",
+        *[
+            F.array_min(F.transform(F.col("_sh"), _mh(i))).alias(f"mh{i}")
+            for i in range(n_hashes)
+        ],
+    )
 
 
 def minhash_lsh_candidates(

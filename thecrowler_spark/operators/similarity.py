@@ -17,6 +17,10 @@ from pyspark.sql import functions as F
 
 
 def _dot(a, b):
+    # NOTE (r6): an unrolled 64-term getItem chain was measured SLOWER
+    # than this HOF fold (0.64 s vs 0.41 s warm on the sf0.1 ann lane)
+    # — the HOF iterates the primitive array once, the unrolled tree
+    # blows up the generated code. Keep the fold.
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 

@@ -45,9 +45,25 @@ def bucket_aggregates(
     cluster sizes, and external oracles all produce bit-identical
     aggregates (distributed-determinism requirement; float summation
     order otherwise varies with partitioning).
+
+    Plan shape (r6 optimization, guide §2.4): the bucket struct is
+    materialized ONCE as a column so the lag window's partitioning
+    (metric, bucket) is the SAME attribute pair the groupBy clusters on
+    — one Exchange serves both (previously the groupBy re-derived the
+    window expression and paid a second+third Exchange). The five exact
+    percentiles are ONE ``percentile(value, array(...))`` buffer instead
+    of five independent per-group value buffers, and ``distinct_values``
+    is ``size(collect_set(value + 0.0))`` instead of ``count(DISTINCT
+    value)`` — the distinct-aggregate rewrite otherwise keys the whole
+    partial aggregation (all percentile buffers included) on (metric,
+    bucket, value) and adds an extra Exchange. ``+ 0.0`` normalizes
+    ``-0.0`` to ``0.0`` (count_distinct's normalizenanandzero); Java
+    set semantics already collapse NaNs to one, matching count_distinct.
     """
-    w = F.window(F.col(ts_col), bucket)
-    lag_w = Window.partitionBy(F.col(metric_col), w).orderBy(F.col(ts_col), F.col("event_id"))
+    events = events.withColumn("_w", F.window(F.col(ts_col), bucket))
+    lag_w = Window.partitionBy(F.col(metric_col), F.col("_w")).orderBy(
+        F.col(ts_col), F.col("event_id")
+    )
     events = events.withColumn(
         "_changed",
         (F.col(value_col) != F.lag(value_col).over(lag_w)).cast("int"),
@@ -68,19 +84,19 @@ def bucket_aggregates(
     else:
         sum_expr = F.round(F.sum(value_col), 4)
         avg_expr = F.round(F.avg(value_col), 4)
+    pct = F.percentile(
+        F.col(value_col),
+        F.array(F.lit(0.5), F.lit(0.75), F.lit(0.9), F.lit(0.95), F.lit(0.99)),
+    )
     agged = (
-        events.groupBy(F.col(metric_col).alias("metric"), w.alias("w"))
+        events.groupBy(F.col(metric_col).alias("metric"), F.col("_w").alias("w"))
         .agg(
             F.count("*").alias("value_count"),
             sum_expr.alias("value_sum"),
             F.round(F.min(value_col), 4).alias("value_min"),
             F.round(F.max(value_col), 4).alias("value_max"),
             avg_expr.alias("value_avg"),
-            F.round(F.percentile(value_col, 0.5), 4).alias("p50"),
-            F.round(F.percentile(value_col, 0.75), 4).alias("p75"),
-            F.round(F.percentile(value_col, 0.9), 4).alias("p90"),
-            F.round(F.percentile(value_col, 0.95), 4).alias("p95"),
-            F.round(F.percentile(value_col, 0.99), 4).alias("p99"),
+            pct.alias("_pcts"),
             # deterministic first/last: tie-break timestamps on event_id
             F.round(
                 F.min_by(value_col, F.struct(ts_col, "event_id")), 4
@@ -88,7 +104,9 @@ def bucket_aggregates(
             F.round(
                 F.max_by(value_col, F.struct(ts_col, "event_id")), 4
             ).alias("last_value"),
-            F.count_distinct(F.col(value_col)).alias("distinct_values"),
+            F.size(F.collect_set(F.col(value_col) + F.lit(0.0)))
+            .cast("long")
+            .alias("distinct_values"),
             F.coalesce(F.sum("_changed"), F.lit(0)).cast("long").alias("change_count"),
         )
     )
@@ -107,11 +125,11 @@ def bucket_aggregates(
             "value_min",
             "value_max",
             "value_avg",
-            "p50",
-            "p75",
-            "p90",
-            "p95",
-            "p99",
+            F.round(F.col("_pcts")[0], 4).alias("p50"),
+            F.round(F.col("_pcts")[1], 4).alias("p75"),
+            F.round(F.col("_pcts")[2], 4).alias("p90"),
+            F.round(F.col("_pcts")[3], 4).alias("p95"),
+            F.round(F.col("_pcts")[4], 4).alias("p99"),
             "first_value",
             "last_value",
             "distinct_values",
