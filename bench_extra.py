@@ -78,10 +78,25 @@ def main() -> None:
     spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
 
     if args.pipeline:
-        import bench as B
+        import shutil
+        import tempfile
 
-        res = B.pipeline_throughput(spark, args.pipeline_docs)
-        print(json.dumps({"pipeline": res}))
+        from jobs.pipeline_job import parse_args as pp, run_pipeline
+        from thecrowler_spark.sources.corpus import big_documents_df
+
+        workdir = tempfile.mkdtemp(prefix="bench_extra_pipeline_")
+        try:
+            inp = f"{workdir}/documents_in"
+            big_documents_df(spark, args.pipeline_docs).write.mode("overwrite").parquet(inp)
+            pargs = pp(["--input", inp, "--output", f"{workdir}/out"])
+            t0 = time.time()
+            manifest = run_pipeline(spark, pargs)
+            elapsed = time.time() - t0
+            manifest["elapsed_sec"] = round(elapsed, 3)
+            manifest["docs_per_sec"] = round(manifest["input_rows"] / elapsed, 1)
+            print(json.dumps(manifest))
+        finally:
+            shutil.rmtree(workdir, ignore_errors=True)
         spark.stop()
         return
 

@@ -380,14 +380,25 @@ def run_pipeline(spark, args, docs_df=None) -> dict:
     #    n_hashes=8 / bands=4 a band key is only 2 minhashes, so raw
     #    candidates carry little Jaccard signal; the verify step is what
     #    makes the threshold real (no false-positive doc removal).
-    candidates = DD.minhash_lsh_candidates(
+    #    stage() both intermediates (r6, guide §5 "caching is worth it
+    #    when a DataFrame is reused"): verify_pairs_jaccard references
+    #    its candidate input three times (id-union + the pair fan-out)
+    #    and its shingle table three more, and connected_components'
+    #    edge checkpoint traverses the verified pairs again — uncached,
+    #    the LSH band join re-executed ~5x and the fuzzy stage measured
+    #    453 s of the 544 s 200k-doc lane (38 s with both persisted).
+    candidates = stage(DD.minhash_lsh_candidates(
         survivors, text_col="text", id_col="doc_id", n_hashes=8, bands=4, k=3
-    )
-    pairs = DD.verify_pairs_jaccard(
+    ))
+    pairs = stage(DD.verify_pairs_jaccard(
         survivors, candidates, text_col="text", id_col="doc_id",
         k=3, threshold=args.minhash_threshold,
-    )
+    ))
+    # connected_components eagerly checkpoints its edge set during the
+    # call, so both caches are consumed once it returns
     comp = DD.connected_components(pairs)
+    retire(candidates)
+    retire(pairs)
     # cache the (tiny, id-only) loser set: it is read twice (anti-join +
     # dropped/ audit) and recomputing it replays the whole LSH chain
     if args.keep_policy == "best":

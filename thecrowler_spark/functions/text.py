@@ -234,11 +234,16 @@ def _marker_argmax(toks: Column, markers: dict[str, tuple[str, ...]], fallback: 
 
 
 def script_counts(c: Column | str) -> dict[str, Column]:
-    """Per-script codepoint counts (pure Column: strip the complement
-    class, take the length — one regex pass per script)."""
+    """Per-script codepoint counts (pure Column: one regex pass per
+    script). ``regexp_count(t, '[cls]')`` counts the matching
+    codepoints directly — value-identical to the previous
+    ``length(regexp_replace(t, '[^cls]', ''))`` (each match is one
+    codepoint) but without building an intermediate string per script
+    per row (r6: the 10-class count stack measured 34 s over a 185k-doc
+    corpus in the replace form)."""
     t = _col(c)
     return {
-        name: F.length(F.regexp_replace(t, f"[^{cls}]", ""))
+        name: F.regexp_count(t, F.lit(f"[{cls}]"))
         for name, cls in SCRIPT_CLASSES
     }
 
@@ -254,8 +259,16 @@ SCRIPT_DOMINANCE: tuple[str, ...] = (
 
 def dominant_script(c: Column | str) -> Column:
     """Dominant script name via codepoint-range count argmax
-    (declaration-order tie-break per SCRIPT_DOMINANCE)."""
-    cnt = script_counts(c)
+    (declaration-order tie-break per SCRIPT_DOMINANCE).
+
+    ASCII fast path (r6): a pure-ASCII document has zero characters in
+    every non-Latin class, so the argmax is 'latin' by the declared
+    tie-break (latin leads SCRIPT_DOMINANCE) — one allocation-free
+    rlike scan replaces the 9-class count stack for the common case;
+    CASE lazily evaluates the full argmax only for non-ASCII rows.
+    Value-identical by construction."""
+    t = _col(c)
+    cnt = script_counts(t)
     pooled = {**cnt, "cjk": cnt["han"] + cnt["kana"]}
     entries = [
         F.struct(
@@ -265,7 +278,9 @@ def dominant_script(c: Column | str) -> Column:
         )
         for i, name in enumerate(SCRIPT_DOMINANCE)
     ]
-    return F.array_max(F.array(*entries))["s"]
+    return F.when(~t.rlike("[^\\x00-\\x7f]"), F.lit("latin")).otherwise(
+        F.array_max(F.array(*entries))["s"]
+    )
 
 
 def cyrillic_marker_expr(c: Column | str) -> Column:

@@ -155,8 +155,25 @@ def minhash_lsh_candidates(
     """LSH banding: docs sharing any band of the signature are candidates.
 
     rows-per-band = n_hashes / bands; band key = md5 of the band's
-    concatenated minhashes. Pair generation is an equi-join on
-    (band_idx, band_key) — never O(n²).
+    concatenated minhashes. Pair generation is ONE groupBy on
+    (band_idx, band_key) + a per-group ordered-pair expansion — never
+    O(n²) over the corpus.
+
+    r6: this replaces the band-key SELF-join. A self-join's
+    deduplicated branch regenerates expression ids, which defeats both
+    cache substitution and common-subtree reuse, so the whole signature
+    chain was computed twice per run (measured: the join form cost
+    2×sig + a 768k-row broadcast build at 192k docs; thread dumps
+    showed the "cached" build side re-running the shingle transforms).
+    The group form computes signatures once, shuffles each banded row
+    once, and emits exactly the same pair set: ids within a (band_idx,
+    band_key) group are distinct (one key per doc per band), sorted
+    ascending, and paired (x, y) for every x earlier than y — i.e.
+    {(a, b): same band key, a < b}, then distinct across bands as
+    before. Skew note: a band key shared by F docs builds one F-element
+    array where the join built F² rows — the array is the safer side of
+    that trade, and the F² pair explosion that follows is inherent to
+    LSH banding itself.
     """
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(docs, text_col, id_col, n_hashes, k)
@@ -169,16 +186,23 @@ def minhash_lsh_candidates(
     banded = sig.select("id", F.explode(F.array(*band_cols)).alias("band")).select(
         "id", "band.band_idx", "band.band_key"
     )
-    a = banded.alias("a")
-    b2 = banded.alias("b")
-    return (
-        a.join(
-            b2,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.id") < F.col("b.id")),
+    grouped = (
+        banded.groupBy("band_idx", "band_key")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_arrays = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.greatest(F.size(F.col("ids")) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    return (
+        grouped.select(F.explode(pair_arrays).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -263,7 +287,17 @@ def verify_pairs_jaccard(
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sh = doc_shingles(docs.join(cand_ids, id_col, "inner"), text_col, id_col, k)
+    # lazily checkpoint the candidate shingle table (r6): it is
+    # referenced three times below (sizes + both sides of the pair
+    # probe), and the pair-probe side is a self-join whose deduplicated
+    # branch re-derives expression ids — which defeats plan-cache
+    # substitution, so without a leaf-level materialization the explode
+    # (and everything under it) executes three times per run. A lazy
+    # localCheckpoint materializes it once at first use; both self-join
+    # branches then read the same RDD leaf.
+    sh = doc_shingles(docs.join(cand_ids, id_col, "inner"), text_col, id_col, k).localCheckpoint(
+        eager=False
+    )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
