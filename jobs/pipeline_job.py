@@ -309,7 +309,23 @@ def run_pipeline(spark, args, docs_df=None) -> dict:
     prior_hashes = prior_sigs = prior_lines = None
     new_hashes = new_sigs = batch_lines = None
     prior_hashes_other = prior_sigs_other = prior_lines_other = None
-    batch_tag = args.batch_tag or os.path.basename(args.output.rstrip("/")) or "_batch"
+    # default tag must be collision-resistant (ADVICE r5): two distinct
+    # batches whose --output dirs merely share a basename must not treat
+    # each other as replays (the later commit would silently REPLACE the
+    # earlier batch's state rows). Tag = basename + short hash of the
+    # full absolute path — still human-readable, still stable for a true
+    # replay of the same output dir.
+    if args.batch_tag:
+        batch_tag = args.batch_tag
+    else:
+        import hashlib
+
+        out_abs = os.path.abspath(args.output.rstrip("/") or "_batch")
+        batch_tag = (
+            (os.path.basename(out_abs) or "_batch")
+            + "-"
+            + hashlib.sha256(out_abs.encode()).hexdigest()[:12]
+        )
 
     def _read_tagged(lake):
         """All state rows EXCEPT this batch's tag (None if no snapshot).

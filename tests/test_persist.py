@@ -171,3 +171,27 @@ def test_normalize_source_url_query_decode(spark):
     ).select(normalize_source_url(F.col("u")).alias("n")).collect()
     assert rows[0]["n"] == "https://a.test/p%2Fx?u=/path:1"
     assert rows[1]["n"] == "https://a.test/p%2Fx"
+
+
+def test_created_url_duplicate_config_update_applies(spark):
+    # Go's insert-race path updates the JUST-CREATED source's config
+    # when a later duplicate carries a meaningful one
+    # (source_upsert_policy.go:96-99) — the update set filters on
+    # exists_like, not only pre-existing sources (ADVICE r5).
+    sources = _sources(spark, [_src(10, "https://seen.test/")])
+    cands = _cands(
+        spark,
+        [_cand(0, "https://brand.new/", "n1"),
+         _cand(1, "https://brand.new/", "n2")],
+    ).withColumn(
+        "config_override",
+        F.when(F.col("cand_order") == 1, F.lit('{"version":"new"}')),
+    )
+    out = persist_candidates(sources, cands, seed_id=1)
+    audit = sorted(out["audit"].collect(), key=lambda r: r["cand_order"])
+    assert [r["action"] for r in audit] == ["created", "linked_config_updated"]
+    created = {r["url"]: r for r in out["sources"].collect()}["https://brand.new/"]
+    # the created row reflects the later duplicate's config, while the
+    # creator's other fields stick
+    assert created["config"] == '{"version":"new"}'
+    assert created["name"] == "n1"

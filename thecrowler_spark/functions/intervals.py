@@ -124,6 +124,35 @@ def parse_interval_seconds_py(s: str | None) -> int:
     return clamp(_DEFAULT)
 
 
+def parse_interval_seconds_exact_py(s: str | None) -> int:
+    """Same grammar as :func:`parse_interval_seconds_py`, WITHOUT the
+    crawler pacing clamps (−1 s quirk, 86400 cap, <1→30): eligibility
+    cutoffs for claim timeouts are exact ``now − interval`` in the
+    reference (``updateInformationSeeds`` uses ``to_minutes(60)``
+    directly), so '1 hour' must mean 3600 s here, not 3599 (ADVICE r5,
+    infoseed.py:68). Empty/unparseable falls back to the same default
+    seconds, unmodified."""
+    import re
+
+    t = (s or "").strip().lower()
+    for old, new in (
+        (" minutes", "m"), (" minute", "m"), (" mins", "m"), (" min", "m"),
+        (" hours", "h"), (" hour", "h"), (" hrs", "h"), (" hr", "h"),
+        (" seconds", "s"), (" second", "s"), (" secs", "s"), (" sec", "s"),
+    ):
+        t = t.replace(old, new)
+    if t == "":
+        return _DEFAULT
+    m = re.match(_SIMPLE_RE, t)
+    if m:
+        return int(m.group(1)) * UNIT_SECONDS[m.group(2)]
+    m = re.match(_COMPOUND_RE, t)
+    if m and any(g for g in m.groups()):
+        h, mi, se = (int(g) if g else 0 for g in m.groups())
+        return h * 3600 + mi * 60 + se
+    return _DEFAULT
+
+
 def pacing_delay_seconds(
     url: Column | str, lo: float, hi: float, seed: int = 42
 ) -> Column:

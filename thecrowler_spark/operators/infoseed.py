@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.intervals import parse_interval_seconds_py
+from ..functions.intervals import parse_interval_seconds_exact_py
 
 
 def claim_information_seeds(
@@ -65,7 +65,10 @@ def claim_information_seeds(
     now_ts = F.lit(now).cast("timestamp")
 
     def cutoff(interval: str):
-        return now_ts - F.expr(f"INTERVAL {parse_interval_seconds_py(interval)} SECOND")
+        # exact interval seconds — the claim-timeout boundary is
+        # now − interval in the reference, not the pacing-clamped
+        # (−1 s) value (ADVICE r5)
+        return now_ts - F.expr(f"INTERVAL {parse_interval_seconds_exact_py(interval)} SECOND")
 
     st = F.lower(F.trim(F.col("status")))
     lpa = F.col("last_processed_at")

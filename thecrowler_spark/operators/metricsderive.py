@@ -80,23 +80,32 @@ def _framed(*parts: Column) -> Column:
     return F.sha2(framed, 256)
 
 
-def _dim_json(dims: list[tuple[str, Column]]) -> Column:
+def _dim_json(dims: list[tuple[str, Column, bool]]) -> Column:
     """Go json.Marshal of the dimension map: keys sorted, bounded
-    string values (>120 chars → sha256:hex), absent keys omitted."""
+    string values (>120 chars → sha256:hex), absent keys omitted.
+
+    r6 ADVICE fixes: the length bound is applied to the TRIMMED value
+    (Go trims first, ``boundedInformationSeedDimension``); each pair is
+    rendered through ``to_json`` so string values are JSON-escaped
+    (quotes/backslashes/control chars) instead of raw-concatenated; and
+    non-string literal dimension values keep their type, so to_json
+    renders them unquoted like Go's json.Marshal."""
     if not dims:
         return F.lit("{}")
     parts = []
-    for key, val in sorted(dims, key=lambda kv: kv[0]):
-        bounded = F.when(
-            F.length(val) > 120,
-            F.concat(F.lit("sha256:"), F.sha2(F.trim(val), 256)),
-        ).otherwise(F.trim(val))
-        parts.append(
-            F.when(
-                val.isNotNull(),
-                F.concat(F.lit(f'"{key}":"'), bounded, F.lit('"')),
-            )
-        )
+    for key, val, is_str in sorted(dims, key=lambda kv: kv[0]):
+        if is_str:
+            trimmed = F.trim(val)
+            bounded = F.when(
+                F.length(trimmed) > 120,
+                F.concat(F.lit("sha256:"), F.sha2(trimmed, 256)),
+            ).otherwise(trimmed)
+        else:
+            bounded = val
+        kv = F.to_json(F.struct(bounded.alias(key)))
+        # '{"k":"v"}' -> '"k":"v"' (strip the braces; pairs re-join below)
+        kv = kv.substr(F.lit(2), F.length(kv) - 2)
+        parts.append(F.when(val.isNotNull(), kv))
     arr = F.filter(F.array(*parts), lambda x: x.isNotNull())
     return F.concat(F.lit("{"), F.array_join(arr, ","), F.lit("}"))
 
@@ -195,9 +204,11 @@ def derive_observations(
                 continue
             dpath = str(d.get("field", "") or d.get("path", "") or "").strip()
             if dpath:
-                dims.append((key, _field(v, dpath)))
+                dims.append((key, _field(v, dpath), True))
             elif "value" in d:
-                dims.append((key, F.lit(str(d["value"]))))
+                # keep the literal's type: json.Marshal renders numbers/
+                # booleans unquoted (ADVICE r5)
+                dims.append((key, F.lit(d["value"]), isinstance(d["value"], str)))
         dim_json = _dim_json(dims)
 
         ts = F.col(ts_col)
@@ -241,6 +252,13 @@ def derive_observations(
                 dedupe.alias("dedupe_key"),
                 err.alias("value_error"),
             )
+        )
+    if not outs:
+        # config-driven callers can legitimately enable zero metrics;
+        # fail with a clear message instead of IndexError (ADVICE r5)
+        raise ValueError(
+            "derive_observations: metrics config enables no metrics "
+            "(empty list) — nothing to derive"
         )
     obs = outs[0]
     for o in outs[1:]:

@@ -198,19 +198,34 @@ def persist_candidates(
         )
     )
 
-    # --- new sources state: config updates (last eligible wins) + created
+    # --- new sources state: config updates (last eligible wins) + created.
+    # The update set filters on exists_like, not _exists: a later
+    # duplicate of a URL this batch CREATED updates the just-created
+    # row too, exactly like Go's insert-race path
+    # (source_upsert_policy.go:96-99) — and consistent with the audit,
+    # which labels those rows 'linked_config_updated' (ADVICE r5).
     if upd_ok:
         upd = (
-            c.where(F.col("_exists") & _meaningful(F.col("config")))
+            c.where(exists_like & _meaningful(F.col("config")))
             .groupBy("url")
             .agg(F.max(F.struct("cand_order", "config")).alias("_u"))
             .select("url", F.col("_u.config").alias("_new_config"))
         )
-        base = sources.join(upd, "url", "left").withColumn(
-            "config", F.coalesce(F.col("_new_config"), F.col("config"))
-        ).drop("_new_config")
+
+        def _apply_upd(df):
+            return (
+                df.join(upd, "url", "left")
+                .withColumn("config", F.coalesce(F.col("_new_config"), F.col("config")))
+                .drop("_new_config")
+            )
+
+        base = _apply_upd(sources)
+        created_out = _apply_upd(created)
     else:
         base = sources
-    sources_out = base.select(*created.columns).unionByName(created)
+        created_out = created
+    sources_out = base.select(*created.columns).unionByName(
+        created_out.select(*created.columns)
+    )
 
     return {"audit": audit, "links": links, "sources": sources_out}
