@@ -630,7 +630,7 @@ def _scrape_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     currency (%9==2), a missing href on the first a.next (%13==5) and
     a second a.next element on even ids — all doc_id arithmetic shared
     with the DuckDB oracles."""
-    docs = _load(spark, sf_dir, "documents")["documents"]
+    docs = _load(spark, sf_dir, "documents", widen=("documents",))["documents"]
     i = F.col("doc_id")
     url = (
         F.when(i % 3 == 2,
@@ -1881,7 +1881,7 @@ def _quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     that makes the approximate-ANN paths oracle-checkable instead of
     rows-only. floor (not round) because the engines' rounding tie
     rules differ (HALF_UP vs HALF_EVEN)."""
-    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
+    emb = _load(spark, sf_dir, "embeddings", widen=("embeddings",))["embeddings"]
     iv = F.transform(
         F.col("embedding"), lambda x: F.floor(x.cast("double") * 1000).cast("double")
     )
@@ -2180,7 +2180,7 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest of tlsh_hex itself is verified against hashlib in
     tests/test_fingerprints.py instead. All pure Column expressions.
     """
-    docs = _load(spark, sf_dir, "documents")["documents"]
+    docs = _load(spark, sf_dir, "documents", widen=("documents",))["documents"]
     out = docs.select(
         "doc_id",
         FP.md5_hex(F.col("text")).alias("fp_md5"),
@@ -2423,7 +2423,7 @@ def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 distinctive terms per doc by (tf DESC, df ASC, term ASC) —
     the TF-IDF ordering over exact integers."""
-    docs = _load(spark, sf_dir, "documents")["documents"]
+    docs = _load(spark, sf_dir, "documents", widen=("documents",))["documents"]
     return TM.tfidf_top_terms(docs, k=3)
 
 
@@ -3670,7 +3670,7 @@ def q_trap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     count-distinct on the 8-byte URL hash."""
     from thecrowler_spark.operators.traps import detect_traps
 
-    _load(spark, sf_dir, "orders")
+    _load(spark, sf_dir, "orders", widen=("orders",))
     urls = spark.sql(_SPARK_TRAP_URLS)
     return detect_traps(urls, min_urls=50)
 
@@ -3698,7 +3698,7 @@ def q_trap_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-phase skew-safe rank must equal the oracle's single window."""
     from thecrowler_spark.operators.traps import detect_traps, filter_trap_urls
 
-    _load(spark, sf_dir, "orders")
+    _load(spark, sf_dir, "orders", widen=("orders",))
     urls = spark.sql(_SPARK_TRAP_URLS)
     traps = detect_traps(urls, min_urls=50)
     return filter_trap_urls(
@@ -3777,7 +3777,7 @@ def q_dust_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     strip list. Two grouped aggregations, no window/UDF/collect."""
     from thecrowler_spark.operators.dust import dust_rules
 
-    _load(spark, sf_dir, "orders")
+    _load(spark, sf_dir, "orders", widen=("orders",))
     pages = spark.sql(_SPARK_DUST_PAGES)
     return dust_rules(pages, min_support=3)
 
@@ -4263,7 +4263,7 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles on the gram key."""
     from thecrowler_spark.operators.dsir import dsir_select
 
-    docs = _load(spark, sf_dir, "documents")["documents"].select("doc_id", "text")
+    docs = _load(spark, sf_dir, "documents", widen=("documents",))["documents"].select("doc_id", "text")
     target = docs.filter(F.col("doc_id") % 10 == 0)
     raw = docs.filter(F.col("doc_id") % 10 != 0)
     return dsir_select(spark, target, raw, k=100, n_buckets=1024)
@@ -4519,7 +4519,7 @@ def _feed_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     fallback, RFC1123Z / RFC3339-offset / unparseable pubDate layouts,
     published→updated fallback, element categories vs term+label
     attribute categories, author+dc:creator vs name/email blocks."""
-    docs = _load(spark, sf_dir, "documents")["documents"]
+    docs = _load(spark, sf_dir, "documents", widen=("documents",))["documents"]
     i = F.col("doc_id")
     s = i.cast("string")
     m = i % 5
@@ -4807,7 +4807,7 @@ def q_metric_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
     JSON, and lag-window change detection with numeric deltas."""
     from thecrowler_spark.operators.metricsderive import derive_observations
 
-    _load(spark, sf_dir, "events")
+    _load(spark, sf_dir, "events", widen=("events",))
     ev = spark.sql(
         """
         SELECT event_id, event_type AS event,
@@ -5059,7 +5059,7 @@ def _persist_fixture(spark: SparkSession, sf_dir: str):
     existing hits, brand-new URLs, %450 duplicate collisions (the
     sequential loop's insert-race branch), %7 query-encoded URLs
     (NormalizeSourceURL decode), %5 meaningful config overrides."""
-    _load(spark, sf_dir, "orders")
+    _load(spark, sf_dir, "orders", widen=("orders",))
     sources = spark.sql(
         """
         SELECT o_orderkey + 1000 AS source_id,
@@ -5185,7 +5185,7 @@ def _cdx_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the oracle recomputes every expected value from the raw table
     without parsing JSON. URL noise (www./case/default-port variants on
     independent residues) makes distinct raw URLs SURT-collapse."""
-    docs = _load(spark, sf_dir, "documents")["documents"]
+    docs = _load(spark, sf_dir, "documents", widen=("documents",))["documents"]
     i = F.col("doc_id")
     s = i.cast("string")
     k = i % 8

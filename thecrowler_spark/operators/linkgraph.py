@@ -153,13 +153,18 @@ def hits_fixedpoint(
     :func:`pagerank_fixedpoint`).
     """
     if persist_each is None:
-        persist_each = n_iter > 5
+        # AUTO on past ONE iteration (r6): each half-step references its
+        # normalized table twice (total + output), so un-truncated
+        # lineage re-executes ~2^(2*rounds) — measured 64 s lazy vs
+        # 10-13 s checkpointed at n_iter=3 on the sf0.1 fixture.
+        persist_each = n_iter > 1
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
     )
     if persist_each:
+        edges = edges.persist()
         nodes = nodes.persist()
     norm_expr = (
         f"s DIV (CASE WHEN t DIV {scale}L < 1 THEN 1 ELSE t DIV {scale}L END)"
@@ -175,7 +180,10 @@ def hits_fixedpoint(
         full = nodes.join(raw, "node", "left").select(
             "node", F.coalesce("s", F.lit(0)).alias("s")
         )
-        tot = full.agg(F.sum("s").alias("t"))
+        # total over raw == total over full (nodes absent from raw
+        # contribute coalesce(s,0)=0; every raw node is in nodes), so
+        # the normalizer's branch re-executes the shallower subtree (r6)
+        tot = raw.agg(F.coalesce(F.sum("s"), F.lit(0)).cast("long").alias("t"))
         return full.crossJoin(F.broadcast(tot)).select(
             "node", F.expr(norm_expr).alias(out)
         )
@@ -189,6 +197,10 @@ def hits_fixedpoint(
             # plan truncation per round (see pagerank_fixedpoint)
             a = a.localCheckpoint(eager=True)
             h = h.localCheckpoint(eager=True)
+    if persist_each:
+        # h/a are checkpointed RDDs — lineage to these is cut (r6)
+        edges.unpersist()
+        nodes.unpersist()
     return h.join(a, "node").select("node", "hub_fp", "auth_fp")
 
 

@@ -73,7 +73,13 @@ def opic_importance(
     contribute once each (outdeg counts them too).
     """
     if persist_each is None:
-        persist_each = n_iter > 5
+        # AUTO on past ONE iteration (r6): each round references the
+        # state THREE times (contribution join, leak aggregate, history
+        # update), so un-truncated lineage re-executes ~3^rounds — the
+        # sf0.1 fixture measured 90 s at n_iter=5 vs ~3 s checkpointed.
+        # (The pagerank sibling keeps its >5 rule: its round references
+        # the rank exactly once, so its lineage is linear.)
+        persist_each = n_iter > 1
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
@@ -81,6 +87,11 @@ def opic_importance(
     )
     out_d = edges.groupBy(F.col(src).alias("node")).agg(F.count("*").alias("od"))
     if persist_each:
+        # the loop references edges twice per round (contribution join,
+        # implicit in out_d already) and nodes/out_d every round; the
+        # eager per-round checkpoints cut all lineage, so these caches
+        # can be (and are) released before returning
+        edges = edges.persist()
         nodes = nodes.persist()
         out_d = out_d.persist()
     # N enters via a broadcast 1-row aggregate — no collect()
@@ -141,6 +152,11 @@ def opic_importance(
             # analyzed plan doubles per round (see pagerank_fixedpoint)
             state = state.localCheckpoint(eager=True)
             pot = pot.localCheckpoint(eager=True)
+    if persist_each:
+        # the final state is a checkpointed RDD — its plan no longer
+        # references these (r6: fixes the cache leak too)
+        for df in (edges, nodes, out_d):
+            df.unpersist()
     return state.select(
         "node",
         "cash_fp",
