@@ -1866,7 +1866,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k (exact ANN baseline)."""
-    emb = _load(spark, sf_dir, "embeddings", widen=("embeddings",))["embeddings"]
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
     emb = emb.withColumn("embedding", F.transform(F.col("embedding"), lambda x: x.cast("double")))
     corpus = emb.filter(F.col("vec_id") >= 5)
     queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")

@@ -220,7 +220,13 @@ def test_pipeline_incremental_replay_idempotent(spark, tmp_path):
     from thecrowler_spark.sources.lake import LakeTable
     st = LakeTable(spark, f"{state}/line_counts").read()
     tags = {r["batch_tag"] for r in st.select("batch_tag").distinct().collect()}
-    assert tags == {"_compacted", "out2"}
+    # the default tag is now collision-resistant: basename + short hash
+    # of the absolute output path (ADVICE r5) — still exactly TWO tags
+    # (everything but the latest batch folded), the latest tagged by
+    # its out2-derived name
+    assert len(tags) == 2 and "_compacted" in tags
+    (latest,) = tags - {"_compacted"}
+    assert latest.startswith("out2")
     from pyspark.sql import functions as F
     footer_hash_count = (
         st.filter(F.col("line_hash") == F.xxhash64(F.lit(footer)))

@@ -159,7 +159,14 @@ def test_scraping_rules_zero_shuffle(spark):
 
     pages = E._scrape_pages(spark, SF_DIR)
     plan = _plan(apply_scraping_rules(pages, E.SCRAPE_RULES))
-    for op in ("Exchange", "Join", "CartesianProduct", "BatchEvalPython",
+    # the ONLY allowed Exchange is the input-parallelizing round-robin
+    # repartition of the single-row-group fixture (r6 `_load` widen,
+    # upstream of the rules); the rule engine itself must add no keyed
+    # exchange, join, sort, or Python evaluation
+    assert plan.count("Exchange") == plan.count("RoundRobinPartitioning")
+    assert "hashpartitioning" not in plan.lower()
+    assert "rangepartitioning" not in plan.lower()
+    for op in ("Join", "CartesianProduct", "BatchEvalPython",
                "ArrowEvalPython", "Sort"):
         assert op not in plan, op
 
@@ -295,7 +302,10 @@ def test_opic_rounds_are_equijoin_partial_agg_no_window(spark):
     edges = spark.range(5000).select(
         (F.col("id") % 500).alias("src"), ((F.col("id") * 7 + 3) % 500).alias("dst")
     )
-    plan = _plan(opic_importance(edges, n_iter=2))
+    # persist_each=False keeps the full round lineage in ONE plan for
+    # shape introspection (the r6 default eagerly checkpoints per round,
+    # which truncates the plan to an RDD scan before it can be asserted)
+    plan = _plan(opic_importance(edges, n_iter=2, persist_each=False))
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     # hot-page in-degree skew dies map-side: contribution sums are
