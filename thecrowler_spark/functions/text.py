@@ -413,21 +413,31 @@ def _capped_tokens(c: Column | str, max_tokens: int | None) -> Column:
 def shingles(c: Column | str, k: int = 3, max_tokens: int | None = None) -> Column:
     """k-token shingles of the normalized text as array<string>.
 
-    Built from JVM array ops only: tokens → transform over index range →
-    join windows of k. Used by the n-gram Jaccard and MinHash dedup
-    operators. ``max_tokens`` truncates pathological docs (None = exact
-    classic mode, the oracle default). The token array is bound once per
-    row (:func:`bind_once`) so the per-shingle slices reference the
-    materialized array instead of re-splitting the document per index.
+    Built from JVM array ops only. ``max_tokens`` truncates pathological
+    docs (None = exact classic mode, the oracle default). The token
+    array is bound once per row (:func:`bind_once`).
+
+    r6: the window join is a fold of k−1 shifted ``zip_with`` concats
+    (g ← zip_with(g, toks[j:], x ++ ' ' ++ y)) instead of a transform
+    over an index range doing ``array_join(slice(toks, i, k))`` per
+    position — the slice form allocates a k-element array plus join
+    machinery per shingle and measured 5× slower (3.1 s vs 0.6 s per
+    pass over a 185k-doc corpus at k=2; values bit-identical —
+    ``concat(a,' ',b)`` ≡ ``array_join([a,b], ' ')``). zip_with pads the
+    shorter (shifted) side with null and concat null-propagates, so the
+    final slice to n−k+1 drops exactly the padded tail.
     """
 
     def per_toks(toks: Column) -> Column:
         n = F.size(toks)
-        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-        return F.when(
-            n >= k,
-            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")),
-        ).otherwise(F.when(n > 0, F.array(F.array_join(toks, " "))).otherwise(F.array()))
+        g = toks
+        for j in range(1, k):
+            shifted = F.slice(toks, j + 1, F.greatest(n - j, F.lit(0)))
+            g = F.zip_with(g, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
+        grams = F.slice(g, 1, F.greatest(n - k + 1, F.lit(0)))
+        return F.when(n >= k, grams).otherwise(
+            F.when(n > 0, F.array(F.array_join(toks, " "))).otherwise(F.array())
+        )
 
     return bind_once(_capped_tokens(c, max_tokens), per_toks)
 
