@@ -123,7 +123,14 @@ def minhash_signatures(
     set == min over its multiset). Docs with zero tokens produced no
     exploded rows before and are filtered identically here.
     """
-    sig = docs.filter(F.size(TX.tokens(text_col)) > 0).select(
+    # zero-token exclusion via a find-first-char regex instead of
+    # size(tokens(text)) > 0: tokens are the maximal [a-z0-9] runs of
+    # lower(text), so "has ≥1 token" ⇔ lower(text) contains an alnum
+    # char — same rows, but the filter no longer pays a full tokenize
+    # (lower + split + array alloc + HOF filter) that the projection
+    # below repeats anyway (filter and projection are different
+    # operators — no cross-operator subexpression elimination)
+    sig = docs.filter(F.lower(F.col(text_col)).rlike("[a-z0-9]")).select(
         F.col(id_col).alias("id"),
         F.array_distinct(TX.shingles(text_col, k)).alias("_sh"),
     )
