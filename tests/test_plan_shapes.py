@@ -472,3 +472,44 @@ def test_persist_candidates_shapes(spark):
         for spec in re.findall(r"windowspecdefinition\((\w+)#", plan):
             assert spec == "_pid", plan[:2000]
         assert "CartesianProduct" not in plan
+
+
+def test_metricsderive_dimensionless_lag_not_single_partition(spark):
+    """A config declaring a dimensionless metric must NOT change-detect
+    through a window partitioned only on (metric_id, scope, dimensions)
+    — for a global metric that is one task holding every observation.
+    The r6 two-phase path range-sorts into chunks and windows on
+    (_pid, ...), so every Window partition is bounded by the range
+    split, and the plan carries the range exchange."""
+    from thecrowler_spark.operators.metricsderive import derive_observations
+
+    events = spark.range(200).select(
+        F.col("id").alias("event_id"),
+        F.lit("click").alias("event"),
+        F.lit("u1").alias("identity"),
+        F.lit("global").alias("scope"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("observed_at"),
+        F.lit('{"status":"ok"}').alias("fields"),
+    )
+    cfg = [{"metric_id": 1, "value_type": "count", "bucket": "1h",
+            "selector": {"event": "click"}}]  # no dimensions
+    df = derive_observations(events, cfg)
+    plan = _plan(df)
+    # the two-phase path is active (the range sort itself runs inside
+    # the helper's eager localCheckpoint, so the final plan roots at the
+    # checkpointed chunks — carrying the chunk id column): every lag
+    # window over the observation stream clusters on (_pid, ...), never
+    # on the bare (metric_id, scope, dimensions)
+    assert "_pid" in plan
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    row_lag_specs = [s for s in specs if "observed_at" in s]
+    assert row_lag_specs, f"no lag windows found in plan:\n{plan[:2000]}"
+    assert all("_pid" in s for s in row_lag_specs), row_lag_specs
+    # the only _pid-ordered window is the tiny per-chunk carry lookup
+    # (one row per (chunk, group)), which never sees the row stream
+    # and the result is still the same rows a plain window would give
+    rows = df.orderBy("event_id").select("change_type").collect()
+    assert rows[0]["change_type"] == "new"
+    assert all(r["change_type"] == "unchanged" for r in rows[1:])

@@ -38,8 +38,9 @@ Per metric (all transcribed):
   a lag window over (metric_id, scope, dimensions) in observed_at
   order — new / changed / unchanged + numeric delta. The window
   partitions on the FULL dimension combo, so cardinality spreads it;
-  a single global metric with no dimensions degrades to one task —
-  same caveat class as revisit's per-source history, documented.
+  a config declaring a DIMENSIONLESS metric (r6) routes through
+  ranking.lag_range_partitioned instead — range-sorted chunks, local
+  lag, boundary carry-in — so a global metric never becomes one task.
 - dedupe key (:291-295): sha256 of the NUL-framed
   ``information-seed\\0metric\\0identity\\0value_hash\\0dimensions``.
 
@@ -267,13 +268,36 @@ def derive_observations(
     # --- change detection: the PreviousObservation lookup as a lag
     # window per (metric, scope, dimensions) in (observed_at, event_id)
     # order; error rows are excluded from the history (Go never inserts
-    # them) but kept in the output with change_type='error'
-    w = Window.partitionBy("metric_id", "scope", "dimensions").orderBy(
-        "observed_at", "event_id"
-    )
-    prev = F.lag("value_hash").over(w)
-    prev_num = F.lag("value_num").over(w)
+    # them) but kept in the output with change_type='error'.
+    #
+    # r6 (VERDICT watch item): when the CONFIG declares a metric with no
+    # dimensions, its partition key degenerates to (metric_id, scope) —
+    # for a global scope that is ONE window partition holding every
+    # observation of the metric, the same single-task shape every other
+    # hot window in this repo two-phases away. Those configs route
+    # through ranking.lag_range_partitioned (range-sort chunks + local
+    # lag + boundary carry-in; lag values identical given the total
+    # order (observed_at, event_id)). Well-dimensioned configs keep the
+    # plain one-exchange window — the two-phase costs a second exchange
+    # that cardinality-spread partitions don't need.
     ok = obs.where(~F.col("value_error"))
+    if any(not m.get("dimensions") for m in metrics):
+        from .ranking import lag_range_partitioned
+
+        ok = lag_range_partitioned(
+            ok,
+            ["metric_id", "scope", "dimensions"],
+            ["observed_at", "event_id"],
+            ["value_hash", "value_num"],
+        )
+        prev = F.col("_lag_value_hash")
+        prev_num = F.col("_lag_value_num")
+    else:
+        w = Window.partitionBy("metric_id", "scope", "dimensions").orderBy(
+            "observed_at", "event_id"
+        )
+        prev = F.lag("value_hash").over(w)
+        prev_num = F.lag("value_num").over(w)
     ok = ok.withColumn("prev_value_hash", prev).withColumn(
         "change_type",
         F.when(prev.isNull(), F.lit("new"))
@@ -285,7 +309,7 @@ def derive_observations(
             prev_num.isNotNull() & F.col("value_num").isNotNull(),
             F.col("value_num") - prev_num,
         ),
-    )
+    ).drop("_lag_value_hash", "_lag_value_num")  # two-phase temps (no-op otherwise)
     bad = (
         obs.where(F.col("value_error"))
         .withColumn("prev_value_hash", F.lit(None).cast("string"))

@@ -99,3 +99,75 @@ def ntile_distributed(
         .withColumn(out_col, tile.cast("int"))
         .drop("_rn", "_total")
     )
+
+
+def lag_range_partitioned(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    lag_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``LAG(c) OVER (PARTITION BY group ORDER BY order)`` for every
+    ``c`` in ``lag_cols`` WITHOUT a single-task window when one group
+    dominates (or when the group key is constant — e.g. a dimensionless
+    global metric in :mod:`metricsderive`'s change detection).
+
+    ``order_cols`` must be a per-group TOTAL order (include a unique
+    tie-break key) — the same precondition the native window needs for
+    a deterministic lag.
+
+    Two-phase (the :func:`global_row_number` range-partition pattern
+    applied to lag):
+
+    1. ``repartitionByRange`` on (group ∪ order) — a distributed range
+       sort; a hot group spans a CONTIGUOUS run of partition ids, so no
+       partition exceeds the range-split size regardless of group skew;
+    2. local lag per (_pid, group) — the window's exchange hashes on
+       (_pid, group), so the hot group's chunks spread across reducers
+       and the largest window partition is bounded by the range-split
+       size, not the group size;
+    3. boundary carry-in: the last row of each (_pid, group) chunk
+       (one ``max_by`` partial-agg row per chunk — a tiny table) hands
+       its lag values to the FIRST row of the group's next chunk via a
+       broadcast join; the carry lookup is itself a lag over the tiny
+       chunk table, bounded by chunks-per-group ≤ #partitions.
+
+    Returns ``df`` + ``_lag_<c>`` columns; lag values are identical to
+    the native window's (same per-group total order).
+    """
+    order = [F.col(c) for c in order_cols]
+    keys = [F.col(c) for c in group_cols]
+    if num_partitions:
+        part = df.repartitionByRange(num_partitions, *keys, *order)
+    else:
+        part = df.repartitionByRange(*keys, *order)
+    local = (
+        part.sortWithinPartitions(*keys, *order)
+        .withColumn("_pid", F.shiftright(F.monotonically_increasing_id(), 33).cast("int"))
+        # pin the partition-id assignment to one physical execution:
+        # the table is consumed twice (chunk-last aggregation + main)
+        .localCheckpoint(eager=True)
+    )
+    w_local = Window.partitionBy("_pid", *group_cols).orderBy(*order)
+    out = local.withColumn("_lrn", F.row_number().over(w_local))
+    for c in lag_cols:
+        out = out.withColumn(f"_lag_{c}", F.lag(c).over(w_local))
+    lasts = local.groupBy("_pid", *group_cols).agg(
+        F.max_by(
+            F.struct(*[F.col(c).alias(c) for c in lag_cols]), F.struct(*order)
+        ).alias("_lastvals")
+    )
+    w_carry = Window.partitionBy(*group_cols).orderBy("_pid")
+    carry = lasts.withColumn("_carry", F.lag("_lastvals").over(w_carry)).select(
+        "_pid", *group_cols, "_carry"
+    )
+    out = out.join(F.broadcast(carry), ["_pid", *group_cols], "left")
+    for c in lag_cols:
+        out = out.withColumn(
+            f"_lag_{c}",
+            F.when(F.col("_lrn") == 1, F.col("_carry").getField(c)).otherwise(
+                F.col(f"_lag_{c}")
+            ),
+        )
+    return out.drop("_pid", "_lrn", "_carry")
