@@ -279,46 +279,56 @@ def verify_pairs_jaccard(
     LSH banding over-generates: two docs colliding on one band need not
     be near-duplicates (with few hashes per band the collision carries
     almost no Jaccard signal). This computes TRUE shingle-set Jaccard
-    for ONLY the candidate pairs — the shingle explode is restricted to
-    docs appearing in some pair, and the pair join fans out each pair by
-    the left doc's shingles then probes the right side on (id, shingle),
-    so cost is O(pairs × avg_shingles), never all-pairs. Returns
-    (id_a, id_b, jaccard) for pairs with jaccard >= threshold.
+    for ONLY the candidate pairs. Returns (id_a, id_b, jaccard) for
+    pairs with jaccard >= threshold.
 
-    Mirrors the verification step of classic MinHash-LSH dedup (e.g.
-    the reference's fingerprint pipeline verifies candidates before
-    grouping); scale shape: two equi-joins + one pair-key groupBy.
+    r6 shape (guide §2.4 "remove shuffles outright"): the per-doc
+    DISTINCT shingle set stays an ARRAY — |∩| is
+    ``size(array_intersect(sh_a, sh_b))`` evaluated in the pair-join
+    projection, |A| / |B| are the array sizes. The previous form
+    exploded the candidate docs into (id, shingle) rows, paid a
+    distinct exchange keyed on the shingle STRING, fanned each pair out
+    by the left doc's shingles, probed on (id, shingle), and re-grouped
+    on the pair key — four exchanges of O(pairs × avg_shingles) rows.
+    Here the only materialization is the candidate shingle-array table
+    (one row per candidate doc, localCheckpointed once — both pair-join
+    sides read the same leaf), and the joins move one bounded array per
+    pair side: O(pairs × avg_shingles) BYTES but no per-shingle rows,
+    no string shuffle keys, no pair-key re-aggregation. Values are
+    EXACTLY the old ones: array_intersect of distinct sets ≡ the
+    shared-distinct-shingle count, sizes ≡ the distinct counts, and
+    docs whose shingle set is empty (zero tokens) are excluded from the
+    table exactly as the explode form excluded them (their pairs emit
+    nothing, matching the old inner-join behavior for ANY threshold).
+
+    Cost is O(pairs × avg_shingles), never all-pairs. Mirrors the
+    verification step of classic MinHash-LSH dedup; scale shape: two
+    equi-joins on the pair ids over a checkpointed per-doc table.
     """
     cand_ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    # lazily checkpoint the candidate shingle table (r6): it is
-    # referenced three times below (sizes + both sides of the pair
-    # probe), and the pair-probe side is a self-join whose deduplicated
-    # branch re-derives expression ids — which defeats plan-cache
-    # substitution, so without a leaf-level materialization the explode
-    # (and everything under it) executes three times per run. A lazy
-    # localCheckpoint materializes it once at first use; both self-join
-    # branches then read the same RDD leaf.
-    sh = doc_shingles(docs.join(cand_ids, id_col, "inner"), text_col, id_col, k).localCheckpoint(
-        eager=False
+    sh = (
+        docs.join(cand_ids, id_col, "inner")
+        # zero-token exclusion (cheap find-first-char predicate — see
+        # minhash_signatures): keeps the old explode form's semantics
+        .filter(F.lower(F.col(text_col)).rlike("[a-z0-9]"))
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(TX.shingles(text_col, k)).alias("sh"),
+        )
+        .withColumn("n", F.size("sh"))
+        .localCheckpoint(eager=False)
     )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
-    shared = (
-        pairs.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("shared"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("_sha"), F.col("n").alias("na"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("_shb"), F.col("n").alias("nb"))
+    shared = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
     return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("shared", shared)
         .withColumn(
             "jaccard",
             F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6),
